@@ -1,0 +1,697 @@
+"""Index root: schema handling, shards, level-0 RAM indexing, commit packing,
+persistence, open/close, document CRUD.
+
+Structure mirrors the reference's lifecycle (reference seekstorm/src/index.rs
+create_index :1886 / open_index :3832 / doc CRUD traits :5081-5299,
+commit.rs:50-258) re-architected for the TPU data plane:
+
+* Each shard accumulates up to 65,536 docs in a mutable RAM level 0
+  (reference ROARING_BLOCK_SIZE index.rs:115, ARCHITECTURE.md:89); commit
+  packs it into immutable fixed-layout numpy levels on disk and rebuilds the
+  HBM-resident CSR tensors + term directory (lexindex.build_shard_lexical).
+* A partial (non-64K) last level is rewritten in full at each commit while
+  its docs stay RAM-resident in level 0 — the same net semantics as the
+  reference's merge-incomplete-level-back-to-level0 (commit.rs:204-258)
+  without array surgery.
+* Realtime search scans the uncommitted level-0 tail with the numpy oracle
+  and merges with device results (reference realtime_search.rs:921 analog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from . import geo
+from .docstore import LevelDocStore, compress_doc, decompress_doc
+from .lexindex import CommittedLevel, ShardLexical, build_shard_lexical
+from .oracle import OracleTermPostings, bm25_components, term_impacts
+from .schema import (
+    BLOCK_SIZE,
+    FACET_DTYPES,
+    AccessType,
+    FieldType,
+    IndexMeta,
+    SchemaField,
+    schema_from_json,
+    schema_to_json,
+)
+from .tokenizer import Analyzer
+from .utils import DOCUMENT_LENGTH_COMPRESSION, compress_lengths, term_hash
+
+
+class _TermPostings0:
+    """Level-0 postings for one term (append-only, docid-ascending)."""
+
+    __slots__ = ("docids", "tfs", "poss")
+
+    def __init__(self):
+        self.docids: list[int] = []
+        self.tfs: list[int] = []    # flattened: F entries per posting
+        self.poss: list[int] = []   # flattened positions, field-major per posting
+
+
+class Level0:
+    """Mutable RAM level of one shard (up to BLOCK_SIZE docs)."""
+
+    def __init__(self, n_fields: int, facet_ids: list[int]):
+        self.n_fields = n_fields
+        self.doc_count = 0
+        self.terms: dict[int, _TermPostings0] = {}
+        self.term_str: dict[int, str] = {}
+        self.doclen: list[bytes] = []          # compressed u8 per field, per doc
+        self.positions_sum_normalized = 0
+        self.facet_values: dict[int, list] = {fid: [] for fid in facet_ids}
+        self.blobs: list[bytes] = []
+
+    def add_document(
+        self,
+        term_fields: dict[str, list[list[int]]],  # term -> per-field positions
+        field_lengths: list[int],
+        facet_vals: dict[int, object],
+        blob: bytes,
+    ) -> int:
+        local = self.doc_count
+        F = self.n_fields
+        for term, perfield in term_fields.items():
+            h = term_hash(term)
+            tp = self.terms.get(h)
+            if tp is None:
+                tp = _TermPostings0()
+                self.terms[h] = tp
+                self.term_str[h] = term
+            tp.docids.append(local)
+            for f in range(F):
+                plist = perfield[f]
+                tp.tfs.append(min(len(plist), 65_535))
+                tp.poss.extend(p for p in plist[:65_535])
+        lens = compress_lengths(np.array(field_lengths, dtype=np.int64))
+        self.doclen.append(lens.tobytes())
+        self.positions_sum_normalized += int(
+            DOCUMENT_LENGTH_COMPRESSION[lens].sum()
+        )
+        for fid, vals in self.facet_values.items():
+            vals.append(facet_vals.get(fid))
+        self.blobs.append(blob)
+        self.doc_count += 1
+        return local
+
+    # ------------------------------------------------------------------
+    def pack(self, path: Path, facet_fields: list[SchemaField]) -> None:
+        """Write this level as an immutable packed level directory."""
+        path.mkdir(parents=True, exist_ok=True)
+        F = self.n_fields
+        hashes = np.array(sorted(self.terms.keys()), dtype=np.uint64)
+        T = len(hashes)
+        counts = np.zeros(T, dtype=np.int64)
+        for i, h in enumerate(hashes):
+            counts[i] = len(self.terms[int(h)].docids)
+        offsets = np.zeros(T + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        P = int(offsets[-1])
+        docid = np.zeros(P, dtype=np.uint16)
+        tf = np.zeros((P, F), dtype=np.uint16)
+        pos_chunks: list[list[int]] = []
+        for i, h in enumerate(hashes):
+            tp = self.terms[int(h)]
+            a = int(offsets[i])
+            n = len(tp.docids)
+            docid[a : a + n] = tp.docids
+            tf[a : a + n] = np.asarray(tp.tfs, dtype=np.uint16).reshape(n, F)
+            pos_chunks.append(tp.poss)
+        pos = (
+            np.concatenate([np.asarray(c, dtype=np.uint16) for c in pos_chunks])
+            if pos_chunks
+            else np.zeros(0, np.uint16)
+        )
+        doclen = (
+            np.frombuffer(b"".join(self.doclen), dtype=np.uint8).reshape(
+                self.doc_count, F
+            )
+            if self.doc_count
+            else np.zeros((0, F), np.uint8)
+        )
+        np.save(path / "term_hash.npy", hashes)
+        np.save(path / "term_offset.npy", offsets)
+        np.save(path / "docid.npy", docid)
+        np.save(path / "tf.npy", tf)
+        np.save(path / "pos.npy", pos)
+        np.save(path / "doclen.npy", doclen)
+        for sf in facet_fields:
+            col = facet_column(sf, self.facet_values[sf.facet_id], self.doc_count)
+            np.save(path / f"facet_{sf.facet_id}.npy", col)
+        LevelDocStore.write(path, self.blobs)
+        with open(path / "level.json", "w") as f:
+            json.dump(
+                {
+                    "doc_count": self.doc_count,
+                    "positions_sum_normalized": self.positions_sum_normalized,
+                },
+                f,
+            )
+
+    @staticmethod
+    def from_level(
+        lvl: CommittedLevel, path: Path, facet_ids: list[int], n_fields: int
+    ) -> "Level0":
+        """Reload a partial committed level back into RAM (open_index path)."""
+        l0 = Level0(n_fields, facet_ids)
+        l0.doc_count = lvl.doc_count
+        l0.positions_sum_normalized = lvl.positions_sum_normalized
+        l0.doclen = [np.asarray(lvl.doclen[i]).tobytes() for i in range(lvl.doc_count)]
+        for t in range(len(lvl.term_hash)):
+            h = int(lvl.term_hash[t])
+            tp = _TermPostings0()
+            a, b = int(lvl.term_offset[t]), int(lvl.term_offset[t + 1])
+            tp.docids = lvl.docid[a:b].tolist()
+            tp.tfs = np.asarray(lvl.tf[a:b]).reshape(-1).tolist()
+            tp.poss = lvl.pos[lvl.pos_offset[a] : lvl.pos_offset[b]].tolist()
+            l0.terms[h] = tp
+        # raw blobs + facet values
+        ptr = np.load(path / "docptr.npy")
+        data = np.fromfile(path / "docs.bin", dtype=np.uint8)
+        l0.blobs = [
+            bytes(data[int(ptr[i]) : int(ptr[i + 1])]) for i in range(lvl.doc_count)
+        ]
+        for fid in facet_ids:
+            fp = path / f"facet_{fid}.npy"
+            if fp.exists():
+                l0.facet_values[fid] = np.load(fp).tolist()
+        return l0
+
+
+def facet_column(sf: SchemaField, values: list, n: int) -> np.ndarray:
+    """Build a fixed-width facet column from per-doc values."""
+    dtype = FACET_DTYPES[sf.field_type]
+    if sf.field_type == FieldType.Point:
+        lat = np.array([v[0] if v else 0.0 for v in values], dtype=np.float64)
+        lon = np.array([v[1] if v else 0.0 for v in values], dtype=np.float64)
+        return geo.encode_morton_2_d(lat, lon)
+    col = np.zeros(n, dtype=dtype)
+    for i, v in enumerate(values):
+        if v is not None:
+            col[i] = v
+    return col
+
+
+@dataclass
+class Shard:
+    """One shard: committed levels (disk + HBM) + RAM level 0."""
+
+    shard_id: int
+    path: Path
+    n_fields: int
+    facet_ids: list[int]
+    level0: Level0 = None  # type: ignore
+    full_levels: int = 0           # number of complete 64K levels on disk
+    partial_on_disk: int = 0       # docs of level0 already persisted as last level
+    lexical: ShardLexical = None   # type: ignore
+    docstores: list[LevelDocStore] = field(default_factory=list)
+    deleted: set = field(default_factory=set)  # shard-local doc ids
+    facet_cols: dict[int, np.ndarray] = field(default_factory=dict)  # concat over levels
+
+    @property
+    def committed_doc_count(self) -> int:
+        return self.full_levels * BLOCK_SIZE + self.partial_on_disk
+
+    @property
+    def doc_count(self) -> int:
+        return self.full_levels * BLOCK_SIZE + self.level0.doc_count
+
+    @property
+    def tail_start(self) -> int:
+        """First shard-local doc id served by the realtime (uncommitted) path."""
+        return self.committed_doc_count
+
+    def tail_len(self) -> int:
+        return self.level0.doc_count - self.partial_on_disk
+
+
+class Index:
+    """The index root (reference Index index.rs:1698)."""
+
+    def __init__(
+        self,
+        path: Path,
+        schema: list[SchemaField],
+        meta: IndexMeta,
+        shard_count: int,
+        serialize: bool = True,
+    ):
+        self.path = Path(path)
+        self.meta = meta
+        self.schema = schema
+        self.shard_count = shard_count
+        self.docid_global = 0
+        self._lock = threading.RLock()
+
+        # assign ids
+        self.schema_map = {}
+        self.indexed_fields: list[SchemaField] = []
+        self.facet_fields: list[SchemaField] = []
+        fid = 0
+        for sf in schema:
+            sf.field_id = fid
+            fid += 1
+            if sf.indexed and sf.field_type in (FieldType.Text, FieldType.String16,
+                                                FieldType.String32):
+                sf.indexed_field_id = len(self.indexed_fields)
+                self.indexed_fields.append(sf)
+            if sf.facet:
+                sf.facet_id = len(self.facet_fields)
+                self.facet_fields.append(sf)
+            self.schema_map[sf.field] = sf
+        if not self.indexed_fields:
+            # allow pure-vector / facet-only indices; keep one dummy slot
+            pass
+
+        self.analyzer = Analyzer(
+            meta.tokenizer, meta.stemmer, meta.stop_words, meta.custom_stop_words
+        )
+        self.boosts = np.array(
+            [sf.boost for sf in self.indexed_fields], dtype=np.float32
+        )
+        self.synonyms: list[dict] = []
+
+        self.shards: list[Shard] = []
+        facet_ids = [sf.facet_id for sf in self.facet_fields]
+        for s in range(shard_count):
+            sp = self.path / f"shard_{s}"
+            sh = Shard(s, sp, max(len(self.indexed_fields), 1), facet_ids)
+            sh.level0 = Level0(sh.n_fields, facet_ids)
+            sh.lexical = build_shard_lexical([], self.boosts_or_default())
+            self.shards.append(sh)
+
+        # vector engine attached lazily (vector_index.ShardVectors)
+        self.vectors = None
+        self._device_cache = None  # built by search layer
+        self._device_dirty = True
+
+        if serialize:
+            self.path.mkdir(parents=True, exist_ok=True)
+            for sh in self.shards:
+                sh.path.mkdir(parents=True, exist_ok=True)
+            self.save_meta()
+
+    # ------------------------------------------------------------------
+    def boosts_or_default(self) -> np.ndarray:
+        if len(self.boosts):
+            return self.boosts
+        return np.ones(1, dtype=np.float32)
+
+    def save_meta(self) -> None:
+        with open(self.path / "index.json", "w") as f:
+            json.dump(
+                {
+                    "meta": self.meta.to_json(),
+                    "shard_count": self.shard_count,
+                    "docid_global": self.docid_global,
+                },
+                f,
+                indent=1,
+            )
+        with open(self.path / "schema.json", "w") as f:
+            f.write(schema_to_json(self.schema))
+        with open(self.path / "synonyms.json", "w") as f:
+            json.dump(self.synonyms, f)
+
+    # ------------------------------------------------------------------
+    # document CRUD (reference index.rs:5081-5299)
+
+    def index_document(self, doc: dict) -> int:
+        with self._lock:
+            g = self.docid_global
+            self.docid_global += 1
+        shard = self.shards[g % self.shard_count]
+        self._index_document_shard(shard, doc)
+        return g
+
+    def index_documents(self, docs: list[dict]) -> list[int]:
+        return [self.index_document(d) for d in docs]
+
+    def _index_document_shard(self, shard: Shard, doc: dict) -> None:
+        term_fields: dict[str, list[list[int]]] = {}
+        F = max(len(self.indexed_fields), 1)
+        field_lengths = [0] * F
+        for sf in self.indexed_fields:
+            text = doc.get(sf.field)
+            if text is None:
+                continue
+            if not isinstance(text, str):
+                text = json.dumps(text, ensure_ascii=False)
+            tp = self.analyzer.term_positions(text)
+            field_lengths[sf.indexed_field_id] = sum(len(v) for v in tp.values())
+            for term, positions in tp.items():
+                pf = term_fields.get(term)
+                if pf is None:
+                    pf = [[] for _ in range(F)]
+                    term_fields[term] = pf
+                pf[sf.indexed_field_id] = positions
+
+        facet_vals: dict[int, object] = {}
+        for sf in self.facet_fields:
+            v = doc.get(sf.field)
+            if v is not None and sf.field_type.is_string_facet:
+                v = self._facet_ordinal(sf, v)
+            facet_vals[sf.facet_id] = v
+
+        stored = {
+            sf.field: doc[sf.field]
+            for sf in self.schema
+            if sf.stored and sf.field in doc
+        }
+        blob = compress_doc(stored, self.meta.doc_compression)
+
+        with self._lock:
+            shard.level0.add_document(term_fields, field_lengths, facet_vals, blob)
+            self._device_dirty = True
+            if shard.level0.doc_count >= BLOCK_SIZE:
+                self._commit_shard(shard)
+
+    # string facet ordinals (per facet field string table)
+    def _facet_ordinal(self, sf: SchemaField, value) -> int:
+        tables = getattr(self, "_facet_tables", None)
+        if tables is None:
+            tables = self._facet_tables = {}
+        tab = tables.setdefault(sf.facet_id, {"": 0})
+        if isinstance(value, list):
+            value = value[0] if value else ""
+        v = str(value)
+        if v not in tab:
+            tab[v] = len(tab)
+        return tab[v]
+
+    def facet_string_for(self, sf: SchemaField, ordinal: int) -> str:
+        tab = getattr(self, "_facet_tables", {}).get(sf.facet_id, {"": 0})
+        rev = {v: k for k, v in tab.items()}
+        return rev.get(int(ordinal), "")
+
+    def get_document(self, global_id: int) -> dict | None:
+        shard = self.shards[global_id % self.shard_count]
+        local = global_id // self.shard_count
+        if local >= shard.doc_count:
+            return None
+        lvl, lid = divmod(local, BLOCK_SIZE)
+        if lvl < shard.full_levels:
+            return shard.docstores[lvl].get(lid)
+        blob = shard.level0.blobs[lid]
+        return decompress_doc(blob, self.meta.doc_compression)
+
+    def delete_document(self, global_id: int) -> None:
+        shard = self.shards[global_id % self.shard_count]
+        local = global_id // self.shard_count
+        if local < shard.doc_count:
+            shard.deleted.add(local)
+            shard._dev = None
+            self._device_dirty = True
+            self._save_deletes(shard)
+
+    def delete_documents(self, ids: list[int]) -> None:
+        touched = set()
+        for g in ids:
+            shard = self.shards[g % self.shard_count]
+            local = g // self.shard_count
+            if local < shard.doc_count:
+                shard.deleted.add(local)
+                touched.add(shard.shard_id)
+        if touched:
+            self._device_dirty = True
+            for sid in touched:
+                self.shards[sid]._dev = None
+                self._save_deletes(self.shards[sid])
+
+    def update_document(self, global_id: int, doc: dict) -> int:
+        """Delete + reindex (new doc id), reference UpdateDocument semantics."""
+        self.delete_document(global_id)
+        return self.index_document(doc)
+
+    def update_documents(self, pairs: list[tuple[int, dict]]) -> list[int]:
+        return [self.update_document(g, d) for g, d in pairs]
+
+    def _save_deletes(self, shard: Shard) -> None:
+        arr = np.array(sorted(shard.deleted), dtype=np.int64)
+        np.save(shard.path / "deleted.npy", arr)
+
+    @property
+    def indexed_doc_count(self) -> int:
+        return sum(sh.doc_count for sh in self.shards)
+
+    @property
+    def committed_doc_count(self) -> int:
+        return sum(sh.committed_doc_count for sh in self.shards)
+
+    @property
+    def deleted_doc_count(self) -> int:
+        return sum(len(sh.deleted) for sh in self.shards)
+
+    @property
+    def current_doc_count(self) -> int:
+        return self.indexed_doc_count - self.deleted_doc_count
+
+    # ------------------------------------------------------------------
+    # commit (reference commit.rs:50-258)
+
+    def commit(self) -> None:
+        with self._lock:
+            for sh in self.shards:
+                self._commit_shard(sh)
+            self.save_meta()
+            _save_facet_tables(self)
+            if self.vectors is not None:
+                self.vectors.commit()
+
+    def _commit_shard(self, shard: Shard) -> None:
+        l0 = shard.level0
+        if l0.doc_count == 0:
+            self._reload_shard(shard)
+            return
+        lvl_id = shard.full_levels
+        lvl_path = shard.path / f"level_{lvl_id}"
+        if lvl_path.exists():
+            shutil.rmtree(lvl_path)
+        l0.pack(lvl_path, self.facet_fields)
+        if l0.doc_count >= BLOCK_SIZE:
+            shard.full_levels += 1
+            shard.partial_on_disk = 0
+            shard.level0 = Level0(shard.n_fields, [f.facet_id for f in self.facet_fields])
+        else:
+            shard.partial_on_disk = l0.doc_count
+        with open(shard.path / "shard.json", "w") as f:
+            json.dump(
+                {
+                    "full_levels": shard.full_levels,
+                    "partial_on_disk": shard.partial_on_disk,
+                },
+                f,
+            )
+        self._reload_shard(shard)
+
+    def _reload_shard(self, shard: Shard) -> None:
+        """Rebuild committed structures (host + device inputs) from disk."""
+        mmap = self.meta.access_type == AccessType.Mmap
+        n_levels = shard.full_levels + (1 if shard.partial_on_disk else 0)
+        levels = [
+            CommittedLevel.load(shard.path / f"level_{i}", mmap=mmap)
+            for i in range(n_levels)
+        ]
+        shard.lexical = build_shard_lexical(levels, self.boosts_or_default())
+        shard.docstores = [
+            LevelDocStore(shard.path / f"level_{i}", self.meta.doc_compression, mmap)
+            for i in range(n_levels)
+        ]
+        shard._dev = None
+        # concatenated facet columns over committed docs
+        shard.facet_cols = {}
+        for sf in self.facet_fields:
+            cols = []
+            for i in range(n_levels):
+                fp = shard.path / f"level_{i}" / f"facet_{sf.facet_id}.npy"
+                if fp.exists():
+                    cols.append(np.load(fp, mmap_mode="r" if mmap else None))
+            if cols:
+                shard.facet_cols[sf.facet_id] = np.concatenate(cols)
+        self._device_dirty = True
+
+    # ------------------------------------------------------------------
+    # realtime (level-0 tail) oracle postings
+
+    def tail_postings(
+        self, shard: Shard, hashes: list[int], boosts: np.ndarray
+    ) -> tuple[list[OracleTermPostings | None], list[int], int]:
+        """Oracle postings over the uncommitted tail of a shard.
+
+        Returns (postings with docids relative to tail start, tail dfs,
+        tail doc count)."""
+        l0 = shard.level0
+        start = shard.partial_on_disk
+        n_tail = l0.doc_count - start
+        F = shard.n_fields
+        avg = self._avg_len(shard)
+        out: list[OracleTermPostings | None] = []
+        dfs: list[int] = []
+        for h in hashes:
+            tp = l0.terms.get(h)
+            if tp is None:
+                out.append(None)
+                dfs.append(0)
+                continue
+            docids = np.asarray(tp.docids, dtype=np.int64)
+            sel = docids >= start
+            dfs.append(int(sel.sum()))
+            if not sel.any():
+                out.append(None)
+                continue
+            tf = np.asarray(tp.tfs, dtype=np.uint16).reshape(-1, F)[sel]
+            dl = np.frombuffer(
+                b"".join(l0.doclen[i] for i in docids[sel]), dtype=np.uint8
+            ).reshape(-1, F)
+            comps = bm25_components(dl, avg)
+            imps = term_impacts(tf, comps, boosts)
+            out.append(
+                OracleTermPostings(docids=docids[sel] - start, impacts=imps,
+                                   positions=None)
+            )
+        return out, dfs, n_tail
+
+    def tail_positions(
+        self, shard: Shard, h: int, tail_docid: int
+    ) -> list[np.ndarray] | None:
+        l0 = shard.level0
+        tp = l0.terms.get(h)
+        if tp is None:
+            return None
+        target = shard.partial_on_disk + tail_docid
+        try:
+            i = tp.docids.index(target)
+        except ValueError:
+            return None
+        F = shard.n_fields
+        tf = tp.tfs[i * F : (i + 1) * F]
+        start = sum(tp.tfs[: i * F])
+        out = []
+        for f in range(F):
+            out.append(np.asarray(tp.poss[start : start + tf[f]], dtype=np.int64))
+            start += tf[f]
+        return out
+
+    def _avg_len(self, shard: Shard) -> float:
+        lex = shard.lexical
+        if lex and lex.doc_count:
+            return lex.avg_len
+        l0 = shard.level0
+        return l0.positions_sum_normalized / max(l0.doc_count, 1)
+
+    # ------------------------------------------------------------------
+    def clear(self) -> None:
+        """Remove all documents, keep schema/meta (reference clear_index)."""
+        with self._lock:
+            facet_ids = [f.facet_id for f in self.facet_fields]
+            for sh in self.shards:
+                if sh.path.exists():
+                    for child in sh.path.iterdir():
+                        if child.is_dir():
+                            shutil.rmtree(child)
+                        else:
+                            child.unlink()
+                sh.level0 = Level0(sh.n_fields, facet_ids)
+                sh.full_levels = 0
+                sh.partial_on_disk = 0
+                sh.deleted = set()
+                sh.lexical = build_shard_lexical([], self.boosts_or_default())
+                sh.docstores = []
+                sh.facet_cols = {}
+                sh._dev = None
+            self.docid_global = 0
+            self._facet_tables = {}
+            self._device_dirty = True
+            if self.vectors is not None:
+                self.vectors.clear()
+            self.save_meta()
+
+    def close(self) -> None:
+        self.commit()
+
+    def delete_index(self) -> None:
+        if self.path.exists():
+            shutil.rmtree(self.path)
+
+
+# ----------------------------------------------------------------------
+# lifecycle functions (reference create_index index.rs:1886 / open_index :3832)
+
+def create_index(
+    path,
+    schema: list[SchemaField],
+    meta: IndexMeta | None = None,
+    shard_count: int = 1,
+) -> Index:
+    meta = meta or IndexMeta()
+    path = Path(path)
+    if (path / "index.json").exists():
+        raise FileExistsError(f"index already exists at {path}")
+    idx = Index(path, schema, meta, shard_count, serialize=True)
+    if meta.vector.enabled:
+        from .vector_index import IndexVectors
+
+        idx.vectors = IndexVectors(idx)
+    # persist facet string tables
+    _save_facet_tables(idx)
+    return idx
+
+
+def open_index(path) -> Index:
+    path = Path(path)
+    with open(path / "index.json") as f:
+        root = json.load(f)
+    meta = IndexMeta.from_json(root["meta"])
+    with open(path / "schema.json") as f:
+        schema = schema_from_json(f.read())
+    idx = Index(path, schema, meta, root["shard_count"], serialize=False)
+    idx.docid_global = root["docid_global"]
+    ft_path = path / "facet_tables.json"
+    if ft_path.exists():
+        with open(ft_path) as f:
+            idx._facet_tables = {
+                int(k): v for k, v in json.load(f).items()
+            }
+    for sh in idx.shards:
+        sj = sh.path / "shard.json"
+        if sj.exists():
+            with open(sj) as f:
+                st = json.load(f)
+            sh.full_levels = st["full_levels"]
+            sh.partial_on_disk = st["partial_on_disk"]
+        dp = sh.path / "deleted.npy"
+        if dp.exists():
+            sh.deleted = set(np.load(dp).tolist())
+        idx._reload_shard(sh)
+        # reload partial level into RAM so the next commit can rewrite it
+        if sh.partial_on_disk:
+            lvl_id = sh.full_levels
+            lvl = sh.lexical.levels[lvl_id]
+            sh.level0 = Level0.from_level(
+                lvl,
+                sh.path / f"level_{lvl_id}",
+                [f.facet_id for f in idx.facet_fields],
+                sh.n_fields,
+            )
+        else:
+            sh.level0 = Level0(sh.n_fields, [f.facet_id for f in idx.facet_fields])
+    if meta.vector.enabled:
+        from .vector_index import IndexVectors
+
+        idx.vectors = IndexVectors(idx)
+        idx.vectors.load()
+    return idx
+
+
+def _save_facet_tables(idx: Index) -> None:
+    tables = getattr(idx, "_facet_tables", {})
+    with open(idx.path / "facet_tables.json", "w") as f:
+        json.dump({str(k): v for k, v in tables.items()}, f)

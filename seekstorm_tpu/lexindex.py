@@ -1,0 +1,240 @@
+"""Committed lexical index: per-level packed arrays, merged term directory,
+and HBM-resident device tensors.
+
+TPU-first layout (replaces the reference's roaring-compressed linked posting
+lists + mmap strips, reference index.rs:1555-1694, compress_postinglist.rs):
+
+* Postings are flat CSR tensors per shard, concatenated over levels:
+    pl_docid : u16[P]     block-local doc id per posting
+    pl_tf    : u16[P, F]  per-indexed-field term frequency
+  A "block" == a committed level == up to 65,536 docs (reference
+  ROARING_BLOCK_SIZE index.rs:115), so doc ids fit u16 and the dense
+  scoring domain per block is a fixed 64K lane-friendly axis.
+* Per-(doc, field) BM25 length components are materialized as
+    comp : f32[n_blocks * 65536, F]
+  (recomputed whenever the shard-average doc length moves, mirroring the
+  reference's bm25_component_cache recompute at commit, commit.rs:321).
+* The term directory stays host-side (numpy, hash-sorted) and maps
+  term-hash -> posting segments (block, offset, length, max_impact).
+  max_impact per (term, block) drives block-max pruning, the analog of the
+  reference's max_block_score (index.rs:781-789, intersection.rs:2224).
+* Positions stay host-side for phrase verification / highlighting; the
+  flat positions tensor is addressable from (tf cumsum) without an offsets
+  file.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from .oracle import bm25_components, term_impacts
+from .schema import BLOCK_SIZE
+
+
+@dataclass
+class CommittedLevel:
+    """One immutable 64K-doc level, loaded from disk."""
+
+    doc_count: int
+    positions_sum_normalized: int
+    term_hash: np.ndarray    # u64[T] sorted
+    term_offset: np.ndarray  # i64[T+1]
+    docid: np.ndarray        # u16[P]
+    tf: np.ndarray           # u16[P, F]
+    pos: np.ndarray          # u16[sum(tf)] flat positions, field-major per posting
+    pos_offset: np.ndarray   # i64[P+1] derived at load (cumsum of per-posting tf)
+    doclen: np.ndarray       # u8[doc_count, F]
+
+    @staticmethod
+    def load(path: Path, mmap: bool = False) -> "CommittedLevel":
+        mm = "r" if mmap else None
+        with open(path / "level.json") as f:
+            meta = json.load(f)
+        tf = np.load(path / "tf.npy", mmap_mode=mm)
+        per_posting = tf.sum(axis=1, dtype=np.int64)
+        pos_offset = np.zeros(len(tf) + 1, dtype=np.int64)
+        np.cumsum(per_posting, out=pos_offset[1:])
+        return CommittedLevel(
+            doc_count=meta["doc_count"],
+            positions_sum_normalized=meta["positions_sum_normalized"],
+            term_hash=np.load(path / "term_hash.npy", mmap_mode=mm),
+            term_offset=np.load(path / "term_offset.npy", mmap_mode=mm),
+            docid=np.load(path / "docid.npy", mmap_mode=mm),
+            tf=tf,
+            pos=np.load(path / "pos.npy", mmap_mode=mm),
+            pos_offset=pos_offset,
+            doclen=np.load(path / "doclen.npy", mmap_mode=mm),
+        )
+
+    def posting_index(self, hash_: int, local_docid: int) -> int:
+        """Posting row for (term, doc) or -1."""
+        t = int(np.searchsorted(self.term_hash, np.uint64(hash_)))
+        if t >= len(self.term_hash) or self.term_hash[t] != np.uint64(hash_):
+            return -1
+        a, b = int(self.term_offset[t]), int(self.term_offset[t + 1])
+        i = a + int(np.searchsorted(self.docid[a:b], np.uint16(local_docid)))
+        if i < b and self.docid[i] == local_docid:
+            return i
+        return -1
+
+    def positions_for(self, posting_row: int) -> list[np.ndarray]:
+        """Per-field position arrays for a posting row."""
+        start = int(self.pos_offset[posting_row])
+        out = []
+        for f in range(self.tf.shape[1]):
+            n = int(self.tf[posting_row, f])
+            out.append(self.pos[start : start + n].astype(np.int64))
+            start += n
+        return out
+
+
+@dataclass
+class TermDirectory:
+    """Merged hash-sorted term directory over all levels of a shard."""
+
+    hash: np.ndarray        # u64[T] sorted unique
+    df: np.ndarray          # i64[T]
+    seg_start: np.ndarray   # i64[T+1] range into segment arrays
+    seg_block: np.ndarray   # i32[S] level/block id
+    seg_offset: np.ndarray  # i64[S] offset into concatenated postings
+    seg_len: np.ndarray     # i32[S]
+    seg_max_impact: np.ndarray  # f32[S] (default boost profile)
+
+    def lookup(self, h: int) -> int:
+        i = int(np.searchsorted(self.hash, np.uint64(h)))
+        if i < len(self.hash) and self.hash[i] == np.uint64(h):
+            return i
+        return -1
+
+
+@dataclass
+class ShardLexical:
+    """Committed lexical state of one shard (host + device)."""
+
+    levels: list[CommittedLevel] = field(default_factory=list)
+    directory: TermDirectory | None = None
+    pl_docid: np.ndarray | None = None   # u16[P] concatenated
+    pl_tf: np.ndarray | None = None      # u16[P, F]
+    comp: np.ndarray | None = None       # f32[n_blocks*BLOCK_SIZE, F]
+    avg_len: float = 0.0
+    doc_count: int = 0                   # committed docs in this shard
+    level_post_base: np.ndarray | None = None  # i64[L+1] posting base per level
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.levels)
+
+    def get_positions(self, hash_: int, shard_docid: int) -> list[np.ndarray] | None:
+        lvl_id, local = divmod(shard_docid, BLOCK_SIZE)
+        if lvl_id >= len(self.levels):
+            return None
+        lvl = self.levels[lvl_id]
+        row = lvl.posting_index(hash_, local)
+        if row < 0:
+            return None
+        return lvl.positions_for(row)
+
+
+def build_shard_lexical(
+    levels: list[CommittedLevel], boosts: np.ndarray
+) -> ShardLexical:
+    """Merge committed levels into the flat device layout + term directory.
+
+    boosts: f32[F] default per-field boosts (schema boosts).
+    """
+    sh = ShardLexical(levels=levels)
+    if not levels:
+        sh.directory = TermDirectory(
+            hash=np.zeros(0, np.uint64),
+            df=np.zeros(0, np.int64),
+            seg_start=np.zeros(1, np.int64),
+            seg_block=np.zeros(0, np.int32),
+            seg_offset=np.zeros(0, np.int64),
+            seg_len=np.zeros(0, np.int32),
+            seg_max_impact=np.zeros(0, np.float32),
+        )
+        F = len(boosts)
+        sh.pl_docid = np.zeros(0, np.uint16)
+        sh.pl_tf = np.zeros((0, F), np.uint16)
+        sh.comp = np.zeros((0, F), np.float32)
+        sh.level_post_base = np.zeros(1, np.int64)
+        return sh
+
+    F = levels[0].tf.shape[1]
+    L = len(levels)
+    sh.doc_count = sum(l.doc_count for l in levels)
+    pos_sum = sum(l.positions_sum_normalized for l in levels)
+    sh.avg_len = pos_sum / max(sh.doc_count, 1)
+
+    # concatenated postings
+    sh.pl_docid = np.concatenate([l.docid for l in levels])
+    sh.pl_tf = np.concatenate([l.tf for l in levels], axis=0)
+    base = np.zeros(L + 1, dtype=np.int64)
+    np.cumsum([len(l.docid) for l in levels], out=base[1:])
+    sh.level_post_base = base
+
+    # per-(doc, field) BM25 components, padded to BLOCK_SIZE per level
+    comp = np.zeros((L * BLOCK_SIZE, F), dtype=np.float32)
+    for i, l in enumerate(levels):
+        comp[i * BLOCK_SIZE : i * BLOCK_SIZE + l.doc_count] = bm25_components(
+            np.asarray(l.doclen), sh.avg_len
+        )
+    # padding rows keep comp=K*(1-B) > 0 to avoid div-by-zero on garbage tf=0
+    comp[comp == 0.0] = 1.0
+    sh.comp = comp
+
+    # merged directory: entries = (level, local term idx)
+    all_hash = np.concatenate([l.term_hash for l in levels])
+    all_level = np.concatenate(
+        [np.full(len(l.term_hash), i, dtype=np.int32) for i, l in enumerate(levels)]
+    )
+    all_local = np.concatenate(
+        [np.arange(len(l.term_hash), dtype=np.int64) for l in levels]
+    )
+    order = np.argsort(all_hash, kind="stable")
+    sh_hash = all_hash[order]
+    sh_level = all_level[order]
+    sh_local = all_local[order]
+
+    seg_offset = np.empty(len(order), dtype=np.int64)
+    seg_len = np.empty(len(order), dtype=np.int32)
+    for i, l in enumerate(levels):
+        m = sh_level == i
+        lo = sh_local[m]
+        seg_offset[m] = base[i] + l.term_offset[lo]
+        seg_len[m] = (l.term_offset[lo + 1] - l.term_offset[lo]).astype(np.int32)
+
+    uniq_hash, first_idx, counts = np.unique(
+        sh_hash, return_index=True, return_counts=True
+    )
+    seg_start = np.zeros(len(uniq_hash) + 1, dtype=np.int64)
+    np.cumsum(counts, out=seg_start[1:])
+    df = np.add.reduceat(seg_len.astype(np.int64), first_idx)
+
+    # per-(level, term) max impact, computed per level then reordered
+    seg_max = np.zeros(len(order), dtype=np.float32)
+    for i, l in enumerate(levels):
+        if len(l.docid) == 0:
+            continue
+        comps_l = comp[i * BLOCK_SIZE + l.docid.astype(np.int64)]
+        imp = term_impacts(np.asarray(l.tf), comps_l, boosts)
+        starts = np.asarray(l.term_offset[:-1], dtype=np.int64)
+        # reduceat over term segments (term_offset has no empty segments)
+        mx = np.maximum.reduceat(imp, starts) if len(starts) else np.zeros(0, np.float32)
+        m = sh_level == i
+        seg_max[m] = mx[sh_local[m]]
+
+    sh.directory = TermDirectory(
+        hash=uniq_hash,
+        df=df,
+        seg_start=seg_start,
+        seg_block=sh_level,
+        seg_offset=seg_offset,
+        seg_len=seg_len,
+        seg_max_impact=seg_max,
+    )
+    return sh

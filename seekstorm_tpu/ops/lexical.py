@@ -1,0 +1,184 @@
+"""Device lexical scoring: batched block-decode -> dense impact matrix ->
+MXU matmul scoring -> fused running top-k.
+
+This replaces the reference's per-query pointer-chasing query path
+(reference intersection.rs / union.rs / add_result.rs SIMD loops) with a
+TPU-native batched formulation:
+
+  for each candidate 64K-doc block (lax.scan axis):
+    1. ragged-range gather: the block's posting segments (one per query-term
+       slot) are flattened into a fixed-width [P_max] posting window read
+       from the HBM-resident CSR arrays;
+    2. per-posting BM25F impact is computed on the VPU from (tf, doc-length
+       component, field boosts) — formulas match add_result.rs:868-1484;
+    3. impacts scatter into a dense impact matrix D[V, 65536] (the dense
+       doc-domain form of the decoded posting block);
+    4. scores for the whole query batch come from ONE matmul on the MXU:
+       S[B, 65536] = W[B, V] @ D, with W[q, v] = idf of slot v in query q;
+       boolean AND/NOT semantics come from a second matmul
+       C = Mreq @ (D > 0) (required=+1, negated=-1e4) and the mask
+       C >= n_required — the batched analog of the reference's
+       intersection/union/NOT list walks;
+    5. per-block lax.top_k merges into the running per-query top-k.
+
+Block-max pruning happens in the host planner (plan.py) by selecting which
+blocks enter the scan — the analog of the reference's max_block_score
+early-exit (intersection.rs:2224-2300), restated as a two-phase
+select-then-score so the device never needs data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..schema import BLOCK_SIZE, BM25_K
+
+
+def _block_step(
+    pl_docid,      # u16[P]         (HBM, full shard)
+    pl_tf,         # u16[P, F]
+    comp,          # f32[NB_total*BLOCK_SIZE, F]
+    deleted,       # bool[NB_total*BLOCK_SIZE]
+    boosts,        # f32[V, F]
+    W,             # f32[B, V]
+    Mreq,          # f32[B, V]
+    nreq,          # i32[B]
+    bid,           # i32 scalar     block id for this step
+    seg_off,       # i32[V]         posting offset per slot (-len 0 if absent)
+    seg_len,       # i32[V]
+    P_max: int,
+):
+    """Decode + score one block for the whole query batch.
+
+    Returns (scores f32[B, BLOCK_SIZE] masked with -inf, matched bool[B, BLOCK_SIZE]).
+    """
+    V = seg_len.shape[0]
+    F = pl_tf.shape[1]
+
+    # ragged ranges -> flat posting window of size P_max
+    cum = jnp.cumsum(seg_len)
+    total = cum[-1]
+    pidx = jnp.arange(P_max, dtype=jnp.int32)
+    slot = jnp.searchsorted(cum, pidx, side="right").astype(jnp.int32)
+    slot_c = jnp.minimum(slot, V - 1)
+    prev = jnp.where(slot_c > 0, cum[jnp.maximum(slot_c - 1, 0)], 0)
+    hbm_idx = seg_off[slot_c] + (pidx - prev)
+    valid = pidx < total
+
+    docid = jnp.take(pl_docid, hbm_idx, axis=0, mode="clip").astype(jnp.int32)
+    tf = jnp.take(pl_tf, hbm_idx, axis=0, mode="clip").astype(jnp.float32)  # [P_max, F]
+    compd = jnp.take(comp, bid * BLOCK_SIZE + docid, axis=0, mode="clip")   # [P_max, F]
+    bst = jnp.take(boosts, slot_c, axis=0, mode="clip")                     # [P_max, F]
+
+    sat = tf * (BM25_K + 1.0) / (tf + compd)          # 0 where tf == 0
+    impact = jnp.sum(bst * sat, axis=1)               # [P_max]
+    impact = jnp.where(valid, impact, 0.0)
+
+    flat = slot_c * BLOCK_SIZE + docid                # collisions add 0 for invalid
+    D = jnp.zeros((V * BLOCK_SIZE,), jnp.float32).at[flat].add(
+        impact, mode="drop", unique_indices=False
+    )
+    D = D.reshape(V, BLOCK_SIZE)
+
+    S = W @ D                                          # [B, BLOCK_SIZE] MXU
+    pres = (D > 0).astype(jnp.float32)
+    C = Mreq @ pres                                    # [B, BLOCK_SIZE] MXU
+
+    del_block = jax.lax.dynamic_slice(deleted, (bid * BLOCK_SIZE,), (BLOCK_SIZE,))
+    matched = (S > 0) & (C >= nreq[:, None].astype(jnp.float32)) & ~del_block[None, :]
+    scores = jnp.where(matched, S, -jnp.inf)
+    return scores, matched
+
+
+@functools.partial(
+    jax.jit, static_argnames=("P_max", "k", "with_counts")
+)
+def score_shard(
+    pl_docid,    # u16[P]
+    pl_tf,       # u16[P, F]
+    comp,        # f32[n_blocks*BLOCK_SIZE, F]
+    deleted,     # bool[n_blocks*BLOCK_SIZE]
+    block_ids,   # i32[NB]        (-1 = padding step)
+    seg_off,     # i32[NB, V]
+    seg_len,     # i32[NB, V]
+    W,           # f32[B, V]
+    Mreq,        # f32[B, V]
+    nreq,        # i32[B]
+    boosts,      # f32[V, F]
+    *,
+    P_max: int,
+    k: int,
+    with_counts: bool,
+):
+    """Score a plan of NB candidate blocks for a batch of B queries on one shard.
+
+    Returns (topk_scores f32[B, k], topk_ids i32[B, k] shard-local doc ids,
+    counts i32[B] — matched-doc count over the scanned blocks, meaningful when
+    the plan covers all candidate blocks).
+    """
+    B = W.shape[0]
+
+    def step(carry, xs):
+        ts, ti, cnt = carry
+        bid, off, ln = xs
+        pad = bid < 0
+        bid_c = jnp.maximum(bid, 0)
+        ln = jnp.where(pad, 0, ln)
+        scores, matched = _block_step(
+            pl_docid, pl_tf, comp, deleted, boosts, W, Mreq, nreq,
+            bid_c, off, ln, P_max,
+        )
+        if with_counts:
+            cnt = cnt + jnp.sum(matched, axis=1, dtype=jnp.int32)
+        bs, bi = jax.lax.top_k(scores, min(k, BLOCK_SIZE))
+        bi = bid_c * BLOCK_SIZE + bi
+        if k > BLOCK_SIZE:
+            fill = k - BLOCK_SIZE
+            bs = jnp.concatenate([bs, jnp.full((B, fill), -jnp.inf)], axis=1)
+            bi = jnp.concatenate([bi, jnp.zeros((B, fill), jnp.int32)], axis=1)
+        cs = jnp.concatenate([ts, bs], axis=1)
+        ci = jnp.concatenate([ti, bi], axis=1)
+        ts, sel = jax.lax.top_k(cs, k)
+        ti = jnp.take_along_axis(ci, sel, axis=1)
+        return (ts, ti, cnt), None
+
+    init = (
+        jnp.full((B, k), -jnp.inf, jnp.float32),
+        jnp.zeros((B, k), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+    )
+    (ts, ti, cnt), _ = jax.lax.scan(
+        step, init, (block_ids, seg_off, seg_len)
+    )
+    return ts, ti, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("P_max",))
+def count_shard(
+    pl_docid, pl_tf, comp, deleted,
+    block_ids, seg_off, seg_len,
+    W, Mreq, nreq, boosts,
+    *, P_max: int,
+):
+    """Count-only pass (result_type Count): matched docs per query over the
+    full candidate block set (reference union.rs:807 union_count analog)."""
+
+    def step(cnt, xs):
+        bid, off, ln = xs
+        pad = bid < 0
+        bid_c = jnp.maximum(bid, 0)
+        ln = jnp.where(pad, 0, ln)
+        _, matched = _block_step(
+            pl_docid, pl_tf, comp, deleted, boosts, W, Mreq, nreq,
+            bid_c, off, ln, P_max,
+        )
+        return cnt + jnp.sum(matched, axis=1, dtype=jnp.int32), None
+
+    B = W.shape[0]
+    cnt, _ = jax.lax.scan(
+        step, jnp.zeros((B,), jnp.int32), (block_ids, seg_off, seg_len)
+    )
+    return cnt

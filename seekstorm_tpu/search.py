@@ -1,0 +1,687 @@
+"""Query planner + search execution.
+
+Root search orchestration (reference seekstorm/src/search.rs:1153 Search::search):
+parse/rewrite -> per-shard planning -> device dispatch -> realtime tail merge ->
+phrase verification -> paging.  The reference's per-shard task fan-out
+(search.rs:1637-1743) becomes batched device execution; its block-max
+early-exit (intersection.rs:2224) becomes host-side candidate-block selection
+with an exactness check and a single full-coverage escalation.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from dataclasses import dataclass, field as dfield
+
+import numpy as np
+
+from .index import Index, Shard
+from .oracle import idf as idf_fn
+from .oracle import score_query, topk_from_scores, verify_phrase
+from .schema import BLOCK_SIZE
+from .tokenizer import ParsedQuery, parse_query
+from .utils import ceil_pow2, term_hash
+
+# blocks threshold under which plans always cover all candidate blocks
+FULL_PLAN_BLOCKS = 96
+# per-query pruned-plan block budget (first round)
+PRUNE_BLOCKS = 16
+# exact phrase counting limit: if the AND candidate count is below this we
+# retrieve and verify every candidate for exact phrase counts
+PHRASE_EXACT_LIMIT = 16_384
+
+
+class QueryType(str, enum.Enum):
+    """(reference search.rs:59-69)"""
+
+    Union = "Union"
+    Intersection = "Intersection"
+    Phrase = "Phrase"
+    Not = "Not"
+
+
+class ResultType(str, enum.Enum):
+    """(reference search.rs:168-176)"""
+
+    Count = "Count"
+    Topk = "Topk"
+    TopkCount = "TopkCount"
+
+
+class SearchMode(str, enum.Enum):
+    Lexical = "Lexical"
+    Vector = "Vector"
+    Hybrid = "Hybrid"
+
+
+@dataclass
+class Ranges:
+    """Named numeric ranges for a range facet (reference search.rs:390)."""
+
+    field: str
+    ranges: list  # list of (label, start) — bucket i is [start_i, start_{i+1})
+
+
+@dataclass
+class QueryFacet:
+    field: str
+    length: int = 10           # top-N values returned
+    ranges: Ranges | None = None
+
+
+@dataclass
+class FacetFilter:
+    field: str
+    values: list | None = None       # string/equality filter
+    range: tuple | None = None       # numeric [min, max] inclusive
+
+
+@dataclass
+class ResultSort:
+    field: str
+    order: str = "Descending"        # or "Ascending"
+    base: object = None              # geo base point for Point fields
+
+
+@dataclass
+class Highlight:
+    field: str
+    fragment_number: int = 1
+    fragment_size: int = 160
+    highlight_markup: bool = True
+
+
+@dataclass
+class SearchRequest:
+    """(reference SearchRequestObject index.rs:137-211)"""
+
+    query: str = ""
+    offset: int = 0
+    length: int = 10
+    result_type: ResultType = ResultType.TopkCount
+    realtime: bool = True
+    query_type_default: QueryType = QueryType.Union
+    field_filter: list[str] = dfield(default_factory=list)
+    fields: list[str] = dfield(default_factory=list)         # doc fields to return
+    highlights: list[Highlight] = dfield(default_factory=list)
+    query_facets: list[QueryFacet] = dfield(default_factory=list)
+    facet_filter: list[FacetFilter] = dfield(default_factory=list)
+    result_sort: list[ResultSort] = dfield(default_factory=list)
+    search_mode: SearchMode = SearchMode.Lexical
+    query_vector: list | None = None
+    top_n: int = 10                  # vector candidates per shard
+    nprobe: int = 0                  # 0 = auto / all
+    distance_fields: list = dfield(default_factory=list)
+
+
+@dataclass
+class ResultObject:
+    doc_id: int
+    score: float
+    doc: dict | None = None
+
+
+@dataclass
+class ResultSet:
+    results: list[ResultObject] = dfield(default_factory=list)
+    result_count: int = 0
+    result_count_total: int = 0
+    count_exact: bool = True
+    facets: dict = dfield(default_factory=dict)
+    suggestions: list = dfield(default_factory=list)
+    query_terms: list = dfield(default_factory=list)
+    time_us: float = 0.0
+
+
+# ---------------------------------------------------------------------------
+# per-batch lexical planning
+
+
+@dataclass
+class _Slot:
+    hash: int
+    term: str
+    dir_idx: list  # per shard: directory index or -1
+
+
+@dataclass
+class _QuerySpec:
+    slots: list[int]            # slot ids used by this query (non-negated + negated)
+    weights: dict               # slot -> 1.0 (scoring, non-negated) — idf applied per shard
+    required: dict              # slot -> bool
+    negated: dict               # slot -> bool
+    phrases: list[list[int]]    # phrase groups as slot id lists (in phrase order)
+    parsed: ParsedQuery
+
+
+def _build_specs(
+    index: Index, queries: list[str], default_type: QueryType
+) -> tuple[list[_Slot], list[_QuerySpec]]:
+    slot_of: dict[int, int] = {}
+    slots: list[_Slot] = []
+    specs: list[_QuerySpec] = []
+    for q in queries:
+        pq = parse_query(q, index.analyzer)
+        weights: dict[int, float] = {}
+        required: dict[int, bool] = {}
+        negated: dict[int, bool] = {}
+        phrase_groups: list[list[int]] = []
+        for t in pq.terms:
+            h = term_hash(t.term)
+            if h not in slot_of:
+                slot_of[h] = len(slots)
+                slots.append(_Slot(h, t.term, []))
+            s = slot_of[h]
+            neg = t.negated or default_type == QueryType.Not
+            req = t.required or default_type in (QueryType.Intersection, QueryType.Phrase)
+            if s in negated and negated[s] and not neg:
+                negated[s] = False  # positive occurrence wins
+            if s not in negated:
+                negated[s] = neg
+            required[s] = required.get(s, False) or (req and not neg)
+            if not negated[s]:
+                weights[s] = 1.0
+        # phrases: map term indices -> slots
+        for ph in pq.phrases:
+            phrase_groups.append([slot_of[term_hash(pq.terms[i].term)] for i in ph])
+        if default_type == QueryType.Phrase and len(weights) > 1 and not phrase_groups:
+            phrase_groups.append([s for s in weights])
+        specs.append(
+            _QuerySpec(
+                slots=sorted(set(list(weights) + [s for s, n in negated.items() if n])),
+                weights=weights,
+                required=required,
+                negated=negated,
+                phrases=phrase_groups,
+                parsed=pq,
+            )
+        )
+    return slots, specs
+
+
+@dataclass
+class _ShardPlan:
+    block_ids: np.ndarray       # i32[NB]
+    seg_off: np.ndarray         # i32[NB, V]
+    seg_len: np.ndarray         # i32[NB, V]
+    W: np.ndarray               # f32[B, V]
+    Mreq: np.ndarray            # f32[B, V]
+    nreq: np.ndarray            # i32[B]
+    P_max: int
+    full: bool                  # covers all candidate blocks (counts valid)
+    ub_unscored: np.ndarray     # f32[B] max UB over blocks not in plan
+    idf: np.ndarray             # f32[n_slots] per-shard idf
+    n_cand_blocks: np.ndarray   # i32[B]
+
+
+def _plan_shard(
+    index: Index,
+    shard: Shard,
+    slots: list[_Slot],
+    specs: list[_QuerySpec],
+    realtime: bool,
+    need_full: bool,
+    prune_budget: int,
+) -> _ShardPlan | None:
+    lex = shard.lexical
+    d = lex.directory
+    B = len(specs)
+    V = len(slots)
+    if V == 0 or lex.doc_count == 0:
+        return None
+
+    # per-slot segment views + dfs
+    seg_blocks: list[np.ndarray] = []
+    seg_offs: list[np.ndarray] = []
+    seg_lens: list[np.ndarray] = []
+    seg_maxs: list[np.ndarray] = []
+    df = np.zeros(V, dtype=np.int64)
+    for v, sl in enumerate(slots):
+        ti = d.lookup(sl.hash)
+        if ti < 0:
+            seg_blocks.append(np.zeros(0, np.int32))
+            seg_offs.append(np.zeros(0, np.int64))
+            seg_lens.append(np.zeros(0, np.int32))
+            seg_maxs.append(np.zeros(0, np.float32))
+            continue
+        a, b = int(d.seg_start[ti]), int(d.seg_start[ti + 1])
+        seg_blocks.append(d.seg_block[a:b])
+        seg_offs.append(d.seg_offset[a:b])
+        seg_lens.append(d.seg_len[a:b])
+        seg_maxs.append(d.seg_max_impact[a:b])
+        df[v] = d.df[ti]
+
+    # doc counts / dfs incl. realtime tail for idf
+    n_docs = lex.doc_count
+    df_total = df.copy()
+    if realtime:
+        l0 = shard.level0
+        start = shard.partial_on_disk
+        n_docs += l0.doc_count - start
+        for v, sl in enumerate(slots):
+            tp = l0.terms.get(sl.hash)
+            if tp is not None:
+                df_total[v] += int(np.sum(np.asarray(tp.docids) >= start))
+    idf = np.array(
+        [idf_fn(n_docs, int(df_total[v])) if df_total[v] else 0.0 for v in range(V)],
+        dtype=np.float32,
+    )
+
+    # candidate blocks + UBs per query
+    n_blocks = lex.n_blocks
+    ub = np.zeros((B, n_blocks), dtype=np.float32)
+    cand = np.zeros((B, n_blocks), dtype=bool)
+    for qi, spec in enumerate(specs):
+        pos_slots = [s for s in spec.weights]
+        if not pos_slots:
+            continue
+        req_slots = [s for s in pos_slots if spec.required.get(s)]
+        c = np.zeros(n_blocks, dtype=bool)
+        if req_slots:
+            c[:] = True
+            for s in req_slots:
+                m = np.zeros(n_blocks, dtype=bool)
+                m[seg_blocks[s]] = True
+                c &= m
+        else:
+            for s in pos_slots:
+                c[seg_blocks[s]] = True
+        for s in pos_slots:
+            u = np.zeros(n_blocks, dtype=np.float32)
+            u[seg_blocks[s]] = seg_maxs[s] * idf[s]
+            ub[qi] += u
+        cand[qi] = c
+    ub = np.where(cand, ub, 0.0)
+    n_cand = cand.sum(axis=1).astype(np.int32)
+
+    total_cand_blocks = int(np.any(cand, axis=0).sum())
+    full = need_full or total_cand_blocks <= FULL_PLAN_BLOCKS
+    if full:
+        selected = np.any(cand, axis=0)
+    else:
+        selected = np.zeros(n_blocks, dtype=bool)
+        budget = min(prune_budget, n_blocks)
+        for qi in range(B):
+            order = np.argsort(-ub[qi])[:budget]
+            take = order[cand[qi][order]]
+            selected[take] = True
+        # negated-term presence only matters inside selected blocks
+
+    block_list = np.flatnonzero(selected).astype(np.int32)
+    NB = len(block_list)
+    if NB == 0:
+        return None
+
+    ub_unscored = np.where(selected[None, :], 0.0, ub).max(axis=1).astype(np.float32)
+
+    seg_off_arr = np.zeros((NB, V), dtype=np.int32)
+    seg_len_arr = np.zeros((NB, V), dtype=np.int32)
+    # any slot that appears in ANY query using a block gets decoded for that
+    # block; extra decode only adds exactness
+    for v in range(V):
+        if len(seg_blocks[v]) == 0:
+            continue
+        pos = np.searchsorted(block_list, seg_blocks[v])
+        hit = (pos < NB) & (block_list[np.minimum(pos, NB - 1)] == seg_blocks[v])
+        seg_off_arr[pos[hit], v] = seg_offs[v][hit].astype(np.int32)
+        seg_len_arr[pos[hit], v] = seg_lens[v][hit]
+
+    W = np.zeros((B, V), dtype=np.float32)
+    Mreq = np.zeros((B, V), dtype=np.float32)
+    nreq = np.zeros(B, dtype=np.int32)
+    for qi, spec in enumerate(specs):
+        for s in spec.weights:
+            W[qi, s] = idf[s]
+        for s, is_req in spec.required.items():
+            if is_req and not spec.negated.get(s):
+                Mreq[qi, s] = 1.0
+                nreq[qi] += 1
+        for s, is_neg in spec.negated.items():
+            if is_neg:
+                Mreq[qi, s] = -1e4
+
+    P_max = int(seg_len_arr.sum(axis=1).max()) if NB else 0
+    P_max = ceil_pow2(max(P_max, 1), 128)
+    return _ShardPlan(
+        block_ids=block_list,
+        seg_off=seg_off_arr,
+        seg_len=seg_len_arr,
+        W=W,
+        Mreq=Mreq,
+        nreq=nreq,
+        P_max=P_max,
+        full=full,
+        ub_unscored=ub_unscored,
+        idf=idf,
+        n_cand_blocks=n_cand,
+    )
+
+
+# ---------------------------------------------------------------------------
+# device dispatch
+
+
+def _device_arrays(index: Index, shard: Shard):
+    """Per-shard HBM tensors, cached on the shard object."""
+    import jax.numpy as jnp
+
+    cache = getattr(shard, "_dev", None)
+    if cache is not None:
+        return cache
+    lex = shard.lexical
+    n = max(lex.n_blocks, 1) * BLOCK_SIZE
+    deleted = np.zeros(n, dtype=bool)
+    if shard.deleted:
+        ids = np.fromiter(shard.deleted, dtype=np.int64)
+        ids = ids[ids < n]
+        deleted[ids] = True
+    F = shard.n_fields
+    comp = lex.comp
+    if comp is None or len(comp) == 0:
+        comp = np.ones((BLOCK_SIZE, F), np.float32)
+    pl_docid = lex.pl_docid if len(lex.pl_docid) else np.zeros(1, np.uint16)
+    pl_tf = lex.pl_tf if len(lex.pl_tf) else np.zeros((1, F), np.uint16)
+    cache = {
+        "pl_docid": jnp.asarray(pl_docid),
+        "pl_tf": jnp.asarray(pl_tf),
+        "comp": jnp.asarray(comp),
+        "deleted": jnp.asarray(deleted),
+    }
+    shard._dev = cache
+    return cache
+
+
+def _pad_plan(plan: _ShardPlan, nb_pad: int, v_pad: int) -> _ShardPlan:
+    NB, V = plan.seg_len.shape
+    if nb_pad == NB and v_pad == V:
+        return plan
+    bi = np.full(nb_pad, -1, np.int32)
+    bi[:NB] = plan.block_ids
+    so = np.zeros((nb_pad, v_pad), np.int32)
+    sl = np.zeros((nb_pad, v_pad), np.int32)
+    so[:NB, :V] = plan.seg_off
+    sl[:NB, :V] = plan.seg_len
+    B = plan.W.shape[0]
+    W = np.zeros((B, v_pad), np.float32)
+    W[:, :V] = plan.W
+    M = np.zeros((B, v_pad), np.float32)
+    M[:, :V] = plan.Mreq
+    return _ShardPlan(bi, so, sl, W, M, plan.nreq, plan.P_max, plan.full,
+                      plan.ub_unscored, plan.idf, plan.n_cand_blocks)
+
+
+def _run_shard_device(
+    index: Index, shard: Shard, plan: _ShardPlan, boosts: np.ndarray,
+    k: int, with_counts: bool,
+):
+    import jax.numpy as jnp
+
+    from .ops.lexical import score_shard
+
+    dev = _device_arrays(index, shard)
+    NB, V = plan.seg_len.shape
+    nb_pad = ceil_pow2(NB, 4)
+    v_pad = ceil_pow2(V, 8)
+    p = _pad_plan(plan, nb_pad, v_pad)
+    bst = np.zeros((v_pad, boosts.shape[0]), np.float32)
+    bst[:] = boosts[None, :]
+    ts, ti, cnt = score_shard(
+        dev["pl_docid"], dev["pl_tf"], dev["comp"], dev["deleted"],
+        jnp.asarray(p.block_ids), jnp.asarray(p.seg_off), jnp.asarray(p.seg_len),
+        jnp.asarray(p.W), jnp.asarray(p.Mreq), jnp.asarray(p.nreq),
+        jnp.asarray(bst),
+        P_max=p.P_max, k=k, with_counts=with_counts,
+    )
+    return np.asarray(ts), np.asarray(ti), np.asarray(cnt)
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+
+
+def search(index: Index, request: SearchRequest) -> ResultSet:
+    return search_batch(index, [request])[0]
+
+
+def search_batch(index: Index, requests: list[SearchRequest]) -> list[ResultSet]:
+    """Execute a batch of lexical/vector/hybrid searches.
+
+    All requests must share the same settings except the query string /
+    query vector (the batch maps to one device launch)."""
+    t0 = time.perf_counter()
+    req0 = requests[0]
+    out: list[ResultSet] = []
+
+    if req0.search_mode == SearchMode.Vector:
+        from .vector_search import vector_search_batch
+
+        out = vector_search_batch(index, requests)
+    elif req0.search_mode == SearchMode.Hybrid:
+        from .vector_search import hybrid_search_batch
+
+        out = hybrid_search_batch(index, requests)
+    else:
+        out = _lexical_search_batch(index, requests)
+
+    dt = (time.perf_counter() - t0) * 1e6 / max(len(requests), 1)
+    for r in out:
+        r.time_us = dt
+    return out
+
+
+def _empty_query_results(index: Index, req: SearchRequest) -> ResultSet:
+    """Empty-query browse path (reference search.rs:1413 -> iterator.rs)."""
+    rs = ResultSet()
+    total = index.current_doc_count
+    rs.result_count_total = total
+    ids: list[int] = []
+    g = 0
+    skipped = 0
+    while g < index.docid_global and len(ids) < req.length:
+        shard = index.shards[g % index.shard_count]
+        local = g // index.shard_count
+        if local < shard.doc_count and local not in shard.deleted:
+            if skipped >= req.offset:
+                ids.append(g)
+            else:
+                skipped += 1
+        g += 1
+    rs.results = [ResultObject(doc_id=i, score=0.0) for i in ids]
+    rs.result_count = len(rs.results)
+    _attach_docs(index, req, rs)
+    return rs
+
+
+def _lexical_search_batch(
+    index: Index, requests: list[SearchRequest]
+) -> list[ResultSet]:
+    req0 = requests[0]
+    queries = [r.query for r in requests]
+    slots, specs = _build_specs(index, queries, req0.query_type_default)
+
+    results: list[ResultSet | None] = [None] * len(requests)
+    live: list[int] = []
+    for i, (r, spec) in enumerate(zip(requests, specs)):
+        if not r.query.strip():
+            results[i] = _empty_query_results(index, r)
+        elif not spec.weights:
+            results[i] = ResultSet()
+        else:
+            live.append(i)
+    if not live:
+        return [r or ResultSet() for r in results]
+
+    live_specs = [specs[i] for i in live]
+    with_counts = req0.result_type in (ResultType.Count, ResultType.TopkCount)
+    has_phrase = any(s.phrases for s in live_specs)
+    need = req0.offset + req0.length
+    k = ceil_pow2(max(need, 10), 16)
+    if has_phrase:
+        k = ceil_pow2(max(4 * need + 64, 128))
+
+    # boost profile (field_filter zeroes non-selected fields)
+    boosts = index.boosts_or_default().copy()
+    if req0.field_filter:
+        keep = {f for f in req0.field_filter}
+        for sf in index.indexed_fields:
+            if sf.field not in keep:
+                boosts[sf.indexed_field_id] = 0.0
+
+    B = len(live)
+    merged_scores = [np.zeros(0, np.float32) for _ in range(B)]
+    merged_ids = [np.zeros(0, np.int64) for _ in range(B)]
+    counts = np.zeros(B, dtype=np.int64)
+    counts_exact = np.ones(B, dtype=bool)
+
+    need_full = with_counts or has_phrase
+    for shard in index.shards:
+        plan = _plan_shard(index, shard, slots, live_specs, req0.realtime,
+                           need_full, PRUNE_BLOCKS)
+        if plan is not None:
+            k_eff = k
+            if has_phrase and with_counts:
+                # retrieve every AND candidate (up to the exact-count limit)
+                max_cand = min(int(plan.n_cand_blocks.max()) * BLOCK_SIZE,
+                               PHRASE_EXACT_LIMIT)
+                k_eff = min(ceil_pow2(max(k, max_cand)), PHRASE_EXACT_LIMIT)
+            ts, ti, cnt = _run_shard_device(
+                index, shard, plan, boosts, k_eff, with_counts and plan.full
+            )
+            if not plan.full:
+                # exactness check: k-th score must dominate unscored blocks
+                kth = ts[:, min(need, k_eff) - 1] if k_eff >= need else ts[:, -1]
+                bad = (kth < plan.ub_unscored) | ~np.isfinite(kth)
+                if bad.any():
+                    plan2 = _plan_shard(index, shard, slots, live_specs,
+                                        req0.realtime, True, PRUNE_BLOCKS)
+                    ts, ti, cnt = _run_shard_device(
+                        index, shard, plan2, boosts, k_eff, with_counts
+                    )
+                    plan = plan2
+            for qi in range(B):
+                s, ids_local = ts[qi], ti[qi]
+                valid = np.isfinite(s)
+                gids = (
+                    ids_local[valid].astype(np.int64) * index.shard_count
+                    + shard.shard_id
+                )
+                merged_scores[qi] = np.concatenate([merged_scores[qi], s[valid]])
+                merged_ids[qi] = np.concatenate([merged_ids[qi], gids])
+            if with_counts and plan.full:
+                counts += cnt
+            elif with_counts:
+                counts_exact[:] = False
+
+        # realtime tail
+        if req0.realtime and shard.tail_len() > 0:
+            _merge_tail(index, shard, slots, live_specs, boosts, merged_scores,
+                        merged_ids, counts, with_counts)
+
+    # phrase verification + final assembly
+    m = max(len(index.indexed_fields), 1)
+    for bi, qi in enumerate(live):
+        spec = live_specs[bi]
+        scores, gids = merged_scores[bi], merged_ids[bi]
+        order = np.lexsort((gids, -scores))
+        scores, gids = scores[order], gids[order]
+        if spec.phrases:
+            keep = np.ones(len(gids), dtype=bool)
+            for row, g in enumerate(gids):
+                if not _phrase_ok(index, slots, spec, int(g)):
+                    keep[row] = False
+            scores, gids = scores[keep], gids[keep]
+            if with_counts:
+                counts[bi] = len(gids)  # exact when all candidates retrieved
+                counts_exact[bi] = counts_exact[bi] and len(gids) < PHRASE_EXACT_LIMIT
+        rs = ResultSet()
+        rs.query_terms = [slots[s].term for s in spec.weights]
+        rs.result_count_total = int(counts[bi]) if with_counts else 0
+        rs.count_exact = bool(counts_exact[bi])
+        page = slice(requests[qi].offset, requests[qi].offset + requests[qi].length)
+        rs.results = [
+            ResultObject(doc_id=int(g), score=float(s))
+            for s, g in zip(scores[page], gids[page])
+        ]
+        rs.result_count = len(rs.results)
+        _attach_docs(index, requests[qi], rs)
+        results[qi] = rs
+
+    return [r or ResultSet() for r in results]
+
+
+def _merge_tail(
+    index: Index, shard: Shard, slots, specs, boosts,
+    merged_scores, merged_ids, counts, with_counts,
+) -> None:
+    """Score the uncommitted level-0 tail with the numpy oracle and merge."""
+    hashes = [sl.hash for sl in slots]
+    postings, tail_dfs, n_tail = index.tail_postings(shard, hashes, boosts)
+    if n_tail <= 0:
+        return
+    lex = shard.lexical
+    d = lex.directory
+    tail_deleted = np.zeros(n_tail, dtype=bool)
+    base = shard.tail_start
+    for sid in shard.deleted:
+        if base <= sid < base + n_tail:
+            tail_deleted[sid - base] = True
+    n_docs = lex.doc_count + n_tail
+    for qi, spec in enumerate(specs):
+        term_ps, dfs, reqs, negs = [], [], [], []
+        for s in spec.slots:
+            ti = d.lookup(slots[s].hash)
+            df_c = int(d.df[ti]) if ti >= 0 else 0
+            term_ps.append(postings[s])
+            dfs.append(df_c + tail_dfs[s])
+            reqs.append(bool(spec.required.get(s)) and not spec.negated.get(s))
+            negs.append(bool(spec.negated.get(s)))
+        sc, matched = score_query(
+            n_docs, n_tail, term_ps, dfs, reqs, negs, tail_deleted
+        )
+        if with_counts:
+            counts[qi] += int(matched.sum())
+        s, ids = topk_from_scores(sc, min(n_tail, 1024))
+        gids = (ids + base) * index.shard_count + shard.shard_id
+        merged_scores[qi] = np.concatenate([merged_scores[qi], s])
+        merged_ids[qi] = np.concatenate([merged_ids[qi], gids])
+
+
+def _phrase_ok(index: Index, slots, spec: _QuerySpec, global_id: int) -> bool:
+    shard = index.shards[global_id % index.shard_count]
+    local = global_id // index.shard_count
+    for ph in spec.phrases:
+        pos_by_term = []
+        for s in ph:
+            h = slots[s].hash
+            if local < shard.committed_doc_count:
+                p = shard.lexical.get_positions(h, local)
+            else:
+                p = index.tail_positions(shard, h, local - shard.tail_start)
+            if p is None:
+                return False
+            pos_by_term.append(p)
+        if not verify_phrase(pos_by_term):
+            return False
+    return True
+
+
+def _attach_docs(index: Index, req: SearchRequest, rs: ResultSet) -> None:
+    if not req.fields and not req.highlights:
+        return
+    from .highlighter import highlight_doc
+
+    for r in rs.results:
+        doc = index.get_document(r.doc_id)
+        if doc is None:
+            continue
+        if req.fields:
+            doc = {k: v for k, v in doc.items() if k in req.fields}
+        if req.highlights:
+            doc = highlight_doc(index, req, doc)
+        r.doc = doc
+
+
+# bind as Index methods
+Index.search = lambda self, request: search(self, request)
+Index.search_batch = lambda self, requests: search_batch(self, requests)

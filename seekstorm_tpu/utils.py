@@ -1,0 +1,87 @@
+"""Host-side utilities: term hashing, Lucene SmallFloat doc-length compression.
+
+The doc-length compression follows the public Lucene SmallFloat (intToByte4 /
+byte4ToInt) algorithm, which the reference also uses for its
+DOCUMENT_LENGTH_COMPRESSION table (reference index.rs:4237-4279).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FNV64_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV64_PRIME = np.uint64(0x100000001B3)
+
+
+def term_hash(term: str) -> int:
+    """Stable 64-bit FNV-1a hash of a (utf-8) term.
+
+    The reference hashes terms with gxhash/ahash (index.rs:4165-4222); any
+    stable 64-bit hash with negligible collision rate works — the term
+    dictionary maps hash -> posting segments.
+    """
+    h = 0xCBF29CE484222325
+    for b in term.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def term_hashes(terms: list[str]) -> np.ndarray:
+    return np.array([term_hash(t) for t in terms], dtype=np.uint64)
+
+
+NUM_FREE_VALUES = 24
+
+
+def int_to_byte4(i: int) -> int:
+    """Lossy u32 -> u8 log-ish compression (Lucene SmallFloat.intToByte4)."""
+    if i < NUM_FREE_VALUES:
+        return i
+    ii = i - NUM_FREE_VALUES
+    num_bits = ii.bit_length()
+    if num_bits < 4:
+        return NUM_FREE_VALUES + ii
+    shift = num_bits - 4
+    return NUM_FREE_VALUES + (((ii >> shift) & 0x07) | ((shift + 1) << 3))
+
+
+def byte4_to_int(b: int) -> int:
+    if b < NUM_FREE_VALUES:
+        return b
+    i = b - NUM_FREE_VALUES
+    bits = i & 0x07
+    shift = i >> 3
+    if shift == 0:
+        return NUM_FREE_VALUES + bits
+    return NUM_FREE_VALUES + ((bits | 0x08) << (shift - 1))
+
+
+# 256-entry decompression table
+DOCUMENT_LENGTH_COMPRESSION = np.array(
+    [byte4_to_int(b) for b in range(256)], dtype=np.uint32
+)
+
+# u32 length -> compressed byte, vectorized via searchsorted on the (monotone
+# non-decreasing) decompression table: pick the largest byte whose decompressed
+# value is <= the clamped representable value below the input.  intToByte4
+# truncates (floors) the mantissa, so the mapping is: byte b such that
+# table[b] <= i < table[b+1].
+_TABLE = DOCUMENT_LENGTH_COMPRESSION.astype(np.int64)
+
+
+def compress_lengths(lengths: np.ndarray) -> np.ndarray:
+    """Vectorized intToByte4 over an array of non-negative ints."""
+    li = np.asarray(lengths, dtype=np.int64)
+    li = np.clip(li, 0, int(_TABLE[-1]))
+    idx = np.searchsorted(_TABLE, li, side="right") - 1
+    return idx.astype(np.uint8)
+
+
+def ceil_pow2(n: int, minimum: int = 1) -> int:
+    n = max(int(n), minimum)
+    return 1 << (n - 1).bit_length()
+
+
+def round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

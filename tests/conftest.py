@@ -1,0 +1,25 @@
+"""Test configuration: force CPU backend with 8 virtual devices so the
+multi-chip sharding paths are exercised without TPU hardware
+(jax --xla_force_host_platform_device_count, see SURVEY.md §4)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def tmp_index_dir(tmp_path):
+    return tmp_path / "index"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

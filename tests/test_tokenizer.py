@@ -1,0 +1,96 @@
+"""Tokenizer / analysis unit tests."""
+
+import numpy as np
+
+from seekstorm_tpu.schema import StemmerType, StopwordType, TokenizerType
+from seekstorm_tpu.tokenizer import (
+    Analyzer,
+    fold_text,
+    parse_query,
+    porter_stem,
+    tokenize_text,
+)
+from seekstorm_tpu.utils import (
+    DOCUMENT_LENGTH_COMPRESSION,
+    byte4_to_int,
+    compress_lengths,
+    int_to_byte4,
+    term_hash,
+)
+
+
+def test_tokenizer_types():
+    text = "Hello, World! Don't stop 123 café"
+    assert tokenize_text(text, TokenizerType.AsciiAlphabetic) == [
+        "hello", "world", "don", "t", "stop", "caf",
+    ]
+    assert tokenize_text(text, TokenizerType.UnicodeAlphanumeric) == [
+        "hello", "world", "don", "t", "stop", "123", "café",
+    ]
+    assert tokenize_text(text, TokenizerType.UnicodeAlphanumericFolded) == [
+        "hello", "world", "dont", "stop", "123", "cafe",
+    ]
+    assert tokenize_text(text, TokenizerType.Whitespace) == [
+        "Hello,", "World!", "Don't", "stop", "123", "café",
+    ]
+    assert tokenize_text(text, TokenizerType.WhitespaceLowercase) == [
+        "hello,", "world!", "don't", "stop", "123", "café",
+    ]
+
+
+def test_folding():
+    assert fold_text("Ærøskøbing œuvre ß") == "Ærøskøbing oeuvre ss".replace(
+        "Æ", "AE"
+    ).replace("ø", "o")
+    assert fold_text("naïve résumé") == "naive resume"
+
+
+def test_porter_stem():
+    assert porter_stem("running") == "run"
+    assert porter_stem("caresses") == "caress"
+    assert porter_stem("ponies") == "poni"
+    assert porter_stem("relational") == "relat"
+    assert porter_stem("sky") == "sky"
+
+
+def test_analyzer_stopwords_positions():
+    a = Analyzer(
+        TokenizerType.UnicodeAlphanumeric,
+        StemmerType.Null,
+        StopwordType.English,
+    )
+    tp = a.term_positions("the quick fox and the lazy dog")
+    assert "the" not in tp and "and" not in tp
+    assert tp["quick"] == [0] and tp["fox"] == [1]
+    assert tp["lazy"] == [2] and tp["dog"] == [3]
+
+
+def test_parse_query_operators():
+    a = Analyzer(TokenizerType.UnicodeAlphanumeric)
+    pq = parse_query('apple +banana -cherry "date elderberry"', a)
+    terms = {t.term: t for t in pq.terms}
+    assert not terms["apple"].required and not terms["apple"].negated
+    assert terms["banana"].required
+    assert terms["cherry"].negated
+    assert terms["date"].phrase_id == 0 and terms["elderberry"].phrase_id == 0
+    assert len(pq.phrases) == 1 and len(pq.phrases[0]) == 2
+
+
+def test_smallfloat_roundtrip():
+    for i in [0, 1, 23, 24, 31, 32, 100, 1000, 65_535, 2**20]:
+        b = int_to_byte4(i)
+        v = byte4_to_int(b)
+        assert v <= i
+        # next byte decompresses above i
+        if b < 255:
+            assert byte4_to_int(b + 1) > i
+    arr = np.array([0, 1, 23, 24, 31, 32, 100, 1000, 65_535, 2**20])
+    vec = compress_lengths(arr)
+    for i, x in enumerate(arr):
+        assert vec[i] == int_to_byte4(int(x))
+    assert len(DOCUMENT_LENGTH_COMPRESSION) == 256
+
+
+def test_term_hash_stability():
+    assert term_hash("hello") == term_hash("hello")
+    assert term_hash("hello") != term_hash("world")
