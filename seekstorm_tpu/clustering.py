@@ -1,0 +1,129 @@
+"""IVF clustering: k-means seeding + Lloyd iterations on device (MXU
+distance matrices), snapped to medoids, with the reference's sizing and
+layout conventions.
+
+Reference behavior mirrored (reference seekstorm/src/clustering.rs:229-500,
+vector.rs:969-1100): clustering runs per committed level when the level has
+>= min_points vectors; k = 2*sqrt(n) for Auto; records are re-sorted by
+cluster with the medoid as the first record of each cluster so nprobe
+selection reads medoids for free.  The reference's PAM-style refinement is
+replaced by Lloyd iterations + medoid snap — distance computation is where
+the time goes, and on TPU it is a matmul.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .schema import ClusteringConfig, ClusteringMode, VectorSimilarity
+
+
+def cluster_level(
+    vecs: np.ndarray,                  # f32[N, d] (normalized for cosine)
+    similarity: VectorSimilarity,
+    cfg: ClusteringConfig,
+    seed: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cluster one level's vectors.
+
+    Returns (order, cluster_offsets):
+      order: i64[N] permutation — rows sorted by cluster, medoid first
+      cluster_offsets: i64[C+1] ranges into the permuted rows
+    """
+    n = len(vecs)
+    if (
+        cfg.mode == ClusteringMode.Null
+        or n < cfg.min_points
+        or n < 4
+    ):
+        return np.arange(n, dtype=np.int64), np.array([0, n], dtype=np.int64)
+
+    if cfg.mode == ClusteringMode.Fixed and cfg.cluster_count > 0:
+        k = min(cfg.cluster_count, n)
+    else:
+        k = max(1, min(int(2 * np.sqrt(n)), n))
+
+    assign, centers = _kmeans(vecs, k, similarity, cfg.iterations, seed)
+
+    # medoid per cluster: nearest real vector to the center
+    order_chunks = []
+    offsets = [0]
+    x = vecs.astype(np.float32)
+    for c in range(k):
+        rows = np.flatnonzero(assign == c)
+        if len(rows) == 0:
+            continue
+        sims = _sim(x[rows], centers[c : c + 1], similarity)[:, 0]
+        medoid = rows[int(np.argmax(sims))]
+        rest = rows[rows != medoid]
+        order_chunks.append(np.concatenate([[medoid], rest]))
+        offsets.append(offsets[-1] + len(rows))
+    order = np.concatenate(order_chunks).astype(np.int64)
+    return order, np.asarray(offsets, dtype=np.int64)
+
+
+def _sim(a: np.ndarray, b: np.ndarray, similarity: VectorSimilarity) -> np.ndarray:
+    """Similarity (higher = closer) between rows of a [n,d] and b [m,d]."""
+    dots = a @ b.T
+    if similarity == VectorSimilarity.Euclidean:
+        na = (a * a).sum(axis=1)[:, None]
+        nb = (b * b).sum(axis=1)[None, :]
+        return -(na + nb - 2 * dots)
+    return dots
+
+
+def _kmeans(
+    x: np.ndarray, k: int, similarity: VectorSimilarity, iters: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Device k-means (jnp matmuls) with kmeans++-lite seeding."""
+    import jax
+    import jax.numpy as jnp
+
+    n, d = x.shape
+    rng = np.random.default_rng(seed)
+    # subsample for seeding/refinement on very large levels (reference
+    # subsamples similarly, clustering.rs:241-247)
+    sample = min(n, max(4 * k, 4096))
+    sub = rng.choice(n, size=sample, replace=False) if sample < n else np.arange(n)
+
+    # seeding: start from the vector nearest the mean (reference
+    # clustering.rs:260-315), then greedy farthest-point on the subsample
+    xs = x[sub]
+    mean = xs.mean(axis=0, keepdims=True)
+    first = int(np.argmax(_sim(xs, mean, similarity)[:, 0]))
+    centers = [xs[first]]
+    best_sim = _sim(xs, xs[first : first + 1], similarity)[:, 0]
+    for _ in range(k - 1):
+        nxt = int(np.argmin(best_sim))
+        centers.append(xs[nxt])
+        best_sim = np.maximum(best_sim, _sim(xs, xs[nxt : nxt + 1], similarity)[:, 0])
+    C = np.stack(centers).astype(np.float32)
+
+    xj = jnp.asarray(x)
+
+    @jax.jit
+    def lloyd_step(C):
+        sims = _sim_j(xj, C, similarity)
+        assign = jnp.argmax(sims, axis=1)
+        onehot = jax.nn.one_hot(assign, C.shape[0], dtype=jnp.float32)
+        sums = onehot.T @ xj
+        counts = onehot.sum(axis=0)[:, None]
+        newC = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), C)
+        return newC, assign
+
+    assign = None
+    Cj = jnp.asarray(C)
+    for _ in range(max(iters, 1)):
+        Cj, assign = lloyd_step(Cj)
+    return np.asarray(assign), np.asarray(Cj)
+
+
+def _sim_j(a, b, similarity: VectorSimilarity):
+    import jax.numpy as jnp
+
+    dots = a @ b.T
+    if similarity == VectorSimilarity.Euclidean:
+        na = (a * a).sum(axis=1)[:, None]
+        nb = (b * b).sum(axis=1)[None, :]
+        return -(na + nb - 2 * dots)
+    return dots

@@ -369,7 +369,11 @@ class Index:
         blob = compress_doc(stored, self.meta.doc_compression)
 
         with self._lock:
-            shard.level0.add_document(term_fields, field_lengths, facet_vals, blob)
+            local = shard.level0.add_document(
+                term_fields, field_lengths, facet_vals, blob
+            )
+            if self.vectors is not None:
+                self.vectors.ingest(shard.shard_id, local, doc)
             self._device_dirty = True
             if shard.level0.doc_count >= BLOCK_SIZE:
                 self._commit_shard(shard)
@@ -476,10 +480,14 @@ class Index:
         if lvl_path.exists():
             shutil.rmtree(lvl_path)
         l0.pack(lvl_path, self.facet_fields)
+        if self.vectors is not None:
+            self.vectors.pack_shard_level(shard, lvl_path, lvl_id)
         if l0.doc_count >= BLOCK_SIZE:
             shard.full_levels += 1
             shard.partial_on_disk = 0
             shard.level0 = Level0(shard.n_fields, [f.facet_id for f in self.facet_fields])
+            if self.vectors is not None:
+                self.vectors.on_level_complete(shard)
         else:
             shard.partial_on_disk = l0.doc_count
         with open(shard.path / "shard.json", "w") as f:
@@ -516,6 +524,8 @@ class Index:
                     cols.append(np.load(fp, mmap_mode="r" if mmap else None))
             if cols:
                 shard.facet_cols[sf.facet_id] = np.concatenate(cols)
+        if self.vectors is not None:
+            self.vectors.reload_shard(shard)
         self._device_dirty = True
 
     # ------------------------------------------------------------------

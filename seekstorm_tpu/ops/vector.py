@@ -1,0 +1,171 @@
+"""Device vector scan: tiled quantized distance matmul with fused masking
+and top-k.
+
+Replaces the reference's per-cluster SIMD similarity loops (reference
+seekstorm/src/vector.rs:1397-1467 scan + vector_similarity.rs AVX2/NEON
+kernels) with one MXU formulation:
+
+* Vectors live in HBM as [n_tiles, T, d] int8 (or f32) with per-row affine
+  stats (scale, zero_point, qsum) and exact pre-quantization norms.
+* A query batch selects clusters via a medoid matmul + top-nprobe
+  (reference vector.rs:1311-1392); cluster selection becomes a boolean
+  [B, C] matrix, and rows are masked by their cluster id — no ragged
+  cluster gathers, tiles are selected at 256-row granularity.
+* The scan is `Q = q_i8 @ tiles_i8^T` on the MXU (int32 accumulation) with
+  rank-1 affine corrections (see quantize.py), the norm trick for
+  Euclidean, field-filter/delete/threshold masks applied in-register, and
+  lax.top_k fused at the end.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _dots(q_data, tiles, quantized: bool):
+    if quantized:
+        return jax.lax.dot_general(
+            q_data,
+            tiles,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        q_data,
+        tiles,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _reconstruct(Q, q_scale, q_zp, q_qsum, r_scale, r_zp, r_qsum, d, quantized):
+    """Affine-corrected dot products (see quantize.reconstruct_dot)."""
+    if not quantized:
+        return Q
+    Sa = q_qsum[:, None]
+    Sb = r_qsum[None, :]
+    sa = q_scale[:, None]
+    za = q_zp[:, None]
+    sb = r_scale[None, :]
+    zb = r_zp[None, :]
+    core = Q + 128.0 * Sa + 128.0 * Sb + 16384.0 * d
+    return (
+        sa * sb * core
+        + sa * zb * (Sa + 128.0 * d)
+        + sb * za * (Sb + 128.0 * d)
+        + d * za * zb
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "quantized", "euclidean", "with_counts")
+)
+def vector_scan_topk(
+    data,          # i8/f32 [n_tiles, T, d]
+    r_scale,       # f32[n_tiles, T]
+    r_zp,          # f32[n_tiles, T]
+    r_qsum,        # f32[n_tiles, T]
+    r_norm2,       # f32[n_tiles, T]
+    row_docid,     # i32[n_tiles, T]  (-1 = padding)
+    row_field,     # i32[n_tiles, T]
+    row_cluster,   # i32[n_tiles, T]
+    deleted,       # bool[n_docs_pad] per shard-doc
+    tile_ids,      # i32[NT] selected tiles (-1 = padding)
+    cluster_sel,   # bool[B, C_pad]
+    field_ok,      # bool[B, NF]
+    q_data,        # i8/f32 [B, d]
+    q_scale, q_zp, q_qsum, q_norm2,  # f32[B]
+    score_min,     # f32[B] ranking-score threshold (-inf = none)
+    *,
+    k: int,
+    quantized: bool,
+    euclidean: bool,
+    with_counts: bool,
+):
+    """Returns (scores f32[B,k], rows i32[B,k] global row ids, counts i32[B])."""
+    NT = tile_ids.shape[0]
+    T = data.shape[1]
+    d = data.shape[2]
+    B = q_data.shape[0]
+
+    tid = jnp.maximum(tile_ids, 0)
+    tiles = jnp.take(data, tid, axis=0).reshape(NT * T, d)
+    sc = jnp.take(r_scale, tid, axis=0).reshape(NT * T)
+    zp = jnp.take(r_zp, tid, axis=0).reshape(NT * T)
+    qs = jnp.take(r_qsum, tid, axis=0).reshape(NT * T)
+    n2 = jnp.take(r_norm2, tid, axis=0).reshape(NT * T)
+    docid = jnp.take(row_docid, tid, axis=0).reshape(NT * T)
+    fldid = jnp.take(row_field, tid, axis=0).reshape(NT * T)
+    clsid = jnp.take(row_cluster, tid, axis=0).reshape(NT * T)
+
+    Q = _dots(q_data, tiles, quantized)                       # [B, NT*T]
+    dots = _reconstruct(Q, q_scale, q_zp, q_qsum, sc, zp, qs, d, quantized)
+    if euclidean:
+        scores = -(q_norm2[:, None] + n2[None, :] - 2.0 * dots)
+    else:
+        scores = dots
+
+    valid = (docid >= 0) & (jnp.repeat(tile_ids, T) >= 0)
+    not_deleted = ~jnp.take(deleted, jnp.maximum(docid, 0), axis=0)
+    row_ok = valid & not_deleted                              # [NT*T]
+    c_ok = jnp.take_along_axis(
+        cluster_sel, jnp.maximum(clsid, 0)[None, :].repeat(B, axis=0), axis=1
+    )
+    f_ok = jnp.take_along_axis(
+        field_ok, jnp.maximum(fldid, 0)[None, :].repeat(B, axis=0), axis=1
+    )
+    mask = row_ok[None, :] & c_ok & f_ok & (scores >= score_min[:, None])
+    scores = jnp.where(mask, scores, -jnp.inf)
+
+    counts = (
+        jnp.sum(mask, axis=1, dtype=jnp.int32)
+        if with_counts
+        else jnp.zeros((B,), jnp.int32)
+    )
+    kk = min(k, NT * T)
+    ts, ti = jax.lax.top_k(scores, kk)
+    # flat index -> global row id
+    rows = tile_ids[ti // T] * T + (ti % T)
+    if kk < k:
+        ts = jnp.concatenate(
+            [ts, jnp.full((B, k - kk), -jnp.inf, jnp.float32)], axis=1
+        )
+        rows = jnp.concatenate([rows, jnp.zeros((B, k - kk), rows.dtype)], axis=1)
+    return ts, rows, counts
+
+
+@functools.partial(jax.jit, static_argnames=("quantized", "euclidean", "nprobe"))
+def medoid_select(
+    med_data,      # i8/f32 [C_pad, d]
+    m_scale, m_zp, m_qsum, m_norm2,  # f32[C_pad]
+    m_valid,       # bool[C_pad]
+    always_scan,   # bool[C_pad]
+    q_data, q_scale, q_zp, q_qsum, q_norm2,
+    cluster_thr,   # f32[B] ranking-score threshold for clusters (-inf = none)
+    *,
+    quantized: bool,
+    euclidean: bool,
+    nprobe: int,
+):
+    """Score medoids and select top-nprobe clusters per query
+    (reference vector.rs:1300-1392).  nprobe=0 selects all valid clusters."""
+    d = med_data.shape[1]
+    Q = _dots(q_data, med_data, quantized)
+    dots = _reconstruct(Q, q_scale, q_zp, q_qsum, m_scale, m_zp, m_qsum, d, quantized)
+    if euclidean:
+        scores = -(q_norm2[:, None] + m_norm2[None, :] - 2.0 * dots)
+    else:
+        scores = dots
+    scores = jnp.where(m_valid[None, :], scores, -jnp.inf)
+    if nprobe > 0:
+        kk = min(nprobe, med_data.shape[0])
+        thr = jax.lax.top_k(scores, kk)[0][:, -1:]
+        sel = scores >= thr
+    else:
+        sel = m_valid[None, :].repeat(q_data.shape[0], axis=0)
+    sel = sel & (scores >= cluster_thr[:, None])
+    sel = sel | always_scan[None, :]
+    return sel, scores

@@ -1,0 +1,183 @@
+"""Vector quantization: affine scalar quantization (i8) with exact
+dot-product reconstruction corrections, plus TurboQuant (FWHT rotation).
+
+Mirrors the reference's quantization matrix (reference
+seekstorm/src/vector_similarity.rs:1226-3146 — QuantizedVector::new_scale /
+new_scale_norm / new_scale_norm_affine, TurboQuant FWHT+QJL) restated for
+MXU execution: the int8 matmul runs on the MXU and the affine corrections
+are rank-1 fixups computed from stored per-vector (scale, zero_point, sum)
+statistics.
+
+Affine scheme (per vector x):
+    zp = min(x); s = (max(x) - zp) / 255; q = round((x - zp)/s) in [0,255]
+    stored = q - 128  (int8)
+    x_hat  = s * (stored + 128) + zp
+
+Exact reconstructed dot product of two quantized vectors a, b with
+Q = sum(stored_a * stored_b) (the int8 matmul output), Sa = sum(stored_a),
+Sb = sum(stored_b), d = dim:
+    dot(a_hat, b_hat) = sa*sb*(Q + 128*Sa + 128*Sb + 16384*d)
+                      + sa*zb*(Sa + 128*d) + sb*za*(Sb + 128*d) + d*za*zb
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .schema import Precision, Quantization, VectorSimilarity
+
+
+@dataclass
+class QuantizedBatch:
+    """SoA of quantized vectors (host numpy)."""
+
+    data: np.ndarray    # i8[N, d_pad] (or f32[N, d_pad] when precision F32)
+    scale: np.ndarray   # f32[N]
+    zp: np.ndarray      # f32[N]
+    qsum: np.ndarray    # f32[N]   sum of stored int8 values
+    norm2: np.ndarray   # f32[N]   exact pre-quantization squared norm
+
+
+def pad_dim(d: int) -> int:
+    return ((d + 127) // 128) * 128
+
+
+def preprocess_vectors(
+    vecs: np.ndarray,
+    similarity: VectorSimilarity,
+    quantization: Quantization,
+) -> np.ndarray:
+    """Normalize (cosine) + rotate (TurboQuant) + pad: raw [N, d] -> f32 [N, d_pad]."""
+    x = np.asarray(vecs, dtype=np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    n, _ = x.shape
+    if similarity == VectorSimilarity.Cosine:
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.maximum(norms, 1e-12)
+    if quantization == Quantization.TurboQuantI8:
+        x = fwht_rotate(x)
+    dp = pad_dim(x.shape[1])
+    xp = np.zeros((n, dp), dtype=np.float32)
+    xp[:, : x.shape[1]] = x
+    return xp
+
+
+def prepare_vectors(
+    vecs: np.ndarray,
+    similarity: VectorSimilarity,
+    precision: Precision,
+    quantization: Quantization,
+) -> QuantizedBatch:
+    """Normalize (cosine) + quantize a batch of raw f32 vectors [N, d]."""
+    xp = preprocess_vectors(vecs, similarity, quantization)
+    return quantize_prepared(xp, precision, quantization)
+
+
+def quantize_prepared(
+    xp: np.ndarray, precision: Precision, quantization: Quantization
+) -> QuantizedBatch:
+    n = len(xp)
+    norm2 = (xp * xp).sum(axis=1).astype(np.float32)
+
+    if precision == Precision.F32 or quantization == Quantization.Null:
+        return QuantizedBatch(
+            data=xp,
+            scale=np.ones(n, np.float32),
+            zp=np.zeros(n, np.float32),
+            qsum=np.zeros(n, np.float32),
+            norm2=norm2,
+        )
+
+    mn = xp.min(axis=1)
+    mx = xp.max(axis=1)
+    scale = np.maximum((mx - mn) / 255.0, 1e-12).astype(np.float32)
+    zp = mn.astype(np.float32)
+    q = np.rint((xp - zp[:, None]) / scale[:, None]).clip(0, 255)
+    stored = (q - 128).astype(np.int8)
+    qsum = stored.sum(axis=1, dtype=np.int64).astype(np.float32)
+    return QuantizedBatch(data=stored, scale=scale, zp=zp, qsum=qsum, norm2=norm2)
+
+
+def reconstruct_dot(
+    Q: np.ndarray,          # [B, N] int32 matmul of stored int8 (or f32 dot)
+    qa: QuantizedBatch,     # queries  (B rows)
+    qb_scale: np.ndarray,   # [N]
+    qb_zp: np.ndarray,
+    qb_qsum: np.ndarray,
+    d: int,
+    quantized: bool,
+) -> np.ndarray:
+    """Exact dot products from the raw (int8) matmul output — numpy oracle
+    for the device kernel in ops/vector.py."""
+    if not quantized:
+        return Q.astype(np.float32)
+    Sa = qa.qsum[:, None]
+    Sb = qb_qsum[None, :]
+    sa = qa.scale[:, None]
+    za = qa.zp[:, None]
+    sb = qb_scale[None, :]
+    zb = qb_zp[None, :]
+    core = Q.astype(np.float32) + 128.0 * Sa + 128.0 * Sb + 16384.0 * d
+    return (
+        sa * sb * core
+        + sa * zb * (Sa + 128.0 * d)
+        + sb * za * (Sb + 128.0 * d)
+        + d * za * zb
+    ).astype(np.float32)
+
+
+def similarity_scores(
+    dots: np.ndarray, qa_norm2: np.ndarray, vb_norm2: np.ndarray,
+    similarity: VectorSimilarity,
+) -> np.ndarray:
+    """Convert reconstructed dots to ranking scores (higher = better).
+
+    Cosine/Dot: score = dot (cosine vectors pre-normalized).
+    Euclidean: score = -dist^2 computed via the norm trick with exact
+    stored norms (reference euclidean kernels vector_similarity.rs:912+).
+    """
+    if similarity == VectorSimilarity.Euclidean:
+        return -(qa_norm2[:, None] + vb_norm2[None, :] - 2.0 * dots)
+    return dots
+
+
+def score_to_user(score: np.ndarray | float, similarity: VectorSimilarity):
+    """Ranking score -> user-facing score (Euclidean: the distance)."""
+    if similarity == VectorSimilarity.Euclidean:
+        return np.sqrt(np.maximum(-np.asarray(score), 0.0))
+    return score
+
+
+def threshold_to_score(threshold: float, similarity: VectorSimilarity) -> float:
+    """User threshold -> internal ranking-score threshold."""
+    if similarity == VectorSimilarity.Euclidean:
+        return -(threshold * threshold)
+    return threshold
+
+
+# ---------------------------------------------------------------------------
+# TurboQuant: Fast Walsh-Hadamard rotation (dims padded to pow2), applied
+# before scalar quantization (reference vector_similarity.rs:1825+,
+# doc vector.rs:237-246 — training-free rotation + quantized JL).
+
+def fwht_rotate(x: np.ndarray, sign_seed: int = 1234567) -> np.ndarray:
+    """Random-sign diagonal + FWHT, orthonormal (preserves dots/norms)."""
+    n, d = x.shape
+    dp = 1 << (d - 1).bit_length()
+    xp = np.zeros((n, dp), dtype=np.float32)
+    xp[:, :d] = x
+    rng = np.random.default_rng(sign_seed)
+    signs = rng.choice(np.array([-1.0, 1.0], dtype=np.float32), size=dp)
+    y = xp * signs[None, :]
+    h = 1
+    while h < dp:
+        y = y.reshape(n, -1, 2, h)
+        a = y[:, :, 0, :] + y[:, :, 1, :]
+        b = y[:, :, 0, :] - y[:, :, 1, :]
+        y = np.stack([a, b], axis=2)
+        h *= 2
+    y = y.reshape(n, dp) / np.sqrt(dp, dtype=np.float32)
+    return y

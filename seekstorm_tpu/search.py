@@ -111,7 +111,9 @@ class SearchRequest:
     search_mode: SearchMode = SearchMode.Lexical
     query_vector: list | None = None
     top_n: int = 10                  # vector candidates per shard
-    nprobe: int = 0                  # 0 = auto / all
+    ann_mode: str = "All"            # All | Nprobe | SimilarityThreshold | NprobeSimilarityThreshold
+    nprobe: int = 0                  # clusters to probe (Nprobe modes)
+    similarity_threshold: float | None = None
     distance_fields: list = dfield(default_factory=list)
 
 

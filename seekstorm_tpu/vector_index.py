@@ -1,0 +1,338 @@
+"""Vector index: per-shard storage, ingestion, commit (quantize + cluster +
+persist), and stacked device tensors.
+
+Mirrors the reference's vector core storage (reference seekstorm/src/
+vector.rs:34-1100 — VectorHeader SoA, per-level cluster layout with
+medoid-first records) restated as fixed-layout numpy/HBM tensors:
+
+* committed rows are stored per level, sorted by cluster, medoid first
+  (vector.rs:969-1100 commit_vector_shard layout);
+* on device, levels concatenate into [n_tiles, 256, d] int8/f32 tiles with
+  per-row (scale, zp, qsum, norm2, docid, field, cluster) SoA — cluster
+  membership is a row attribute, so nprobe needs no ragged gathers;
+* the uncommitted tail keeps raw f32 vectors, scanned exactly by numpy at
+  search time (realtime path, vector.rs:1131-1199 analog).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from .clustering import cluster_level
+from .quantize import (
+    QuantizedBatch,
+    pad_dim,
+    preprocess_vectors,
+    quantize_prepared,
+)
+from .schema import BLOCK_SIZE, Precision, Quantization, VectorSimilarity
+
+TILE = 256
+
+
+@dataclass
+class VecLevel:
+    """One committed level's vectors (loaded arrays)."""
+
+    data: np.ndarray         # i8/f32 [N, d_pad]
+    scale: np.ndarray
+    zp: np.ndarray
+    qsum: np.ndarray
+    norm2: np.ndarray
+    docid: np.ndarray        # i32[N] shard-local doc ids
+    fieldid: np.ndarray      # i32[N] vector-field ids
+    chunkid: np.ndarray      # i32[N]
+    row_cluster: np.ndarray  # i32[N] level-local cluster ids
+    cluster_offsets: np.ndarray  # i64[C+1]
+    clustered: bool
+
+    @property
+    def n(self) -> int:
+        return len(self.docid)
+
+    @property
+    def n_clusters(self) -> int:
+        return len(self.cluster_offsets) - 1
+
+
+class ShardVectors:
+    def __init__(self):
+        # uncommitted: (level_local_docid, field_id, chunk_id, raw f32 vec)
+        self.level0: list[tuple[int, int, int, np.ndarray]] = []
+        self.levels: list[VecLevel] = []
+        self._dev = None
+
+
+class IndexVectors:
+    """Vector engine attached to an Index (reference vector.rs engine)."""
+
+    def __init__(self, index):
+        self.index = index
+        self.cfg = index.meta.vector
+        self.vector_fields = [
+            sf for sf in index.schema if sf.index_vector
+        ]
+        for i, sf in enumerate(self.vector_fields):
+            sf.vector_field_id = i
+        self.shards = [ShardVectors() for _ in index.shards]
+
+    # ------------------------------------------------------------------
+    def ingest(self, shard_id: int, level_local_docid: int, doc: dict) -> None:
+        """Extract external embeddings from a document
+        (reference external-inference ingest, vector.rs:544-746)."""
+        sv = self.shards[shard_id]
+        for sf in self.vector_fields:
+            val = doc.get(sf.field)
+            if val is None:
+                continue
+            vecs = self._as_vectors(val)
+            for ci, v in enumerate(vecs):
+                sv.level0.append(
+                    (level_local_docid, sf.vector_field_id, ci, v)
+                )
+
+    def _as_vectors(self, val) -> list[np.ndarray]:
+        if isinstance(val, np.ndarray):
+            val = val.tolist() if val.ndim > 1 else [val]
+        if isinstance(val, (list, tuple)):
+            if len(val) == 0:
+                return []
+            if isinstance(val[0], (list, tuple, np.ndarray)):
+                return [np.asarray(v, dtype=np.float32) for v in val]
+            return [np.asarray(val, dtype=np.float32)]
+        return []
+
+    # ------------------------------------------------------------------
+    def pack_shard_level(self, shard, lvl_path: Path, lvl_id: int) -> None:
+        """Quantize + cluster + persist this shard's level-0 vectors as the
+        level's vector section (called from Index._commit_shard)."""
+        sv = self.shards[shard.shard_id]
+        rows = sv.level0
+        d = self.cfg.dim
+        if d == 0 and rows:
+            d = len(rows[0][3])
+        raw = (
+            np.stack([r[3] for r in rows]).astype(np.float32)
+            if rows
+            else np.zeros((0, max(d, 1)), np.float32)
+        )
+        docid = np.array(
+            [lvl_id * BLOCK_SIZE + r[0] for r in rows], dtype=np.int32
+        )
+        fieldid = np.array([r[1] for r in rows], dtype=np.int32)
+        chunkid = np.array([r[2] for r in rows], dtype=np.int32)
+
+        xp = preprocess_vectors(raw, self.cfg.similarity, self.cfg.quantization)
+        order, offsets = cluster_level(
+            xp, self.cfg.similarity, self.cfg.clustering
+        )
+        clustered = len(offsets) > 2
+        xp = xp[order]
+        qb = quantize_prepared(xp, self.cfg.precision, self.cfg.quantization)
+        row_cluster = np.zeros(len(order), dtype=np.int32)
+        for c in range(len(offsets) - 1):
+            row_cluster[offsets[c] : offsets[c + 1]] = c
+
+        np.save(lvl_path / "vec_data.npy", qb.data)
+        np.save(lvl_path / "vec_scale.npy", qb.scale)
+        np.save(lvl_path / "vec_zp.npy", qb.zp)
+        np.save(lvl_path / "vec_qsum.npy", qb.qsum)
+        np.save(lvl_path / "vec_norm2.npy", qb.norm2)
+        np.save(lvl_path / "vec_docid.npy", docid[order])
+        np.save(lvl_path / "vec_field.npy", fieldid[order])
+        np.save(lvl_path / "vec_chunk.npy", chunkid[order])
+        np.save(lvl_path / "vec_cluster.npy", row_cluster)
+        np.save(lvl_path / "vec_offsets.npy", offsets)
+        with open(lvl_path / "vec.json", "w") as f:
+            json.dump({"count": len(order), "clustered": clustered}, f)
+
+    def on_level_complete(self, shard) -> None:
+        self.shards[shard.shard_id].level0 = []
+
+    def reload_shard(self, shard) -> None:
+        sv = self.shards[shard.shard_id]
+        sv.levels = []
+        n_levels = shard.full_levels + (1 if shard.partial_on_disk else 0)
+        for i in range(n_levels):
+            lp = shard.path / f"level_{i}"
+            if not (lp / "vec.json").exists():
+                continue
+            with open(lp / "vec.json") as f:
+                meta = json.load(f)
+            sv.levels.append(
+                VecLevel(
+                    data=np.load(lp / "vec_data.npy"),
+                    scale=np.load(lp / "vec_scale.npy"),
+                    zp=np.load(lp / "vec_zp.npy"),
+                    qsum=np.load(lp / "vec_qsum.npy"),
+                    norm2=np.load(lp / "vec_norm2.npy"),
+                    docid=np.load(lp / "vec_docid.npy"),
+                    fieldid=np.load(lp / "vec_field.npy"),
+                    chunkid=np.load(lp / "vec_chunk.npy"),
+                    row_cluster=np.load(lp / "vec_cluster.npy"),
+                    cluster_offsets=np.load(lp / "vec_offsets.npy"),
+                    clustered=meta["clustered"],
+                )
+            )
+        sv._dev = None
+
+    def load(self) -> None:
+        for shard in self.index.shards:
+            self.reload_shard(shard)
+            # reload level-0 vectors for the partial level (rewrite path)
+            sv = self.shards[shard.shard_id]
+            sv.level0 = []
+            if shard.partial_on_disk and sv.levels:
+                lvl = sv.levels[-1]
+                base = shard.full_levels * BLOCK_SIZE
+                # reconstruct raw-ish vectors from the stored (dequantized)
+                # data: exact for F32, reconstruction for i8
+                from .quantize import Quantization as Q
+
+                x = lvl.data.astype(np.float32)
+                if self.cfg.precision == Precision.I8 and (
+                    self.cfg.quantization != Q.Null
+                ):
+                    x = (x + 128.0) * lvl.scale[:, None] + lvl.zp[:, None]
+                for i in range(lvl.n):
+                    if lvl.docid[i] >= base:
+                        sv.level0.append(
+                            (
+                                int(lvl.docid[i]) - base,
+                                int(lvl.fieldid[i]),
+                                int(lvl.chunkid[i]),
+                                x[i],
+                            )
+                        )
+
+    def clear(self) -> None:
+        self.shards = [ShardVectors() for _ in self.index.shards]
+
+    def commit(self) -> None:  # flush handled per shard during Index.commit
+        pass
+
+    # ------------------------------------------------------------------
+    def device(self, shard):
+        """Stacked device tensors for a shard's committed vectors."""
+        import jax.numpy as jnp
+
+        sv = self.shards[shard.shard_id]
+        if sv._dev is not None:
+            return sv._dev
+        levels = sv.levels
+        d = pad_dim(max(self.cfg.dim, 1))
+        if levels:
+            d = levels[0].data.shape[1]
+        dtype = (
+            np.int8
+            if (
+                self.cfg.precision == Precision.I8
+                and self.cfg.quantization != Quantization.Null
+            )
+            else np.float32
+        )
+        N = sum(l.n for l in levels)
+        n_tiles = max((N + TILE - 1) // TILE, 1)
+        Np = n_tiles * TILE
+        data = np.zeros((Np, d), dtype=dtype)
+        scale = np.zeros(Np, np.float32)
+        zp = np.zeros(Np, np.float32)
+        qsum = np.zeros(Np, np.float32)
+        norm2 = np.zeros(Np, np.float32)
+        docid = np.full(Np, -1, np.int32)
+        fieldid = np.zeros(Np, np.int32)
+        cluster = np.zeros(Np, np.int32)
+        chunkid = np.zeros(Np, np.int32)
+
+        med_rows = []
+        always = []
+        r0 = 0
+        c0 = 0
+        for l in levels:
+            n = l.n
+            data[r0 : r0 + n] = l.data
+            scale[r0 : r0 + n] = l.scale
+            zp[r0 : r0 + n] = l.zp
+            qsum[r0 : r0 + n] = l.qsum
+            norm2[r0 : r0 + n] = l.norm2
+            docid[r0 : r0 + n] = l.docid
+            fieldid[r0 : r0 + n] = l.fieldid
+            chunkid[r0 : r0 + n] = l.chunkid
+            cluster[r0 : r0 + n] = l.row_cluster + c0
+            for c in range(l.n_clusters):
+                med_rows.append(r0 + int(l.cluster_offsets[c]))
+                always.append(not l.clustered)
+            r0 += n
+            c0 += l.n_clusters
+
+        C = len(med_rows)
+        C_pad = max(1 << (max(C, 1) - 1).bit_length(), 8)
+        med_idx = np.zeros(C_pad, np.int64)
+        med_idx[:C] = med_rows
+        m_valid = np.zeros(C_pad, bool)
+        m_valid[:C] = True
+        always_scan = np.zeros(C_pad, bool)
+        always_scan[:C] = always
+
+        nf = max(len(self.vector_fields), 1)
+        nf_pad = max(1 << (nf - 1).bit_length(), 4)
+
+        # cluster -> tile coverage for host tile selection
+        row_of_cluster_start = np.zeros(C + 1, np.int64)
+        rr = 0
+        cc = 0
+        for l in levels:
+            for c in range(l.n_clusters):
+                row_of_cluster_start[cc] = rr + int(l.cluster_offsets[c])
+                cc += 1
+            rr += l.n
+        row_of_cluster_start[C] = rr
+
+        sv._dev = {
+            "data": jnp.asarray(data.reshape(n_tiles, TILE, d)),
+            "scale": jnp.asarray(scale.reshape(n_tiles, TILE)),
+            "zp": jnp.asarray(zp.reshape(n_tiles, TILE)),
+            "qsum": jnp.asarray(qsum.reshape(n_tiles, TILE)),
+            "norm2": jnp.asarray(norm2.reshape(n_tiles, TILE)),
+            "docid": jnp.asarray(docid.reshape(n_tiles, TILE)),
+            "fieldid": jnp.asarray(fieldid.reshape(n_tiles, TILE)),
+            "cluster": jnp.asarray(cluster.reshape(n_tiles, TILE)),
+            "med_data": jnp.asarray(data[med_idx]),
+            "m_scale": jnp.asarray(scale[med_idx]),
+            "m_zp": jnp.asarray(zp[med_idx]),
+            "m_qsum": jnp.asarray(qsum[med_idx]),
+            "m_norm2": jnp.asarray(norm2[med_idx]),
+            "m_valid": jnp.asarray(m_valid),
+            "always_scan": jnp.asarray(always_scan),
+            "n_tiles": n_tiles,
+            "n_rows": N,
+            "n_clusters": C,
+            "C_pad": C_pad,
+            "nf_pad": nf_pad,
+            "d": d,
+            "quantized": dtype == np.int8,
+            "cluster_row_start": row_of_cluster_start,
+            # host copies for candidate mapping
+            "h_docid": docid,
+            "h_fieldid": fieldid,
+            "h_chunkid": chunkid,
+        }
+        return sv._dev
+
+    def tail_rows(self, shard):
+        """Uncommitted tail vectors (realtime path): raw f32 + metadata."""
+        sv = self.shards[shard.shard_id]
+        start = shard.partial_on_disk
+        base = shard.full_levels * BLOCK_SIZE
+        rows = [r for r in sv.level0 if r[0] >= start]
+        if not rows:
+            return None
+        raw = np.stack([r[3] for r in rows]).astype(np.float32)
+        docid = np.array([base + r[0] for r in rows], np.int64)
+        fieldid = np.array([r[1] for r in rows], np.int32)
+        chunkid = np.array([r[2] for r in rows], np.int32)
+        return raw, docid, fieldid, chunkid
