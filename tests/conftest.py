@@ -1,15 +1,22 @@
-"""Test configuration: force CPU backend with 8 virtual devices so the
+"""Test configuration: force the CPU backend with 8 virtual devices so the
 multi-chip sharding paths are exercised without TPU hardware
-(jax --xla_force_host_platform_device_count, see SURVEY.md §4)."""
+(jax --xla_force_host_platform_device_count, see SURVEY.md §4).
+
+Note: the environment's axon TPU plugin overrides JAX_PLATFORMS, so the
+backend must be pinned via jax.config.update after importing jax.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
