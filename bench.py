@@ -1,0 +1,138 @@
+"""Benchmark: batched BM25 top-10 QPS on the device lexical engine.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference engine's published 305 µs average BM25 top-10
+latency on English Wikipedia (BASELINE.md row 3) => ~3,279 QPS equivalent
+for a single node.  Round-1 corpus is synthetic (zipf vocabulary); later
+rounds switch to the search-benchmark-game Wikipedia corpus.
+
+Usage: python bench.py [--docs 100000] [--batch 64] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_QPS = 1e6 / 305.0  # reference: 305 us avg BM25 top-10 (README.md:268)
+
+
+def make_corpus(n_docs: int, vocab: int, rng) -> list[dict]:
+    # zipf-ish rank distribution over the vocabulary
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+    words = np.array([f"w{i:05d}" for i in range(vocab)])
+    title_len = rng.integers(3, 9, size=n_docs)
+    body_len = rng.integers(20, 60, size=n_docs)
+    total = int(title_len.sum() + body_len.sum())
+    stream = rng.choice(vocab, size=total, p=probs)
+    docs = []
+    pos = 0
+    for i in range(n_docs):
+        t = stream[pos : pos + title_len[i]]
+        pos += title_len[i]
+        b = stream[pos : pos + body_len[i]]
+        pos += body_len[i]
+        docs.append(
+            {"title": " ".join(words[t]), "body": " ".join(words[b])}
+        )
+    return docs
+
+
+def make_queries(n: int, rng) -> list[tuple[str, str]]:
+    """(query, type) mix mirroring the search-benchmark-game workload:
+    2-term unions/intersections over mid-frequency terms + single terms."""
+    out = []
+    for _ in range(n):
+        r = rng.random()
+        t1 = f"w{rng.integers(20, 3000):05d}"
+        t2 = f"w{rng.integers(20, 3000):05d}"
+        if r < 0.55:
+            out.append((f"{t1} {t2}", "Union"))
+        elif r < 0.85:
+            out.append((f"{t1} {t2}", "Intersection"))
+        else:
+            out.append((t1, "Union"))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--vocab", type=int, default=30_000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--shards", type=int, default=1)
+    args = ap.parse_args()
+
+    import seekstorm_tpu as st
+
+    rng = np.random.default_rng(7)
+    t0 = time.time()
+    docs = make_corpus(args.docs, args.vocab, rng)
+    gen_s = time.time() - t0
+
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="seekstorm_bench_")
+    try:
+        schema = [
+            st.SchemaField("title", st.FieldType.Text, indexed=True, boost=10.0),
+            st.SchemaField("body", st.FieldType.Text, indexed=True),
+        ]
+        idx = st.create_index(f"{tmp}/ix", schema, shard_count=args.shards)
+        t0 = time.time()
+        idx.index_documents(docs)
+        index_s = time.time() - t0
+        t0 = time.time()
+        idx.commit()
+        commit_s = time.time() - t0
+
+        qs = make_queries(args.batch, rng)
+        union_reqs = [
+            st.SearchRequest(
+                query=q, length=10, result_type=st.ResultType.Topk,
+                realtime=False,
+                query_type_default=st.QueryType(t),
+            )
+            for q, t in qs
+        ]
+        # warmup (compiles)
+        for _ in range(3):
+            st.search_batch(idx, union_reqs)
+        t0 = time.time()
+        for _ in range(args.iters):
+            st.search_batch(idx, union_reqs)
+        dt = time.time() - t0
+        qps = args.batch * args.iters / dt
+        lat_ms = dt / args.iters * 1e3
+
+        print(
+            f"# corpus={args.docs} docs gen={gen_s:.1f}s "
+            f"index={index_s:.1f}s ({args.docs/max(index_s,1e-9):.0f} docs/s) "
+            f"commit={commit_s:.1f}s batch={args.batch} "
+            f"batch_latency={lat_ms:.2f}ms",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "bm25_top10_qps",
+                    "value": round(qps, 1),
+                    "unit": "qps",
+                    "vs_baseline": round(qps / BASELINE_QPS, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -598,6 +598,24 @@ class Index:
         return l0.positions_sum_normalized / max(l0.doc_count, 1)
 
     # ------------------------------------------------------------------
+    def attach_mesh(self, mesh=None) -> None:
+        """Attach a device mesh: shards are stacked and sharded over the
+        mesh's 'shards' axis, queries replicated, per-shard top-k merged on
+        device (ICI all-gather).  With mesh=None, picks the largest device
+        count that divides shard_count."""
+        if mesh is None:
+            import jax
+
+            from .parallel.mesh import make_mesh
+
+            n_dev = len(jax.devices())
+            n = max(d for d in range(1, n_dev + 1) if self.shard_count % d == 0)
+            mesh = make_mesh(n)
+        self._mesh = mesh
+        self._stacked = None
+        self._device_dirty = True
+
+    # ------------------------------------------------------------------
     def clear(self) -> None:
         """Remove all documents, keep schema/meta (reference clear_index)."""
         with self._lock:

@@ -62,7 +62,11 @@ def _block_step(
     cum = jnp.cumsum(seg_len)
     total = cum[-1]
     pidx = jnp.arange(P_max, dtype=jnp.int32)
-    slot = jnp.searchsorted(cum, pidx, side="right").astype(jnp.int32)
+    # vectorized searchsorted(cum, pidx, 'right'): count of cum[v] <= i.
+    # (jnp.searchsorted lowers to a serial loop on TPU — 1000x slower.)
+    slot = jnp.sum(
+        (pidx[:, None] >= cum[None, :]).astype(jnp.int32), axis=1
+    )
     slot_c = jnp.minimum(slot, V - 1)
     prev = jnp.where(slot_c > 0, cum[jnp.maximum(slot_c - 1, 0)], 0)
     hbm_idx = seg_off[slot_c] + (pidx - prev)

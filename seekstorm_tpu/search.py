@@ -435,7 +435,9 @@ def _run_shard_device(
         jnp.asarray(bst),
         P_max=p.P_max, k=k, with_counts=with_counts,
     )
-    return np.asarray(ts), np.asarray(ti), np.asarray(cnt)
+    import jax
+
+    return jax.device_get((ts, ti, cnt))  # one combined D2H sync
 
 
 # ---------------------------------------------------------------------------
@@ -537,6 +539,62 @@ def _lexical_search_batch(
     counts_exact = np.ones(B, dtype=bool)
 
     need_full = with_counts or has_phrase
+
+    # ---- stacked / mesh execution path (all shards in one device launch) ----
+    stacked = _get_stacked(index)
+    if stacked is not None:
+        k_eff = k
+        plans = [
+            _plan_shard(index, sh, slots, live_specs, req0.realtime,
+                        need_full, PRUNE_BLOCKS)
+            for sh in index.shards
+        ]
+        if has_phrase and with_counts:
+            max_cand = max(
+                (int(p.n_cand_blocks.max()) for p in plans if p is not None),
+                default=0,
+            ) * BLOCK_SIZE
+            max_cand = min(max_cand, PHRASE_EXACT_LIMIT)
+            k_eff = min(ceil_pow2(max(k, max_cand)), PHRASE_EXACT_LIMIT)
+        if any(p is not None for p in plans):
+            all_full = all(p is None or p.full for p in plans)
+            ts, gid, cnt = stacked.run(
+                plans, boosts, k_eff, with_counts and all_full
+            )
+            if not all_full:
+                ub = np.zeros(B, np.float32)
+                for p in plans:
+                    if p is not None:
+                        ub = np.maximum(ub, p.ub_unscored)
+                kth = ts[:, min(need, k_eff) - 1]
+                if ((kth < ub) | ~np.isfinite(kth)).any():
+                    plans = [
+                        _plan_shard(index, sh, slots, live_specs,
+                                    req0.realtime, True, PRUNE_BLOCKS)
+                        for sh in index.shards
+                    ]
+                    ts, gid, cnt = stacked.run(plans, boosts, k_eff, with_counts)
+                    all_full = True
+            for qi in range(B):
+                valid = np.isfinite(ts[qi])
+                merged_scores[qi] = np.concatenate(
+                    [merged_scores[qi], ts[qi][valid]]
+                )
+                merged_ids[qi] = np.concatenate(
+                    [merged_ids[qi], gid[qi][valid]]
+                )
+            if with_counts and all_full:
+                counts += cnt
+            elif with_counts:
+                counts_exact[:] = False
+        for shard in index.shards:
+            if req0.realtime and shard.tail_len() > 0:
+                _merge_tail(index, shard, slots, live_specs, boosts,
+                            merged_scores, merged_ids, counts, with_counts)
+        return _finalize_lexical(index, requests, results, live, live_specs,
+                                 slots, merged_scores, merged_ids, counts,
+                                 counts_exact, with_counts)
+
     for shard in index.shards:
         plan = _plan_shard(index, shard, slots, live_specs, req0.realtime,
                            need_full, PRUNE_BLOCKS)
@@ -580,8 +638,31 @@ def _lexical_search_batch(
             _merge_tail(index, shard, slots, live_specs, boosts, merged_scores,
                         merged_ids, counts, with_counts)
 
+    return _finalize_lexical(index, requests, results, live, live_specs, slots,
+                             merged_scores, merged_ids, counts, counts_exact,
+                             with_counts)
+
+
+def _get_stacked(index: Index):
+    """Stacked multi-shard executor (built lazily; used when a mesh is
+    attached or the index has >1 shard on a single device)."""
+    mesh = getattr(index, "_mesh", None)
+    if mesh is None and index.shard_count == 1:
+        return None
+    st = getattr(index, "_stacked", None)
+    if st is None or index._device_dirty:
+        from .parallel.mesh import StackedIndex
+
+        st = StackedIndex(index, mesh)
+        index._stacked = st
+        index._device_dirty = False
+    return st
+
+
+def _finalize_lexical(index, requests, results, live, live_specs, slots,
+                      merged_scores, merged_ids, counts, counts_exact,
+                      with_counts):
     # phrase verification + final assembly
-    m = max(len(index.indexed_fields), 1)
     for bi, qi in enumerate(live):
         spec = live_specs[bi]
         scores, gids = merged_scores[bi], merged_ids[bi]

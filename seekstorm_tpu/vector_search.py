@@ -35,6 +35,10 @@ class AnnMode:
 def _quantize_queries(index: Index, requests):
     vc = index.meta.vector
     raw = np.stack([np.asarray(r.query_vector, dtype=np.float32) for r in requests])
+    if vc.dim and raw.shape[1] != vc.dim:
+        raise ValueError(
+            f"query_vector has dimension {raw.shape[1]}, index expects {vc.dim}"
+        )
     xp = preprocess_vectors(raw, vc.similarity, vc.quantization)
     qb = quantize_prepared(xp, vc.precision, vc.quantization)
     return xp, qb
@@ -151,7 +155,9 @@ def vector_search_batch(index: Index, requests) -> list:
                 k=k, quantized=quantized, euclidean=euclidean,
                 with_counts=with_counts,
             )
-            ts, rows, cnt = np.asarray(ts), np.asarray(rows), np.asarray(cnt)
+            import jax
+
+            ts, rows, cnt = jax.device_get((ts, rows, cnt))
             counts += cnt
             h_doc, h_f, h_c = dev["h_docid"], dev["h_fieldid"], dev["h_chunkid"]
             for qi in range(B):

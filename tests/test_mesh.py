@@ -1,0 +1,45 @@
+"""Multi-chip mesh execution tests on the 8-virtual-device CPU backend:
+results from the mesh-sharded stacked path must match the per-shard path."""
+
+import jax
+import numpy as np
+import pytest
+
+import seekstorm_tpu as st
+from tests.test_lexical import BruteForce, assert_parity, make_docs, std_schema
+
+
+def test_mesh_matches_single_device(tmp_index_dir, rng):
+    assert len(jax.devices()) == 8
+    docs = make_docs(rng, 640)
+    idx = st.create_index(tmp_index_dir, std_schema(), shard_count=8)
+    idx.index_documents(docs)
+    idx.commit()
+
+    r_plain = idx.search(st.SearchRequest(query="w001 w004"))
+    idx.attach_mesh()
+    assert idx._mesh.devices.size == 8
+    r_mesh = idx.search(st.SearchRequest(query="w001 w004"))
+    assert [x.doc_id for x in r_mesh.results] == [x.doc_id for x in r_plain.results]
+    assert r_mesh.result_count_total == r_plain.result_count_total
+    np.testing.assert_allclose(
+        [x.score for x in r_mesh.results],
+        [x.score for x in r_plain.results],
+        rtol=1e-5,
+    )
+
+    bf = BruteForce(idx, docs)
+    assert_parity(idx, bf, "w002 w003", "Union")
+    assert_parity(idx, bf, "w001 w002", "Intersection")
+
+
+def test_mesh_uneven_devices(tmp_index_dir, rng):
+    """shard_count not divisible by device count: falls back to a divisor."""
+    docs = make_docs(rng, 120)
+    idx = st.create_index(tmp_index_dir, std_schema(), shard_count=6)
+    idx.index_documents(docs)
+    idx.commit()
+    idx.attach_mesh()
+    assert idx._mesh.devices.size in (1, 2, 3, 6)
+    bf = BruteForce(idx, docs)
+    assert_parity(idx, bf, "w000 w001", "Union")
