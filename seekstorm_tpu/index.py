@@ -414,6 +414,7 @@ class Index:
             shard.deleted.add(local)
             shard._dev = None
             self._device_dirty = True
+            self._facet_runtime_dirty = True
             self._save_deletes(shard)
 
     def delete_documents(self, ids: list[int]) -> None:
@@ -527,6 +528,7 @@ class Index:
         if self.vectors is not None:
             self.vectors.reload_shard(shard)
         self._device_dirty = True
+        self._facet_runtime_dirty = True
 
     # ------------------------------------------------------------------
     # realtime (level-0 tail) oracle postings

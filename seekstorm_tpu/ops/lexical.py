@@ -160,6 +160,99 @@ def score_shard(
     return ts, ti, cnt
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "P_max", "k", "with_counts", "n_facets", "facet_codes_max",
+        "use_sort_key", "sort_desc",
+    ),
+)
+def lexical_scan(
+    pl_docid, pl_tf, comp, deleted,
+    block_ids, seg_off, seg_len,
+    W, Mreq, nreq, boosts,
+    facet_codes,   # i32[n_facets, NBtot*BLOCK] (dummy [1, 1] if n_facets == 0)
+    sort_key,      # f32[NBtot*BLOCK]           (dummy [1] if not use_sort_key)
+    *,
+    P_max: int,
+    k: int,
+    with_counts: bool,
+    n_facets: int,
+    facet_codes_max: int,
+    use_sort_key: bool,
+    sort_desc: bool,
+):
+    """General lexical scan: score + top-k + (optional) facet counting and
+    facet-field result ordering.
+
+    Facet counting (reference add_result.rs:487 facet_count) accumulates a
+    [n_facets, B, facet_codes_max] histogram over ALL matched docs via
+    per-block scatter-adds.  With use_sort_key, the top-k ranks by the
+    per-doc sort-key column (facet value / geo distance) instead of BM25
+    (reference result_ordering_root min_heap.rs:56-545); sort_desc=False
+    negates the key so lax.top_k yields ascending order.
+
+    Returns (rank f32[B,k], ids i32[B,k], counts i32[B],
+             fcounts f32[n_facets, B, facet_codes_max]).
+    """
+    B = W.shape[0]
+
+    def step(carry, xs):
+        ts, ti, cnt, fc = carry
+        bid, off, ln = xs
+        pad = bid < 0
+        bid_c = jnp.maximum(bid, 0)
+        ln = jnp.where(pad, 0, ln)
+        scores, matched = _block_step(
+            pl_docid, pl_tf, comp, deleted, boosts, W, Mreq, nreq,
+            bid_c, off, ln, P_max,
+        )
+        if with_counts:
+            cnt = cnt + jnp.sum(matched, axis=1, dtype=jnp.int32)
+        if n_facets:
+            mf = matched.astype(jnp.float32)
+            for fi in range(n_facets):
+                codes_b = jax.lax.dynamic_slice(
+                    facet_codes[fi], (bid_c * BLOCK_SIZE,), (BLOCK_SIZE,)
+                )
+                upd = jnp.zeros((B, facet_codes_max), jnp.float32).at[
+                    :, jnp.clip(codes_b, 0, facet_codes_max - 1)
+                ].add(mf)
+                fc = fc.at[fi].add(upd)
+        if use_sort_key:
+            key_b = jax.lax.dynamic_slice(
+                sort_key, (bid_c * BLOCK_SIZE,), (BLOCK_SIZE,)
+            )
+            if not sort_desc:
+                key_b = -key_b
+            rank = jnp.where(matched, key_b[None, :], -jnp.inf)
+        else:
+            rank = scores
+        kk = min(k, BLOCK_SIZE)
+        bs, bi = jax.lax.top_k(rank, kk)
+        bi = bid_c * BLOCK_SIZE + bi
+        if k > BLOCK_SIZE:
+            fill = k - BLOCK_SIZE
+            bs = jnp.concatenate([bs, jnp.full((B, fill), -jnp.inf)], axis=1)
+            bi = jnp.concatenate([bi, jnp.zeros((B, fill), jnp.int32)], axis=1)
+        cs = jnp.concatenate([ts, bs], axis=1)
+        ci = jnp.concatenate([ti, bi], axis=1)
+        ts, sel = jax.lax.top_k(cs, k)
+        ti = jnp.take_along_axis(ci, sel, axis=1)
+        return (ts, ti, cnt, fc), None
+
+    init = (
+        jnp.full((B, k), -jnp.inf, jnp.float32),
+        jnp.zeros((B, k), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((max(n_facets, 1), B, facet_codes_max), jnp.float32),
+    )
+    (ts, ti, cnt, fc), _ = jax.lax.scan(
+        step, init, (block_ids, seg_off, seg_len)
+    )
+    return ts, ti, cnt, fc
+
+
 @functools.partial(jax.jit, static_argnames=("P_max",))
 def count_shard(
     pl_docid, pl_tf, comp, deleted,

@@ -81,13 +81,77 @@ def score_shards_stacked(
     return mts, mgid, counts
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "P_max", "k", "with_counts", "n_facets", "facet_codes_max",
+        "use_sort_key", "sort_desc",
+    ),
+)
+def scan_shards_stacked(
+    pl_docid, pl_tf, comp, deleted,
+    block_ids, seg_off, seg_len, W, Mreq, nreq, boosts,
+    facet_codes,   # i32[S, n_facets, N] (dummy when n_facets == 0)
+    sort_key,      # f32[S, N]           (dummy when not use_sort_key)
+    *,
+    P_max: int,
+    k: int,
+    with_counts: bool,
+    n_facets: int,
+    facet_codes_max: int,
+    use_sort_key: bool,
+    sort_desc: bool,
+):
+    """General stacked scan: scoring/sorting + counts + facet histograms,
+    merged across the shard axis on device."""
+    from ..ops.lexical import lexical_scan
+
+    S = pl_docid.shape[0]
+    ts, ti, cnt, fc = jax.vmap(
+        lambda pd, pt, cp, dl, bi, so, sl, w, m, nr, fcod, skey: lexical_scan(
+            pd, pt, cp, dl, bi, so, sl, w, m, nr, boosts, fcod, skey,
+            P_max=P_max, k=k, with_counts=with_counts, n_facets=n_facets,
+            facet_codes_max=facet_codes_max, use_sort_key=use_sort_key,
+            sort_desc=sort_desc,
+        )
+    )(pl_docid, pl_tf, comp, deleted, block_ids, seg_off, seg_len, W, Mreq,
+      nreq, facet_codes, sort_key)
+    shard_ids = jnp.arange(S, dtype=jnp.int32)[:, None, None]
+    gid = ti * S + shard_ids
+    B = ts.shape[1]
+    ts_t = jnp.transpose(ts, (1, 0, 2)).reshape(B, S * k)
+    gid_t = jnp.transpose(gid, (1, 0, 2)).reshape(B, S * k)
+    mts, sel = jax.lax.top_k(ts_t, k)
+    mgid = jnp.take_along_axis(gid_t, sel, axis=1)
+    counts = jnp.sum(cnt, axis=0, dtype=jnp.int32)
+    fcounts = jnp.sum(fc, axis=0)  # [n_facets, B, FCM]
+    return mts, mgid, counts, fcounts
+
+
 class StackedIndex:
     """Stacked + (optionally) mesh-sharded device tensors for all shards."""
 
     def __init__(self, index, mesh: Mesh | None = None):
         self.index = index
         self.mesh = mesh
+        self._aux_cache: dict = {}
         self.build()
+
+    def _put_row(self, x):
+        if self.mesh is not None:
+            return jax.device_put(x, NamedSharding(self.mesh, P("shards")))
+        return jnp.asarray(x)
+
+    def aux_device(self, key, dtype, builder):
+        """Cache device uploads of auxiliary columns (facet codes, sort
+        keys, filter masks) keyed by spec signature; builder() produces the
+        host array only on a cache miss."""
+        hit = self._aux_cache.get(key)
+        if hit is not None:
+            return hit
+        dev = self._put_row(np.ascontiguousarray(builder().astype(dtype)))
+        self._aux_cache[key] = dev
+        return dev
 
     def build(self):
         idx = self.index
@@ -126,8 +190,16 @@ class StackedIndex:
         self.NB_pad = NB_pad
         self.P_pad = P_pad
 
-    def run(self, plans, boosts, k: int, with_counts: bool):
-        """plans: list of per-shard _ShardPlan (padded to common shapes)."""
+    def run(self, plans, boosts, k: int, with_counts: bool,
+            fcod_dev=None, facet_codes_max: int = 1,
+            skey_dev=None, sort_desc: bool = True,
+            allowed_dev=None):
+        """plans: list of per-shard _ShardPlan (padded to common shapes).
+
+        fcod_dev:    device i32[S, n_facets, N] facet codes (optional)
+        skey_dev:    device f32[S, N] sort-key column (optional)
+        allowed_dev: device bool[S, N] facet-filter mask (optional)
+        """
         S = self.index.shard_count
         nb = max(max((p.seg_len.shape[0] for p in plans if p is not None),
                      default=1), 1)
@@ -158,15 +230,33 @@ class StackedIndex:
         bst = np.zeros((v, boosts.shape[0]), np.float32)
         bst[:] = boosts[None, :]
 
-        if self.mesh is not None:
-            row = NamedSharding(self.mesh, P("shards"))
-            put = lambda x: jax.device_put(x, row)
-        else:
-            put = jnp.asarray
-        ts, gid, cnt = score_shards_stacked(
-            self.pl_docid, self.pl_tf, self.comp, self.deleted,
+        put = self._put_row
+
+        deleted = self.deleted
+        if allowed_dev is not None:
+            deleted = _merge_deleted(self.deleted, allowed_dev)
+
+        n_facets = 0
+        fcod = jnp.zeros((S, 1, 1), jnp.int32)
+        if fcod_dev is not None:
+            fcod = fcod_dev
+            n_facets = fcod.shape[1]
+        skey = jnp.zeros((S, 1), jnp.float32)
+        use_sort = skey_dev is not None
+        if use_sort:
+            skey = skey_dev
+
+        ts, gid, cnt, fcounts = scan_shards_stacked(
+            self.pl_docid, self.pl_tf, self.comp, deleted,
             put(bi), put(so), put(sl), put(W), put(M), put(nr),
-            jnp.asarray(bst),
+            jnp.asarray(bst), fcod, skey,
             P_max=P_max, k=k, with_counts=with_counts,
+            n_facets=n_facets, facet_codes_max=facet_codes_max,
+            use_sort_key=use_sort, sort_desc=sort_desc,
         )
-        return jax.device_get((ts, gid, cnt))  # one combined D2H sync
+        return jax.device_get((ts, gid, cnt, fcounts))  # one D2H sync
+
+
+@jax.jit
+def _merge_deleted(deleted, allowed):
+    return deleted | ~allowed

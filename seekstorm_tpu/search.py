@@ -413,33 +413,6 @@ def _pad_plan(plan: _ShardPlan, nb_pad: int, v_pad: int) -> _ShardPlan:
                       plan.ub_unscored, plan.idf, plan.n_cand_blocks)
 
 
-def _run_shard_device(
-    index: Index, shard: Shard, plan: _ShardPlan, boosts: np.ndarray,
-    k: int, with_counts: bool,
-):
-    import jax.numpy as jnp
-
-    from .ops.lexical import score_shard
-
-    dev = _device_arrays(index, shard)
-    NB, V = plan.seg_len.shape
-    nb_pad = ceil_pow2(NB, 4)
-    v_pad = ceil_pow2(V, 8)
-    p = _pad_plan(plan, nb_pad, v_pad)
-    bst = np.zeros((v_pad, boosts.shape[0]), np.float32)
-    bst[:] = boosts[None, :]
-    ts, ti, cnt = score_shard(
-        dev["pl_docid"], dev["pl_tf"], dev["comp"], dev["deleted"],
-        jnp.asarray(p.block_ids), jnp.asarray(p.seg_off), jnp.asarray(p.seg_len),
-        jnp.asarray(p.W), jnp.asarray(p.Mreq), jnp.asarray(p.nreq),
-        jnp.asarray(bst),
-        P_max=p.P_max, k=k, with_counts=with_counts,
-    )
-    import jax
-
-    return jax.device_get((ts, ti, cnt))  # one combined D2H sync
-
-
 # ---------------------------------------------------------------------------
 # public entry points
 
@@ -540,115 +513,133 @@ def _lexical_search_batch(
 
     need_full = with_counts or has_phrase
 
-    # ---- stacked / mesh execution path (all shards in one device launch) ----
     stacked = _get_stacked(index)
-    if stacked is not None:
-        k_eff = k
-        plans = [
-            _plan_shard(index, sh, slots, live_specs, req0.realtime,
-                        need_full, PRUNE_BLOCKS)
-            for sh in index.shards
-        ]
-        if has_phrase and with_counts:
-            max_cand = max(
-                (int(p.n_cand_blocks.max()) for p in plans if p is not None),
-                default=0,
-            ) * BLOCK_SIZE
-            max_cand = min(max_cand, PHRASE_EXACT_LIMIT)
-            k_eff = min(ceil_pow2(max(k, max_cand)), PHRASE_EXACT_LIMIT)
-        if any(p is not None for p in plans):
-            all_full = all(p is None or p.full for p in plans)
-            ts, gid, cnt = stacked.run(
-                plans, boosts, k_eff, with_counts and all_full
+
+    # ---- facet counting / filtering / sorting wiring ----
+    from . import facets as facets_mod
+
+    rt = None
+    allowed_dev = None
+    if req0.facet_filter:
+        rt = facets_mod.get_runtime(index)
+        fsig = tuple(
+            (f.field, tuple(f.values) if f.values else None,
+             tuple(f.range) if f.range else None)
+            for f in req0.facet_filter
+        )
+        mask = rt.filter_mask(req0.facet_filter)
+        if mask is not None:
+            allowed_dev = stacked.aux_device(("filter", fsig), bool,
+                                             lambda: mask)
+
+    facet_specs = []
+    fcod_dev = None
+    fcm = 1
+    if req0.query_facets:
+        rt = rt or facets_mod.get_runtime(index)
+        arrs = []
+        for qf in req0.query_facets:
+            codes, labels, nc = rt.codes_for(qf)
+            arrs.append(codes)
+            facet_specs.append((qf, labels, nc))
+        fcm = ceil_pow2(max(nc for _, _, nc in facet_specs), 2)
+        fkey = ("facets", tuple(
+            (qf.field,
+             tuple((r[0], float(r[1])) for r in qf.ranges.ranges)
+             if qf.ranges else None)
+            for qf, _, _ in facet_specs
+        ))
+        fcod_dev = stacked.aux_device(
+            fkey, np.int32, lambda: np.stack(arrs, axis=1)  # [S, NF, N]
+        )
+        need_full = True  # facet counting covers all matched docs
+
+    sorting = bool(req0.result_sort)
+    sort_desc = True
+    skey_dev = None
+    if sorting:
+        rt = rt or facets_mod.get_runtime(index)
+        rs0 = req0.result_sort[0]
+        sort_desc = rs0.order != "Ascending"
+        skey_host = rt.sort_key(rs0)
+        skey = ("sort", rs0.field,
+                tuple(rs0.base) if rs0.base is not None else None)
+        skey_dev = stacked.aux_device(skey, np.float32, lambda: skey_host)
+        need_full = True  # score pruning is invalid under facet ordering
+        k = ceil_pow2(max(4 * need, 64))
+
+    fc_total = np.zeros((max(len(facet_specs), 1), B, fcm), np.float64)
+
+    k_eff = k
+    plans = [
+        _plan_shard(index, sh, slots, live_specs, req0.realtime,
+                    need_full, PRUNE_BLOCKS)
+        for sh in index.shards
+    ]
+    if has_phrase and with_counts:
+        max_cand = max(
+            (int(p.n_cand_blocks.max()) for p in plans if p is not None),
+            default=0,
+        ) * BLOCK_SIZE
+        max_cand = min(max_cand, PHRASE_EXACT_LIMIT)
+        k_eff = min(ceil_pow2(max(k, max_cand)), PHRASE_EXACT_LIMIT)
+    if any(p is not None for p in plans):
+        all_full = all(p is None or p.full for p in plans)
+        ts, gid, cnt, fcounts = stacked.run(
+            plans, boosts, k_eff, with_counts and all_full,
+            fcod_dev=fcod_dev, facet_codes_max=fcm,
+            skey_dev=skey_dev, sort_desc=sort_desc,
+            allowed_dev=allowed_dev,
+        )
+        if not all_full:
+            ub = np.zeros(B, np.float32)
+            for p in plans:
+                if p is not None:
+                    ub = np.maximum(ub, p.ub_unscored)
+            kth = ts[:, min(need, k_eff) - 1]
+            if ((kth < ub) | ~np.isfinite(kth)).any():
+                plans = [
+                    _plan_shard(index, sh, slots, live_specs,
+                                req0.realtime, True, PRUNE_BLOCKS)
+                    for sh in index.shards
+                ]
+                ts, gid, cnt, fcounts = stacked.run(
+                    plans, boosts, k_eff, with_counts,
+                    fcod_dev=fcod_dev, facet_codes_max=fcm,
+                    skey_dev=skey_dev, sort_desc=sort_desc,
+                    allowed_dev=allowed_dev,
+                )
+                all_full = True
+        for qi in range(B):
+            valid = np.isfinite(ts[qi])
+            merged_scores[qi] = np.concatenate(
+                [merged_scores[qi], ts[qi][valid]]
             )
-            if not all_full:
-                ub = np.zeros(B, np.float32)
-                for p in plans:
-                    if p is not None:
-                        ub = np.maximum(ub, p.ub_unscored)
-                kth = ts[:, min(need, k_eff) - 1]
-                if ((kth < ub) | ~np.isfinite(kth)).any():
-                    plans = [
-                        _plan_shard(index, sh, slots, live_specs,
-                                    req0.realtime, True, PRUNE_BLOCKS)
-                        for sh in index.shards
-                    ]
-                    ts, gid, cnt = stacked.run(plans, boosts, k_eff, with_counts)
-                    all_full = True
-            for qi in range(B):
-                valid = np.isfinite(ts[qi])
-                merged_scores[qi] = np.concatenate(
-                    [merged_scores[qi], ts[qi][valid]]
-                )
-                merged_ids[qi] = np.concatenate(
-                    [merged_ids[qi], gid[qi][valid]]
-                )
-            if with_counts and all_full:
-                counts += cnt
-            elif with_counts:
-                counts_exact[:] = False
-        for shard in index.shards:
-            if req0.realtime and shard.tail_len() > 0:
-                _merge_tail(index, shard, slots, live_specs, boosts,
-                            merged_scores, merged_ids, counts, with_counts)
-        return _finalize_lexical(index, requests, results, live, live_specs,
-                                 slots, merged_scores, merged_ids, counts,
-                                 counts_exact, with_counts)
+            merged_ids[qi] = np.concatenate(
+                [merged_ids[qi], gid[qi][valid]]
+            )
+        if with_counts and all_full:
+            counts += cnt
+        elif with_counts:
+            counts_exact[:] = False
+        if facet_specs and all_full:
+            fc_total += fcounts
 
     for shard in index.shards:
-        plan = _plan_shard(index, shard, slots, live_specs, req0.realtime,
-                           need_full, PRUNE_BLOCKS)
-        if plan is not None:
-            k_eff = k
-            if has_phrase and with_counts:
-                # retrieve every AND candidate (up to the exact-count limit)
-                max_cand = min(int(plan.n_cand_blocks.max()) * BLOCK_SIZE,
-                               PHRASE_EXACT_LIMIT)
-                k_eff = min(ceil_pow2(max(k, max_cand)), PHRASE_EXACT_LIMIT)
-            ts, ti, cnt = _run_shard_device(
-                index, shard, plan, boosts, k_eff, with_counts and plan.full
-            )
-            if not plan.full:
-                # exactness check: k-th score must dominate unscored blocks
-                kth = ts[:, min(need, k_eff) - 1] if k_eff >= need else ts[:, -1]
-                bad = (kth < plan.ub_unscored) | ~np.isfinite(kth)
-                if bad.any():
-                    plan2 = _plan_shard(index, shard, slots, live_specs,
-                                        req0.realtime, True, PRUNE_BLOCKS)
-                    ts, ti, cnt = _run_shard_device(
-                        index, shard, plan2, boosts, k_eff, with_counts
-                    )
-                    plan = plan2
-            for qi in range(B):
-                s, ids_local = ts[qi], ti[qi]
-                valid = np.isfinite(s)
-                gids = (
-                    ids_local[valid].astype(np.int64) * index.shard_count
-                    + shard.shard_id
-                )
-                merged_scores[qi] = np.concatenate([merged_scores[qi], s[valid]])
-                merged_ids[qi] = np.concatenate([merged_ids[qi], gids])
-            if with_counts and plan.full:
-                counts += cnt
-            elif with_counts:
-                counts_exact[:] = False
-
-        # realtime tail
         if req0.realtime and shard.tail_len() > 0:
-            _merge_tail(index, shard, slots, live_specs, boosts, merged_scores,
-                        merged_ids, counts, with_counts)
-
-    return _finalize_lexical(index, requests, results, live, live_specs, slots,
-                             merged_scores, merged_ids, counts, counts_exact,
-                             with_counts)
+            _merge_tail(index, shard, slots, live_specs, boosts,
+                        merged_scores, merged_ids, counts, with_counts,
+                        req0, facet_specs, fc_total, fcm, sorting, sort_desc)
+    return _finalize_lexical(index, requests, results, live, live_specs,
+                             slots, merged_scores, merged_ids, counts,
+                             counts_exact, with_counts, facet_specs,
+                             fc_total, sorting, sort_desc)
 
 
 def _get_stacked(index: Index):
-    """Stacked multi-shard executor (built lazily; used when a mesh is
-    attached or the index has >1 shard on a single device)."""
+    """Stacked executor over all shards (single code path for 1..N shards,
+    mesh-sharded when a mesh is attached)."""
     mesh = getattr(index, "_mesh", None)
-    if mesh is None and index.shard_count == 1:
-        return None
     st = getattr(index, "_stacked", None)
     if st is None or index._device_dirty:
         from .parallel.mesh import StackedIndex
@@ -656,16 +647,23 @@ def _get_stacked(index: Index):
         st = StackedIndex(index, mesh)
         index._stacked = st
         index._device_dirty = False
+        index._facet_runtime_dirty = True
     return st
 
 
 def _finalize_lexical(index, requests, results, live, live_specs, slots,
                       merged_scores, merged_ids, counts, counts_exact,
-                      with_counts):
+                      with_counts, facet_specs=(), fc_total=None,
+                      sorting=False, sort_desc=True):
     # phrase verification + final assembly
     for bi, qi in enumerate(live):
         spec = live_specs[bi]
         scores, gids = merged_scores[bi], merged_ids[bi]
+        # dedupe defensively (re-runs can concatenate duplicates)
+        _, first = np.unique(gids, return_index=True)
+        keepmask = np.zeros(len(gids), dtype=bool)
+        keepmask[first] = True
+        scores, gids = scores[keepmask], gids[keepmask]
         order = np.lexsort((gids, -scores))
         scores, gids = scores[order], gids[order]
         if spec.phrases:
@@ -682,11 +680,29 @@ def _finalize_lexical(index, requests, results, live, live_specs, slots,
         rs.result_count_total = int(counts[bi]) if with_counts else 0
         rs.count_exact = bool(counts_exact[bi])
         page = slice(requests[qi].offset, requests[qi].offset + requests[qi].length)
-        rs.results = [
-            ResultObject(doc_id=int(g), score=float(s))
-            for s, g in zip(scores[page], gids[page])
-        ]
+        if sorting:
+            # device rank = key (desc) or -key (asc); report the real key
+            vals = scores if sort_desc else -scores
+            rs.results = [
+                ResultObject(doc_id=int(g), score=float(v))
+                for v, g in zip(vals[page], gids[page])
+            ]
+        else:
+            rs.results = [
+                ResultObject(doc_id=int(g), score=float(s))
+                for s, g in zip(scores[page], gids[page])
+            ]
         rs.result_count = len(rs.results)
+        if facet_specs and fc_total is not None:
+            rs.facets = {}
+            for fi, (qf, labels, nc) in enumerate(facet_specs):
+                vec = fc_total[fi, bi, :nc]
+                nz = np.flatnonzero(vec)
+                pairs = sorted(
+                    ((labels[c] if labels else int(c), int(vec[c])) for c in nz),
+                    key=lambda kv: (-kv[1], str(kv[0])),
+                )[: qf.length]
+                rs.facets[qf.field] = pairs
         _attach_docs(index, requests[qi], rs)
         results[qi] = rs
 
@@ -696,8 +712,11 @@ def _finalize_lexical(index, requests, results, live, live_specs, slots,
 def _merge_tail(
     index: Index, shard: Shard, slots, specs, boosts,
     merged_scores, merged_ids, counts, with_counts,
+    req0=None, facet_specs=(), fc_total=None, fcm=1,
+    sorting=False, sort_desc=True,
 ) -> None:
-    """Score the uncommitted level-0 tail with the numpy oracle and merge."""
+    """Score the uncommitted level-0 tail with the numpy oracle and merge
+    (including tail facet counting / filtering / sort keys)."""
     hashes = [sl.hash for sl in slots]
     postings, tail_dfs, n_tail = index.tail_postings(shard, hashes, boosts)
     if n_tail <= 0:
@@ -709,6 +728,65 @@ def _merge_tail(
     for sid in shard.deleted:
         if base <= sid < base + n_tail:
             tail_deleted[sid - base] = True
+
+    # facet filter / codes / sort keys over the tail (host values)
+    tail_vals = {}
+
+    def _tail_col(field):
+        sf = index.schema_map[field]
+        if sf.facet_id in tail_vals:
+            return tail_vals[sf.facet_id]
+        vals = shard.level0.facet_values.get(sf.facet_id, [])
+        start = shard.partial_on_disk
+        vv = vals[start : start + n_tail]
+        from .schema import FieldType as FT
+
+        if sf.field_type == FT.Point:
+            lat = np.array([v[0] if v else 0.0 for v in vv])
+            lon = np.array([v[1] if v else 0.0 for v in vv])
+            from . import geo as geo_mod
+
+            col = geo_mod.encode_morton_2_d(lat, lon)
+        else:
+            col = np.array(
+                [0 if v is None else v for v in vv], dtype=np.float64
+            )
+        tail_vals[sf.facet_id] = col
+        return col
+
+    if req0 is not None and req0.facet_filter:
+        for f in req0.facet_filter:
+            sf = index.schema_map[f.field]
+            col = _tail_col(f.field)
+            if f.values is not None:
+                if sf.field_type.is_string_facet:
+                    tab = getattr(index, "_facet_tables", {}).get(
+                        sf.facet_id, {"": 0}
+                    )
+                    vals = [tab.get(str(v), -1) for v in f.values]
+                else:
+                    vals = [float(v) for v in f.values]
+                tail_deleted |= ~np.isin(col, vals)
+            elif f.range is not None:
+                lo, hi = f.range
+                tail_deleted |= ~((col >= lo) & (col <= hi))
+
+    tail_key = None
+    if sorting and req0 is not None and req0.result_sort:
+        rs0 = req0.result_sort[0]
+        sf = index.schema_map[rs0.field]
+        col = _tail_col(rs0.field)
+        from .schema import FieldType as FT
+
+        if sf.field_type == FT.Point:
+            from . import geo as geo_mod
+
+            tail_key = geo_mod.point_distance(
+                col, float(rs0.base[0]), float(rs0.base[1])
+            ).astype(np.float32)
+        else:
+            tail_key = col.astype(np.float32)
+
     n_docs = lex.doc_count + n_tail
     for qi, spec in enumerate(specs):
         term_ps, dfs, reqs, negs = [], [], [], []
@@ -724,9 +802,27 @@ def _merge_tail(
         )
         if with_counts:
             counts[qi] += int(matched.sum())
-        s, ids = topk_from_scores(sc, min(n_tail, 1024))
+        if facet_specs and fc_total is not None:
+            for fi, (qf, labels, nc) in enumerate(facet_specs):
+                sf = index.schema_map[qf.field]
+                col = _tail_col(qf.field)
+                if qf.ranges is not None:
+                    bounds = np.array([float(r[1]) for r in qf.ranges.ranges])
+                    codes = np.searchsorted(bounds, col, side="right")
+                else:
+                    codes = col.astype(np.int64)
+                codes = np.clip(codes, 0, fcm - 1)
+                np.add.at(fc_total[fi, qi], codes[matched], 1)
+        if sorting and tail_key is not None:
+            rank = np.where(
+                matched, tail_key if sort_desc else -tail_key,
+                np.float32(-np.inf),
+            ).astype(np.float32)
+            s2, ids = topk_from_scores(rank, min(n_tail, 1024))
+        else:
+            s2, ids = topk_from_scores(sc, min(n_tail, 1024))
         gids = (ids + base) * index.shard_count + shard.shard_id
-        merged_scores[qi] = np.concatenate([merged_scores[qi], s])
+        merged_scores[qi] = np.concatenate([merged_scores[qi], s2])
         merged_ids[qi] = np.concatenate([merged_ids[qi], gids])
 
 

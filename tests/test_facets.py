@@ -1,0 +1,189 @@
+"""Facets: counting (string/numeric/ranges), filters, result sorting, geo,
+index-level aggregations — verified against brute-force recomputation,
+including the realtime tail."""
+
+import numpy as np
+
+import seekstorm_tpu as st
+from seekstorm_tpu import facets as facets_mod
+
+
+def schema():
+    return [
+        st.SchemaField("text", st.FieldType.Text, stored=True, indexed=True),
+        st.SchemaField("brand", st.FieldType.String16, stored=True, facet=True),
+        st.SchemaField("price", st.FieldType.U16, stored=True, facet=True),
+        st.SchemaField("loc", st.FieldType.Point, stored=True, facet=True),
+    ]
+
+
+BRANDS = ["acme", "globex", "initech", "umbrella"]
+
+
+def make_docs(rng, n):
+    docs = []
+    for i in range(n):
+        docs.append(
+            {
+                "text": f"item common t{i % 5}",
+                "brand": BRANDS[int(rng.integers(0, len(BRANDS)))],
+                "price": int(rng.integers(1, 500)),
+                "loc": [float(rng.uniform(40, 60)), float(rng.uniform(-10, 10))],
+            }
+        )
+    return docs
+
+
+def build(tmp, rng, n=200, shards=2, committed=True):
+    idx = st.create_index(tmp, schema(), shard_count=shards)
+    docs = make_docs(rng, n)
+    idx.index_documents(docs)
+    if committed:
+        idx.commit()
+    return idx, docs
+
+
+def test_string_facet_counts(tmp_index_dir, rng):
+    idx, docs = build(tmp_index_dir, rng)
+    rs = idx.search(st.SearchRequest(
+        query="common", query_facets=[st.QueryFacet(field="brand")]))
+    assert rs.result_count_total == len(docs)
+    expected = {}
+    for d in docs:
+        expected[d["brand"]] = expected.get(d["brand"], 0) + 1
+    got = dict(rs.facets["brand"])
+    assert got == expected
+
+
+def test_facet_counts_with_tail(tmp_index_dir, rng):
+    idx, docs = build(tmp_index_dir, rng, n=120)
+    extra = make_docs(rng, 30)
+    idx.index_documents(extra)  # uncommitted tail
+    rs = idx.search(st.SearchRequest(
+        query="common", query_facets=[st.QueryFacet(field="brand")]))
+    expected = {}
+    for d in docs + extra:
+        expected[d["brand"]] = expected.get(d["brand"], 0) + 1
+    assert dict(rs.facets["brand"]) == expected
+    assert rs.result_count_total == 150
+
+
+def test_range_facet_counts(tmp_index_dir, rng):
+    idx, docs = build(tmp_index_dir, rng)
+    ranges = st.Ranges(field="price", ranges=[("cheap", 0), ("mid", 100), ("lux", 300)])
+    rs = idx.search(st.SearchRequest(
+        query="common",
+        query_facets=[st.QueryFacet(field="price", ranges=ranges)]))
+    got = dict(rs.facets["price"])
+    exp = {"cheap": 0, "mid": 0, "lux": 0}
+    for d in docs:
+        p = d["price"]
+        exp["cheap" if p < 100 else "mid" if p < 300 else "lux"] += 1
+    exp = {k: v for k, v in exp.items() if v}
+    assert got == exp
+
+
+def test_facet_filter_values_and_range(tmp_index_dir, rng):
+    idx, docs = build(tmp_index_dir, rng)
+    rs = idx.search(st.SearchRequest(
+        query="common",
+        facet_filter=[st.FacetFilter(field="brand", values=["acme"])]))
+    exp = sum(1 for d in docs if d["brand"] == "acme")
+    assert rs.result_count_total == exp
+
+    rs = idx.search(st.SearchRequest(
+        query="common",
+        facet_filter=[st.FacetFilter(field="price", range=(100, 200))]))
+    exp = sum(1 for d in docs if 100 <= d["price"] <= 200)
+    assert rs.result_count_total == exp
+
+    # combined filters AND together
+    rs = idx.search(st.SearchRequest(
+        query="common",
+        facet_filter=[
+            st.FacetFilter(field="brand", values=["acme", "globex"]),
+            st.FacetFilter(field="price", range=(0, 250)),
+        ]))
+    exp = sum(1 for d in docs
+              if d["brand"] in ("acme", "globex") and d["price"] <= 250)
+    assert rs.result_count_total == exp
+
+
+def test_facet_filter_with_tail(tmp_index_dir, rng):
+    idx, docs = build(tmp_index_dir, rng, n=80)
+    extra = make_docs(rng, 20)
+    idx.index_documents(extra)
+    rs = idx.search(st.SearchRequest(
+        query="common",
+        facet_filter=[st.FacetFilter(field="brand", values=["umbrella"])]))
+    exp = sum(1 for d in docs + extra if d["brand"] == "umbrella")
+    assert rs.result_count_total == exp
+
+
+def test_result_sort_numeric(tmp_index_dir, rng):
+    idx, docs = build(tmp_index_dir, rng, n=60, shards=2)
+    rs = idx.search(st.SearchRequest(
+        query="common", length=60,
+        result_sort=[st.ResultSort(field="price", order="Descending")]))
+    prices = [r.score for r in rs.results]
+    assert prices == sorted(prices, reverse=True)
+    assert len(rs.results) == 60
+    top_doc = rs.results[0].doc_id
+    assert docs[top_doc]["price"] == max(d["price"] for d in docs)
+
+    rs = idx.search(st.SearchRequest(
+        query="common", length=10,
+        result_sort=[st.ResultSort(field="price", order="Ascending")]))
+    prices = [r.score for r in rs.results]
+    assert prices == sorted(prices)
+    assert docs[rs.results[0].doc_id]["price"] == min(d["price"] for d in docs)
+
+
+def test_result_sort_with_tail(tmp_index_dir, rng):
+    idx, docs = build(tmp_index_dir, rng, n=40)
+    extra = [{"text": "common", "brand": "acme", "price": 9999, "loc": [50, 0]}]
+    idx.index_documents(extra)  # tail doc with max price
+    rs = idx.search(st.SearchRequest(
+        query="common", length=5,
+        result_sort=[st.ResultSort(field="price", order="Descending")]))
+    assert rs.results[0].doc_id == 40
+    assert rs.results[0].score == 9999
+
+
+def test_geo_sort(tmp_index_dir, rng):
+    idx, docs = build(tmp_index_dir, rng, n=50)
+    base = [50.0, 0.0]
+    rs = idx.search(st.SearchRequest(
+        query="common", length=50,
+        result_sort=[st.ResultSort(field="loc", order="Ascending", base=base)]))
+    dists = [r.score for r in rs.results]
+    assert dists == sorted(dists)
+    # nearest doc matches brute force (within morton quantization noise)
+    from seekstorm_tpu.geo import euclidian_distance
+
+    bf = [euclidian_distance(d["loc"][0], d["loc"][1], *base) for d in docs]
+    assert abs(dists[0] - min(bf)) < 0.1
+
+
+def test_index_level_facets(tmp_index_dir, rng):
+    idx, docs = build(tmp_index_dir, rng, n=100)
+    idx.index_documents(make_docs(rng, 10))  # tail counts too
+    top = facets_mod.index_string_facets(idx, "brand")
+    total = sum(c for _, c in top)
+    assert total == 110
+    lo, hi = facets_mod.index_facets_minmax(idx, "price")
+    committed_prices = [d["price"] for d in docs]
+    assert lo <= min(committed_prices) and hi >= max(committed_prices)
+
+
+def test_facets_after_delete(tmp_index_dir, rng):
+    idx, docs = build(tmp_index_dir, rng, n=60)
+    victim = 0
+    idx.delete_document(victim)
+    rs = idx.search(st.SearchRequest(
+        query="common", query_facets=[st.QueryFacet(field="brand")]))
+    expected = {}
+    for g, d in enumerate(docs):
+        if g != victim:
+            expected[d["brand"]] = expected.get(d["brand"], 0) + 1
+    assert dict(rs.facets["brand"]) == expected
