@@ -278,6 +278,7 @@ class Index:
             [sf.boost for sf in self.indexed_fields], dtype=np.float32
         )
         self.synonyms: list[dict] = []
+        self._synonym_map: dict[str, set] = {}
 
         self.shards: list[Shard] = []
         facet_ids = [sf.facet_id for sf in self.facet_fields]
@@ -360,6 +361,27 @@ class Index:
             if v is not None and sf.field_type.is_string_facet:
                 v = self._facet_ordinal(sf, v)
             facet_vals[sf.facet_id] = v
+
+        # index-time synonym expansion (reference index.rs:1077-1090,
+        # get_synonyms_map :1782 — documents are additionally indexed under
+        # their terms' synonyms; one-way maps later terms to the first only)
+        if self._synonym_map:
+            extra: dict[str, list[list[int]]] = {}
+            for term, pf in term_fields.items():
+                for syn in self._synonym_map.get(term, ()):
+                    tgt = extra.setdefault(
+                        syn, [[] for _ in range(len(pf))]
+                    )
+                    for f, plist in enumerate(pf):
+                        tgt[f] = sorted(set(tgt[f]) | set(plist))
+            for syn, pf in extra.items():
+                if syn in term_fields:
+                    for f in range(len(pf)):
+                        term_fields[syn][f] = sorted(
+                            set(term_fields[syn][f]) | set(pf[f])
+                        )
+                else:
+                    term_fields[syn] = pf
 
         stored = {
             sf.field: doc[sf.field]
@@ -600,6 +622,85 @@ class Index:
         return l0.positions_sum_normalized / max(l0.doc_count, 1)
 
     # ------------------------------------------------------------------
+    def set_synonyms(self, synonyms: list[dict]) -> None:
+        """Replace the synonym set; applies to future indexing
+        (reference synonyms set/add api_endpoints.rs:507-523)."""
+        self.synonyms = list(synonyms)
+        m: dict[str, set] = {}
+        for syn in self.synonyms:
+            terms = [t for raw in syn.get("terms", [])
+                     for t in self.analyzer.analyze(raw)[:1]]
+            if len(terms) < 2:
+                continue
+            if syn.get("multiway", True):
+                for t in terms:
+                    m.setdefault(t, set()).update(x for x in terms if x != t)
+            else:
+                # one-way: later terms also indexed under the first term
+                for t in terms[1:]:
+                    m.setdefault(t, set()).add(terms[0])
+        self._synonym_map = m
+        self.save_meta()
+
+    def add_synonyms(self, synonyms: list[dict]) -> None:
+        self.set_synonyms(list(self.synonyms) + list(synonyms))
+
+    # ------------------------------------------------------------------
+    def get_iterator(
+        self,
+        document_id: int | None = None,
+        skip: int = 0,
+        take: int = 1,
+        include_deleted: bool = False,
+        include_document: bool = False,
+        fields: list | None = None,
+    ) -> list:
+        """Skip/take doc-id iteration, forward (take>0) or backward (take<0),
+        tolerant of gaps (reference GetIterator iterator.rs:65-91).
+
+        Returns a list of doc ids, or (doc_id, doc) pairs when
+        include_document is set."""
+
+        def _valid(g: int) -> bool:
+            shard = self.shards[g % self.shard_count]
+            local = g // self.shard_count
+            if local >= shard.doc_count:
+                return False
+            return include_deleted or local not in shard.deleted
+
+        out = []
+        if take >= 0:
+            g = 0 if document_id is None else int(document_id)
+            remaining_skip = skip
+            while g < self.docid_global and len(out) < take:
+                if _valid(g):
+                    if remaining_skip > 0:
+                        remaining_skip -= 1
+                    else:
+                        out.append(g)
+                g += 1
+        else:
+            g = self.docid_global - 1 if document_id is None else int(document_id)
+            remaining_skip = skip
+            want = -take
+            while g >= 0 and len(out) < want:
+                if _valid(g):
+                    if remaining_skip > 0:
+                        remaining_skip -= 1
+                    else:
+                        out.append(g)
+                g -= 1
+        if include_document:
+            result = []
+            for g in out:
+                doc = self.get_document(g)
+                if doc is not None and fields:
+                    doc = {k: v for k, v in doc.items() if k in fields}
+                result.append((g, doc))
+            return result
+        return out
+
+    # ------------------------------------------------------------------
     def attach_mesh(self, mesh=None) -> None:
         """Attach a device mesh: shards are stacked and sharded over the
         mesh's 'shards' axis, queries replicated, per-shard top-k merged on
@@ -660,12 +761,15 @@ def create_index(
     schema: list[SchemaField],
     meta: IndexMeta | None = None,
     shard_count: int = 1,
+    synonyms: list | None = None,
 ) -> Index:
     meta = meta or IndexMeta()
     path = Path(path)
     if (path / "index.json").exists():
         raise FileExistsError(f"index already exists at {path}")
     idx = Index(path, schema, meta, shard_count, serialize=True)
+    if synonyms:
+        idx.set_synonyms(synonyms)
     if meta.vector.enabled:
         from .vector_index import IndexVectors
 
@@ -684,6 +788,12 @@ def open_index(path) -> Index:
         schema = schema_from_json(f.read())
     idx = Index(path, schema, meta, root["shard_count"], serialize=False)
     idx.docid_global = root["docid_global"]
+    syn_path = path / "synonyms.json"
+    if syn_path.exists():
+        with open(syn_path) as f:
+            syns = json.load(f)
+        if syns:
+            idx.set_synonyms(syns)
     ft_path = path / "facet_tables.json"
     if ft_path.exists():
         with open(ft_path) as f:
