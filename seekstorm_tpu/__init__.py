@@ -32,6 +32,7 @@ if not _os.environ.get("SEEKSTORM_TPU_NO_CACHE"):
 from .index import Index, create_index, open_index
 from .schema import (
     AccessType,
+    QueryCompletion,
     BLOCK_SIZE,
     ClusteringConfig,
     ClusteringMode,
@@ -84,6 +85,7 @@ __all__ = [
     "AccessType",
     "DocumentCompression",
     "SpellingCorrection",
+    "QueryCompletion",
     "VectorConfig",
     "VectorSimilarity",
     "Precision",

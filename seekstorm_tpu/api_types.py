@@ -129,6 +129,7 @@ def search_request_from_json(d: dict) -> tuple[SearchRequest, list[DistanceField
         ann_mode=ann,
         nprobe=nprobe,
         similarity_threshold=thr,
+        query_rewriting=d.get("query_rewriting", "SearchOnly"),
     )
     dfs = [
         DistanceField(
@@ -238,15 +239,9 @@ def create_index_request_from_json(d: dict):
         frequent_words=FrequentwordType(d.get("frequent_words", "None")),
         ngram_indexing=int(d.get("ngram_indexing", 0)),
         doc_compression=doc_comp,
-        spelling_correction=SpellingCorrection(
-            d["spelling_correction"]
-        ) if isinstance(d.get("spelling_correction"), str) else (
-            SpellingCorrection.Low if d.get("spelling_correction") else
-            SpellingCorrection.Null
-        ),
-        query_completion=QueryCompletion(
-            "Enabled" if d.get("query_completion") else "None"
-        ),
+        spelling_correction=SpellingCorrection.from_json(
+            d.get("spelling_correction")),
+        query_completion=QueryCompletion.from_json(d.get("query_completion")),
         vector=vector,
     )
     return d.get("index_name", "index"), schema, meta, d.get("synonyms", [])

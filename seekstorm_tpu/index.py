@@ -280,6 +280,33 @@ class Index:
         self.synonyms: list[dict] = []
         self._synonym_map: dict[str, set] = {}
 
+        # spelling dictionary + query completions (reference commit.rs:418-443)
+        from .rewrite import PruningRadixTrie, SymSpell
+
+        sc = meta.spelling_correction
+        self.spell = (
+            SymSpell(
+                max_edit=sc.max_dictionary_edit_distance,
+                count_threshold=sc.count_threshold,
+                max_entries=sc.max_dictionary_entries,
+            )
+            if sc.enabled
+            else None
+        )
+        qc = meta.query_completion
+        self.completions = (
+            PruningRadixTrie(max_entries=qc.max_completion_entries)
+            if qc.enabled
+            else None
+        )
+        self._dict_field_ids = [
+            sf.indexed_field_id for sf in self.indexed_fields
+            if sf.dictionary_source
+        ] or [sf.indexed_field_id for sf in self.indexed_fields]
+        self._completion_fields = [
+            sf.field for sf in schema if sf.completion_source
+        ] or [sf.field for sf in self.indexed_fields]
+
         self.shards: list[Shard] = []
         facet_ids = [sf.facet_id for sf in self.facet_fields]
         for s in range(shard_count):
@@ -361,6 +388,24 @@ class Index:
             if v is not None and sf.field_type.is_string_facet:
                 v = self._facet_ordinal(sf, v)
             facet_vals[sf.facet_id] = v
+
+        # feed the spelling dictionary (terms sampled by hash, reference
+        # index_posting.rs:25-49) and the completion trie (token 1..3-grams
+        # of completion_source fields, reference commit.rs:418-425)
+        if self.spell is not None:
+            for term, pf in term_fields.items():
+                cnt = sum(len(pf[f]) for f in self._dict_field_ids)
+                if cnt and (term_hash(term) & 7) == 0:
+                    self.spell.add(term, cnt)
+        if self.completions is not None:
+            for fname in self._completion_fields:
+                text = doc.get(fname)
+                if not isinstance(text, str):
+                    continue
+                toks = self.analyzer.analyze(text)
+                for n in (1, 2, 3):
+                    for i in range(len(toks) - n + 1):
+                        self.completions.add(" ".join(toks[i : i + n]))
 
         # index-time synonym expansion (reference index.rs:1077-1090,
         # get_synonyms_map :1782 — documents are additionally indexed under
@@ -490,6 +535,10 @@ class Index:
                 self._commit_shard(sh)
             self.save_meta()
             _save_facet_tables(self)
+            if self.spell is not None:
+                self.spell.save(self.path / "dictionary.csv")
+            if self.completions is not None:
+                self.completions.save(self.path / "completions.csv")
             if self.vectors is not None:
                 self.vectors.commit()
 
@@ -741,6 +790,21 @@ class Index:
             self.docid_global = 0
             self._facet_tables = {}
             self._device_dirty = True
+            from .rewrite import PruningRadixTrie, SymSpell
+
+            if self.spell is not None:
+                sc = self.meta.spelling_correction
+                self.spell = SymSpell(
+                    max_edit=sc.max_dictionary_edit_distance,
+                    count_threshold=sc.count_threshold,
+                    max_entries=sc.max_dictionary_entries,
+                )
+                (self.path / "dictionary.csv").unlink(missing_ok=True)
+            if self.completions is not None:
+                self.completions = PruningRadixTrie(
+                    max_entries=self.meta.query_completion.max_completion_entries
+                )
+                (self.path / "completions.csv").unlink(missing_ok=True)
             if self.vectors is not None:
                 self.vectors.clear()
             self.save_meta()
@@ -794,6 +858,23 @@ def open_index(path) -> Index:
             syns = json.load(f)
         if syns:
             idx.set_synonyms(syns)
+    from .rewrite import PruningRadixTrie, SymSpell
+
+    dict_path = path / "dictionary.csv"
+    if idx.spell is not None and dict_path.exists():
+        sc = meta.spelling_correction
+        idx.spell = SymSpell.load(
+            dict_path,
+            max_edit=sc.max_dictionary_edit_distance,
+            count_threshold=sc.count_threshold,
+            max_entries=sc.max_dictionary_entries,
+        )
+    comp_path = path / "completions.csv"
+    if idx.completions is not None and comp_path.exists():
+        idx.completions = PruningRadixTrie.load(
+            comp_path,
+            max_entries=meta.query_completion.max_completion_entries,
+        )
     ft_path = path / "facet_tables.json"
     if ft_path.exists():
         with open(ft_path) as f:

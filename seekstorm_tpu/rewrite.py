@@ -1,0 +1,268 @@
+"""Query rewriting: SymSpell spelling correction + pruning-radix-trie query
+auto-completion.
+
+Host-CPU structures mirroring the reference's wired-in dependency
+(reference Cargo.toml symspell_complete_rs; fed at commit.rs:418-443,
+sampled at index_posting.rs:25-49, queried in the QAC/spell rewrite loop
+search.rs:1200-1390; persisted as dictionary.csv / completions.csv,
+index.rs:96-97).  SymSpell (delete-variant hashing + Damerau-Levenshtein)
+and the top-k-pruned radix trie are classic public algorithms.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from dataclasses import dataclass, field
+from pathlib import Path
+
+
+def damerau_levenshtein(a: str, b: str, cap: int = 10) -> int:
+    """Optimal-string-alignment Damerau-Levenshtein distance."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1 and j > 1
+                and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+class SymSpell:
+    """Delete-variant spelling dictionary (Garbe's SymSpell algorithm)."""
+
+    def __init__(self, max_edit: int = 2, prefix_len: int = 7,
+                 count_threshold: int = 1, max_entries: int = 1_000_000):
+        self.max_edit = max_edit
+        self.prefix_len = prefix_len
+        self.count_threshold = count_threshold
+        self.max_entries = max_entries
+        self.words: dict[str, int] = {}
+        self._deletes: dict[str, list[str]] = {}
+        self._indexed: set[str] = set()
+
+    def __len__(self) -> int:
+        return len(self.words)
+
+    def add(self, word: str, count: int = 1) -> None:
+        c = self.words.get(word, 0) + count
+        self.words[word] = c
+        if (
+            c >= self.count_threshold
+            and word not in self._indexed
+            and len(self._indexed) < self.max_entries
+        ):
+            self._indexed.add(word)
+            for d in self._edits(word[: self.prefix_len], self.max_edit):
+                self._deletes.setdefault(d, []).append(word)
+
+    def _edits(self, word: str, depth: int) -> set[str]:
+        out = {word}
+        frontier = {word}
+        for _ in range(depth):
+            nxt = set()
+            for w in frontier:
+                for i in range(len(w)):
+                    nxt.add(w[:i] + w[i + 1 :])
+            nxt -= out
+            out |= nxt
+            frontier = nxt
+        return out
+
+    def lookup(self, term: str, max_edit: int | None = None,
+               length: int = 5) -> list[tuple[str, int, int]]:
+        """-> [(word, distance, count)] best-first."""
+        me = min(max_edit if max_edit is not None else self.max_edit,
+                 self.max_edit)
+        if term in self.words and self.words[term] >= self.count_threshold:
+            return [(term, 0, self.words[term])]
+        cands: set[str] = set()
+        for d in self._edits(term[: self.prefix_len], me):
+            for w in self._deletes.get(d, ()):
+                cands.add(w)
+        out = []
+        for w in cands:
+            dist = damerau_levenshtein(term, w, me)
+            if dist <= me:
+                out.append((w, dist, self.words.get(w, 0)))
+        out.sort(key=lambda x: (x[1], -x[2], x[0]))
+        return out[:length]
+
+    def lookup_compound(self, terms: list[str], max_edit: int | None = None,
+                        min_len: int = 2) -> tuple[list[str], bool]:
+        """Correct a term list term-wise (compound-aware lookup analog,
+        reference search.rs:1324-1363).  Returns (terms, changed)."""
+        out = []
+        changed = False
+        for t in terms:
+            if len(t) < min_len:
+                out.append(t)
+                continue
+            best = self.lookup(t, max_edit, length=1)
+            if best and best[0][0] != t and best[0][1] > 0:
+                out.append(best[0][0])
+                changed = True
+            else:
+                out.append(t)
+        return out, changed
+
+    # -- persistence (dictionary.csv, reference index.rs:96) -------------
+    def save(self, path: Path) -> None:
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            for word, count in sorted(self.words.items()):
+                w.writerow([word, count])
+
+    @classmethod
+    def load(cls, path: Path, **kwargs) -> "SymSpell":
+        s = cls(**kwargs)
+        with open(path, newline="") as f:
+            for row in csv.reader(f):
+                if len(row) >= 2:
+                    s.add(row[0], int(row[1]))
+        return s
+
+
+@dataclass
+class _TrieNode:
+    children: dict = field(default_factory=dict)  # edge label -> node
+    weight: int = 0          # weight of a complete term ending here (0 = none)
+    max_weight: int = 0      # max weight in subtree (pruning bound)
+
+
+class PruningRadixTrie:
+    """Top-k-pruned prefix trie (Garbe's PruningRadixTrie algorithm):
+    each node stores the max weight in its subtree, so top-k prefix lookups
+    expand only branches that can beat the current k-th best."""
+
+    def __init__(self, max_entries: int = 1_000_000):
+        self.root = _TrieNode()
+        self.size = 0
+        self.max_entries = max_entries
+        self._terms: dict[str, int] = {}
+
+    def __len__(self) -> int:
+        return self.size
+
+    def add(self, term: str, weight: int = 1) -> None:
+        if not term:
+            return
+        if term not in self._terms and self.size >= self.max_entries:
+            return
+        new_w = self._terms.get(term, 0) + weight
+        self._terms[term] = new_w
+        if new_w == weight:
+            self.size += 1
+        node = self.root
+        node.max_weight = max(node.max_weight, new_w)
+        for ch in term:
+            node = node.children.setdefault(ch, _TrieNode())
+            node.max_weight = max(node.max_weight, new_w)
+        node.weight = new_w
+
+    def top_k(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
+        node = self.root
+        for ch in prefix:
+            node = node.children.get(ch)
+            if node is None:
+                return []
+        results: list[tuple[int, str]] = []  # min-heap by weight
+
+        import heapq
+
+        def visit(n: _TrieNode, acc: str):
+            if len(results) >= k and n.max_weight <= results[0][0]:
+                return  # prune: subtree can't beat current k-th best
+            if n.weight:
+                if len(results) < k:
+                    heapq.heappush(results, (n.weight, acc))
+                elif n.weight > results[0][0]:
+                    heapq.heapreplace(results, (n.weight, acc))
+            for ch, child in sorted(
+                n.children.items(), key=lambda kv: -kv[1].max_weight
+            ):
+                visit(child, acc + ch)
+
+        visit(node, prefix)
+        return [(t, w) for w, t in sorted(results, key=lambda x: -x[0])]
+
+    # -- persistence (completions.csv, reference index.rs:97) ------------
+    def save(self, path: Path) -> None:
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            for term, weight in sorted(self._terms.items()):
+                w.writerow([term, weight])
+
+    @classmethod
+    def load(cls, path: Path, **kwargs) -> "PruningRadixTrie":
+        t = cls(**kwargs)
+        with open(path, newline="") as f:
+            for row in csv.reader(f):
+                if len(row) >= 2:
+                    t.add(row[0], int(row[1]))
+        return t
+
+
+# ---------------------------------------------------------------------------
+# query rewriting dispatch (reference search.rs:1200-1390 QAC/spell loop)
+
+@dataclass
+class RewriteOutcome:
+    query: str               # query actually searched
+    suggestions: list[str]   # corrected/completed suggestions
+    rewritten: bool
+
+
+def rewrite_query(
+    index, query: str, mode, analyzer
+) -> RewriteOutcome:
+    """mode: 'SearchOnly' or {'SearchSuggest'|'SearchRewrite'|'SuggestOnly':
+    {correct, distance, complete, length, ...}}."""
+    if mode in (None, "SearchOnly"):
+        return RewriteOutcome(query, [], False)
+    if isinstance(mode, str):
+        name, params = mode, {}
+    else:
+        name = next(iter(mode))
+        params = mode[name] or {}
+    correct_thr = params.get("correct")
+    complete_thr = params.get("complete")
+    distance = params.get("distance", 2)
+    length = params.get("length") or 5
+
+    suggestions: list[str] = []
+    corrected = query
+    # completion of the whole query prefix
+    trie = getattr(index, "completions", None)
+    if trie is not None and complete_thr is not None and \
+            len(query) >= complete_thr:
+        comp = trie.top_k(query.lower(), length)
+        suggestions.extend(t for t, _ in comp)
+    # spelling correction term-wise
+    spell = getattr(index, "spell", None)
+    if spell is not None and correct_thr is not None and \
+            len(query) >= correct_thr:
+        terms = analyzer.analyze(query)
+        fixed, changed = spell.lookup_compound(terms, distance)
+        if changed:
+            corrected = " ".join(fixed)
+            if corrected not in suggestions:
+                suggestions.append(corrected)
+
+    if name == "SuggestOnly":
+        return RewriteOutcome(query, suggestions[:length], False)
+    if name == "SearchRewrite":
+        new_q = suggestions[0] if suggestions else query
+        return RewriteOutcome(new_q, suggestions[:length], new_q != query)
+    # SearchSuggest: search original, attach suggestions
+    return RewriteOutcome(query, suggestions[:length], False)

@@ -196,15 +196,69 @@ class InferenceType(str, enum.Enum):
     Model2VecCustom = "Model2VecCustom"
 
 
-class SpellingCorrection(str, enum.Enum):
-    Null = "None"
-    Low = "Low"
-    High = "High"
+@dataclass
+class SpellingCorrection:
+    """SymSpell spelling-correction config (reference index.rs:1283-1307).
+    max_dictionary_edit_distance == 0 disables correction."""
+
+    max_dictionary_edit_distance: int = 0
+    term_length_threshold: tuple | None = None
+    count_threshold: int = 1
+    max_dictionary_entries: int = 1_000_000
+
+    @property
+    def enabled(self) -> bool:
+        return self.max_dictionary_edit_distance > 0
+
+    def to_json(self):
+        return {
+            "max_dictionary_edit_distance": self.max_dictionary_edit_distance,
+            "term_length_threshold": list(self.term_length_threshold)
+            if self.term_length_threshold else None,
+            "count_threshold": self.count_threshold,
+            "max_dictionary_entries": self.max_dictionary_entries,
+        }
+
+    @staticmethod
+    def from_json(d) -> "SpellingCorrection":
+        if d is None or d == "None":
+            return SpellingCorrection()
+        if d == "Low":
+            return SpellingCorrection(max_dictionary_edit_distance=1)
+        if d == "High":
+            return SpellingCorrection(max_dictionary_edit_distance=2)
+        tl = d.get("term_length_threshold")
+        return SpellingCorrection(
+            max_dictionary_edit_distance=d.get(
+                "max_dictionary_edit_distance", 0),
+            term_length_threshold=tuple(tl) if tl else None,
+            count_threshold=d.get("count_threshold", 1),
+            max_dictionary_entries=d.get("max_dictionary_entries", 1_000_000),
+        )
 
 
-class QueryCompletion(str, enum.Enum):
-    Null = "None"
-    Enabled = "Enabled"
+@dataclass
+class QueryCompletion:
+    """Query auto-completion config (reference index.rs:1309-1314).
+    max_completion_entries == 0 disables completion."""
+
+    max_completion_entries: int = 0
+
+    @property
+    def enabled(self) -> bool:
+        return self.max_completion_entries > 0
+
+    def to_json(self):
+        return {"max_completion_entries": self.max_completion_entries}
+
+    @staticmethod
+    def from_json(d) -> "QueryCompletion":
+        if d is None or d == "None":
+            return QueryCompletion()
+        if d == "Enabled":
+            return QueryCompletion(max_completion_entries=1_000_000)
+        return QueryCompletion(
+            max_completion_entries=d.get("max_completion_entries", 0))
 
 
 @dataclass
@@ -317,8 +371,9 @@ class IndexMeta:
     ngram_indexing: int = 0            # NgramSet bitflags (0 = off)
     access_type: AccessType = AccessType.Ram
     doc_compression: DocumentCompression = DocumentCompression.Zlib
-    spelling_correction: SpellingCorrection = SpellingCorrection.Null
-    query_completion: QueryCompletion = QueryCompletion.Null
+    spelling_correction: SpellingCorrection = field(
+        default_factory=SpellingCorrection)
+    query_completion: QueryCompletion = field(default_factory=QueryCompletion)
     vector: VectorConfig = field(default_factory=VectorConfig)
 
     def to_json(self) -> dict:
@@ -335,8 +390,8 @@ class IndexMeta:
             "ngram_indexing": self.ngram_indexing,
             "access_type": self.access_type.value,
             "doc_compression": self.doc_compression.value,
-            "spelling_correction": self.spelling_correction.value,
-            "query_completion": self.query_completion.value,
+            "spelling_correction": self.spelling_correction.to_json(),
+            "query_completion": self.query_completion.to_json(),
             "vector": self.vector.to_json(),
         }
 
@@ -355,8 +410,10 @@ class IndexMeta:
             ngram_indexing=d.get("ngram_indexing", 0),
             access_type=AccessType(d["access_type"]),
             doc_compression=DocumentCompression(d["doc_compression"]),
-            spelling_correction=SpellingCorrection(d.get("spelling_correction", "None")),
-            query_completion=QueryCompletion(d.get("query_completion", "None")),
+            spelling_correction=SpellingCorrection.from_json(
+                d.get("spelling_correction")),
+            query_completion=QueryCompletion.from_json(
+                d.get("query_completion")),
             vector=VectorConfig.from_json(d["vector"]),
         )
 

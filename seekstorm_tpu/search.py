@@ -115,6 +115,8 @@ class SearchRequest:
     nprobe: int = 0                  # clusters to probe (Nprobe modes)
     similarity_threshold: float | None = None
     distance_fields: list = dfield(default_factory=list)
+    # 'SearchOnly' | {'SearchSuggest'|'SearchRewrite'|'SuggestOnly': {...}}
+    query_rewriting: object = "SearchOnly"
 
 
 @dataclass
@@ -430,6 +432,37 @@ def search_batch(index: Index, requests: list[SearchRequest]) -> list[ResultSet]
     req0 = requests[0]
     out: list[ResultSet] = []
 
+    # query rewriting (QAC / spelling, reference search.rs:1200-1390)
+    outcomes = None
+    if any(
+        r.query_rewriting not in (None, "SearchOnly") for r in requests
+    ) and req0.search_mode != SearchMode.Vector:
+        import dataclasses
+
+        from .rewrite import rewrite_query
+
+        outcomes = [
+            rewrite_query(index, r.query, r.query_rewriting, index.analyzer)
+            for r in requests
+        ]
+        suggest_only = [
+            isinstance(r.query_rewriting, dict)
+            and next(iter(r.query_rewriting)) == "SuggestOnly"
+            for r in requests
+        ]
+        if all(suggest_only):
+            res = []
+            for r, oc in zip(requests, outcomes):
+                rs = ResultSet(suggestions=oc.suggestions)
+                rs.time_us = (time.perf_counter() - t0) * 1e6
+                res.append(rs)
+            return res
+        requests = [
+            dataclasses.replace(r, query=oc.query)
+            for r, oc in zip(requests, outcomes)
+        ]
+        req0 = requests[0]
+
     if req0.search_mode == SearchMode.Vector:
         from .vector_search import vector_search_batch
 
@@ -442,8 +475,10 @@ def search_batch(index: Index, requests: list[SearchRequest]) -> list[ResultSet]
         out = _lexical_search_batch(index, requests)
 
     dt = (time.perf_counter() - t0) * 1e6 / max(len(requests), 1)
-    for r in out:
+    for i, r in enumerate(out):
         r.time_us = dt
+        if outcomes is not None:
+            r.suggestions = outcomes[i].suggestions
     return out
 
 
