@@ -307,6 +307,10 @@ class Index:
             sf.field for sf in schema if sf.completion_source
         ] or [sf.field for sf in self.indexed_fields]
 
+        from .ngram import frequent_word_set
+
+        self._frequent_words = frequent_word_set(meta)
+
         self.shards: list[Shard] = []
         facet_ids = [sf.facet_id for sf in self.facet_fields]
         for s in range(shard_count):
@@ -367,20 +371,22 @@ class Index:
         term_fields: dict[str, list[list[int]]] = {}
         F = max(len(self.indexed_fields), 1)
         field_lengths = [0] * F
+        tokens_per_field: dict[int, list[str]] = {}
         for sf in self.indexed_fields:
             text = doc.get(sf.field)
             if text is None:
                 continue
             if not isinstance(text, str):
                 text = json.dumps(text, ensure_ascii=False)
-            tp = self.analyzer.term_positions(text)
-            field_lengths[sf.indexed_field_id] = sum(len(v) for v in tp.values())
-            for term, positions in tp.items():
-                pf = term_fields.get(term)
+            toks = self.analyzer.analyze(text)[:65_535]
+            tokens_per_field[sf.indexed_field_id] = toks
+            field_lengths[sf.indexed_field_id] = len(toks)
+            for pos, tok in enumerate(toks):
+                pf = term_fields.get(tok)
                 if pf is None:
                     pf = [[] for _ in range(F)]
-                    term_fields[term] = pf
-                pf[sf.indexed_field_id] = positions
+                    term_fields[tok] = pf
+                pf[sf.indexed_field_id].append(pos)
 
         facet_vals: dict[int, object] = {}
         for sf in self.facet_fields:
@@ -398,14 +404,31 @@ class Index:
                 if cnt and (term_hash(term) & 7) == 0:
                     self.spell.add(term, cnt)
         if self.completions is not None:
-            for fname in self._completion_fields:
-                text = doc.get(fname)
-                if not isinstance(text, str):
+            comp_ids = {
+                sf.indexed_field_id for sf in self.indexed_fields
+                if sf.field in self._completion_fields
+            }
+            for fid2, toks in tokens_per_field.items():
+                if fid2 not in comp_ids:
                     continue
-                toks = self.analyzer.analyze(text)
                 for n in (1, 2, 3):
                     for i in range(len(toks) - n + 1):
                         self.completions.add(" ".join(toks[i : i + n]))
+
+        # n-gram indexing of frequent-term runs (reference NGRAM_SEARCH.md,
+        # tokenizer.rs:664-830); composite terms join the same posting space
+        if self.meta.ngram_indexing and self._frequent_words:
+            from .ngram import generate_ngrams
+
+            for fid2, toks in tokens_per_field.items():
+                for gterm, positions in generate_ngrams(
+                    toks, self._frequent_words, self.meta.ngram_indexing
+                ).items():
+                    pf = term_fields.get(gterm)
+                    if pf is None:
+                        pf = [[] for _ in range(F)]
+                        term_fields[gterm] = pf
+                    pf[fid2].extend(positions)
 
         # index-time synonym expansion (reference index.rs:1077-1090,
         # get_synonyms_map :1782 — documents are additionally indexed under

@@ -115,26 +115,29 @@ def score_query(
     return scores, matched
 
 
-def verify_phrase(positions_by_term: list[list[np.ndarray]]) -> bool:
-    """Check whether terms occur at consecutive positions in some field.
-
-    positions_by_term[t] = per-field position arrays for term t of the phrase
-    (phrase order).  True if there exists a field and position p such that
-    term t occurs at p + t for all t.
-    """
+def verify_phrase(
+    positions_by_term: list[list[np.ndarray]],
+    offsets: list[int] | None = None,
+) -> bool:
+    """Check whether terms occur at the expected relative positions in some
+    field.  offsets[t] is term t's token offset within the phrase (defaults
+    to 0,1,2,... for plain adjacency); n-gram segments carry multi-token
+    offsets."""
+    if offsets is None:
+        offsets = list(range(len(positions_by_term)))
     n_fields = len(positions_by_term[0])
     for f in range(n_fields):
         base = positions_by_term[0][f]
         if base is None or len(base) == 0:
             continue
-        cand = set(int(p) for p in base)
+        cand = set(int(p) - offsets[0] for p in base)
         ok = True
         for t in range(1, len(positions_by_term)):
             pos = positions_by_term[t][f]
             if pos is None or len(pos) == 0:
                 ok = False
                 break
-            nxt = set(int(p) - t for p in pos)
+            nxt = set(int(p) - offsets[t] for p in pos)
             cand &= nxt
             if not cand:
                 ok = False

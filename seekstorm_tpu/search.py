@@ -155,45 +155,95 @@ class _QuerySpec:
     weights: dict               # slot -> 1.0 (scoring, non-negated) — idf applied per shard
     required: dict              # slot -> bool
     negated: dict               # slot -> bool
-    phrases: list[list[int]]    # phrase groups as slot id lists (in phrase order)
+    phrases: list[list]         # phrase groups: [(slot_id, token_offset)], in order
     parsed: ParsedQuery
 
 
 def _build_specs(
     index: Index, queries: list[str], default_type: QueryType
 ) -> tuple[list[_Slot], list[_QuerySpec]]:
+    from .ngram import segment_phrase
+
+    flags = index.meta.ngram_indexing
+    frequent = getattr(index, "_frequent_words", frozenset())
+
     slot_of: dict[int, int] = {}
     slots: list[_Slot] = []
     specs: list[_QuerySpec] = []
+
+    def get_slot(term: str) -> int:
+        h = term_hash(term)
+        if h not in slot_of:
+            slot_of[h] = len(slots)
+            slots.append(_Slot(h, term, []))
+        return slot_of[h]
+
     for q in queries:
         pq = parse_query(q, index.analyzer)
         weights: dict[int, float] = {}
         required: dict[int, bool] = {}
         negated: dict[int, bool] = {}
-        phrase_groups: list[list[int]] = []
-        for t in pq.terms:
-            h = term_hash(t.term)
-            if h not in slot_of:
-                slot_of[h] = len(slots)
-                slots.append(_Slot(h, t.term, []))
-            s = slot_of[h]
+        phrase_groups: list[list] = []
+
+        phrase_term_idx = {i for ph in pq.phrases for i in ph}
+        implicit_phrase = (
+            default_type == QueryType.Phrase
+            and not pq.phrases
+            and sum(1 for t in pq.terms if not t.negated) > 1
+        )
+
+        def add_term(term: str, req: bool, neg: bool):
+            s_ = get_slot(term)
+            if s_ in negated and negated[s_] and not neg:
+                negated[s_] = False  # positive occurrence wins
+            if s_ not in negated:
+                negated[s_] = neg
+            required[s_] = required.get(s_, False) or (req and not neg)
+            if not negated[s_]:
+                weights[s_] = 1.0
+            return s_
+
+        def add_phrase(tokens: list[str], neg: bool):
+            # n-gram segment rewriting (reference NGRAM_SEARCH.md:60-80)
+            if flags and frequent:
+                segments = segment_phrase(tokens, frequent, flags)
+            else:
+                segments = [(t, i, 1) for i, t in enumerate(tokens)]
+            group = []
+            for term, off, _ln in segments:
+                s_ = add_term(term, True, neg)
+                group.append((s_, off))
+            if len(group) >= 1 and not neg:
+                phrase_groups.append(group)
+
+        for i, t in enumerate(pq.terms):
+            if i in phrase_term_idx or implicit_phrase:
+                continue
             neg = t.negated or default_type == QueryType.Not
-            req = t.required or default_type in (QueryType.Intersection, QueryType.Phrase)
-            if s in negated and negated[s] and not neg:
-                negated[s] = False  # positive occurrence wins
-            if s not in negated:
-                negated[s] = neg
-            required[s] = required.get(s, False) or (req and not neg)
-            if not negated[s]:
-                weights[s] = 1.0
-        # phrases: map term indices -> slots
+            req = t.required or default_type in (
+                QueryType.Intersection, QueryType.Phrase
+            )
+            add_term(t.term, req, neg)
+
         for ph in pq.phrases:
-            phrase_groups.append([slot_of[term_hash(pq.terms[i].term)] for i in ph])
-        if default_type == QueryType.Phrase and len(weights) > 1 and not phrase_groups:
-            phrase_groups.append([s for s in weights])
+            tokens = [pq.terms[i].term for i in ph]
+            add_phrase(tokens, pq.terms[ph[0]].negated)
+        if implicit_phrase:
+            tokens = [t.term for t in pq.terms if not t.negated]
+            add_phrase(tokens, False)
+            for t in pq.terms:
+                if t.negated:
+                    add_term(t.term, False, True)
+
+        # single-segment phrases are exact by construction (the n-gram or
+        # single term IS the phrase) — no position verification needed
+        phrase_groups = [g for g in phrase_groups if len(g) > 1]
+
         specs.append(
             _QuerySpec(
-                slots=sorted(set(list(weights) + [s for s, n in negated.items() if n])),
+                slots=sorted(
+                    set(list(weights) + [s for s, n in negated.items() if n])
+                ),
                 weights=weights,
                 required=required,
                 negated=negated,
@@ -866,7 +916,8 @@ def _phrase_ok(index: Index, slots, spec: _QuerySpec, global_id: int) -> bool:
     local = global_id // index.shard_count
     for ph in spec.phrases:
         pos_by_term = []
-        for s in ph:
+        offsets = []
+        for s, off in ph:
             h = slots[s].hash
             if local < shard.committed_doc_count:
                 p = shard.lexical.get_positions(h, local)
@@ -875,7 +926,8 @@ def _phrase_ok(index: Index, slots, spec: _QuerySpec, global_id: int) -> bool:
             if p is None:
                 return False
             pos_by_term.append(p)
-        if not verify_phrase(pos_by_term):
+            offsets.append(off)
+        if not verify_phrase(pos_by_term, offsets):
             return False
     return True
 
