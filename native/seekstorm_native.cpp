@@ -1,0 +1,721 @@
+// seekstorm_tpu native host library: tokenizer + level-0 posting accumulator.
+//
+// Native equivalent of the reference's hot host-side ingest path (reference
+// seekstorm/src/tokenizer.rs:122-830 tokenization/folding/stemming/n-grams,
+// index_posting.rs:15 level-0 posting accumulation) exposed through a C ABI
+// consumed via ctypes (seekstorm_tpu/native.py).  Unicode classification /
+// lowering / folding tables are generated from Python (gen_tables.py) so the
+// native tokenizer is bit-identical to the Python analyzer.
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+#include "unicode_tables.h"
+
+namespace {
+
+// ---------------------------------------------------------------- utf8
+inline uint32_t utf8_next(const uint8_t* s, int64_t len, int64_t& i) {
+    uint8_t c = s[i];
+    if (c < 0x80) { i += 1; return c; }
+    if ((c >> 5) == 0x6 && i + 1 < len) {
+        uint32_t cp = ((c & 0x1F) << 6) | (s[i + 1] & 0x3F);
+        i += 2; return cp;
+    }
+    if ((c >> 4) == 0xE && i + 2 < len) {
+        uint32_t cp = ((c & 0x0F) << 12) | ((s[i + 1] & 0x3F) << 6) |
+                      (s[i + 2] & 0x3F);
+        i += 3; return cp;
+    }
+    if ((c >> 3) == 0x1E && i + 3 < len) {
+        uint32_t cp = ((c & 0x07) << 18) | ((s[i + 1] & 0x3F) << 12) |
+                      ((s[i + 2] & 0x3F) << 6) | (s[i + 3] & 0x3F);
+        i += 4; return cp;
+    }
+    i += 1;
+    return 0xFFFD;
+}
+
+inline void utf8_append(std::string& out, uint32_t cp) {
+    if (cp < 0x80) out.push_back((char)cp);
+    else if (cp < 0x800) {
+        out.push_back((char)(0xC0 | (cp >> 6)));
+        out.push_back((char)(0x80 | (cp & 0x3F)));
+    } else if (cp < 0x10000) {
+        out.push_back((char)(0xE0 | (cp >> 12)));
+        out.push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+        out.push_back((char)(0x80 | (cp & 0x3F)));
+    } else {
+        out.push_back((char)(0xF0 | (cp >> 18)));
+        out.push_back((char)(0x80 | ((cp >> 12) & 0x3F)));
+        out.push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+        out.push_back((char)(0x80 | (cp & 0x3F)));
+    }
+}
+
+inline bool is_alnum(uint32_t cp) {
+    if (cp >= ST_MAX_CP) return false;
+    return (st_alnum_bits[cp >> 3] >> (cp & 7)) & 1;
+}
+
+inline bool is_space(uint32_t cp) {
+    switch (cp) {
+        case 0x09: case 0x0A: case 0x0B: case 0x0C: case 0x0D: case 0x20:
+        case 0x1C: case 0x1D: case 0x1E: case 0x1F:
+        case 0x85: case 0xA0: case 0x1680: case 0x2028: case 0x2029:
+        case 0x202F: case 0x205F: case 0x3000:
+            return true;
+        default:
+            return (cp >= 0x2000 && cp <= 0x200A);
+    }
+}
+
+// binary search in generated maps
+template <uint32_t W>
+inline int map_find(const uint32_t* keys, uint32_t count,
+                    const uint32_t (*vals)[W], uint32_t cp,
+                    uint32_t out[W]) {
+    int64_t lo = 0, hi = (int64_t)count - 1;
+    while (lo <= hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (keys[mid] < cp) lo = mid + 1;
+        else if (keys[mid] > cp) hi = mid - 1;
+        else {
+            int n = 0;
+            for (uint32_t j = 0; j < W; j++)
+                if (vals[mid][j]) out[n++] = vals[mid][j];
+            return n;
+        }
+    }
+    return -1;
+}
+
+inline int to_lower(uint32_t cp, uint32_t out[3]) {
+    int n = map_find<3>(st_lower_keys, st_lower_count, st_lower_vals, cp, out);
+    if (n < 0) { out[0] = cp; return 1; }
+    return n;
+}
+
+inline int to_fold(uint32_t cp, uint32_t out[4]) {
+    int n = map_find<4>(st_fold_keys, st_fold_count, st_fold_vals, cp, out);
+    if (n < 0) { out[0] = cp; return 1; }
+    return n;
+}
+
+// ---------------------------------------------------------------- porter
+// Porter stemmer (1980, public domain algorithm) over codepoints —
+// codepoint-wise port of seekstorm_tpu/tokenizer.py porter_stem for parity.
+typedef std::vector<uint32_t> CPS;
+
+inline bool p_is_cons(const CPS& w, int64_t i) {
+    uint32_t c = w[i];
+    if (c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u') return false;
+    if (c == 'y') return i == 0 || !p_is_cons(w, i - 1);
+    return true;
+}
+inline int p_measure(const CPS& w, int64_t n) {
+    int m = 0; bool prev_vowel = false;
+    for (int64_t i = 0; i < n; i++) {
+        bool v = !p_is_cons(w, i);
+        if (!v && prev_vowel) m++;
+        prev_vowel = v;
+    }
+    return m;
+}
+inline bool p_has_vowel(const CPS& w, int64_t n) {
+    for (int64_t i = 0; i < n; i++) if (!p_is_cons(w, i)) return true;
+    return false;
+}
+inline bool p_double_cons(const CPS& w, int64_t n) {
+    return n >= 2 && w[n - 1] == w[n - 2] && p_is_cons(w, n - 1);
+}
+inline bool p_cvc(const CPS& w, int64_t n) {
+    if (n < 3) return false;
+    if (p_is_cons(w, n - 3) && !p_is_cons(w, n - 2) && p_is_cons(w, n - 1)) {
+        uint32_t c = w[n - 1];
+        return c != 'w' && c != 'x' && c != 'y';
+    }
+    return false;
+}
+inline bool ends_with(const CPS& w, int64_t n, const char* suf, int64_t sn) {
+    if (n < sn) return false;
+    for (int64_t i = 0; i < sn; i++)
+        if (w[n - sn + i] != (uint32_t)suf[i]) return false;
+    return true;
+}
+
+struct Rule { const char* suf; const char* rep; };
+static const Rule STEP2[] = {
+    {"ational","ate"},{"tional","tion"},{"enci","ence"},{"anci","ance"},
+    {"izer","ize"},{"abli","able"},{"alli","al"},{"entli","ent"},{"eli","e"},
+    {"ousli","ous"},{"ization","ize"},{"ation","ate"},{"ator","ate"},
+    {"alism","al"},{"iveness","ive"},{"fulness","ful"},{"ousness","ous"},
+    {"aliti","al"},{"iviti","ive"},{"biliti","ble"},
+};
+static const Rule STEP3[] = {
+    {"icate","ic"},{"ative",""},{"alize","al"},{"iciti","ic"},{"ical","ic"},
+    {"ful",""},{"ness",""},
+};
+static const char* STEP4[] = {
+    "al","ance","ence","er","ic","able","ible","ant","ement","ment","ent",
+    "ou","ism","ate","iti","ous","ive","ize",
+};
+
+void porter_stem(CPS& w) {
+    int64_t n = (int64_t)w.size();
+    if (n <= 2) return;
+    // step 1a
+    if (ends_with(w, n, "sses", 4)) n -= 2;
+    else if (ends_with(w, n, "ies", 3)) n -= 2;
+    else if (ends_with(w, n, "ss", 2)) {}
+    else if (ends_with(w, n, "s", 1)) n -= 1;
+    // step 1b
+    bool flag = false;
+    if (ends_with(w, n, "eed", 3)) {
+        if (p_measure(w, n - 3) > 0) n -= 1;
+    } else if (ends_with(w, n, "ed", 2)) {
+        if (p_has_vowel(w, n - 2)) { n -= 2; flag = true; }
+    } else if (ends_with(w, n, "ing", 3)) {
+        if (p_has_vowel(w, n - 3)) { n -= 3; flag = true; }
+    }
+    w.resize(n);
+    if (flag) {
+        if (ends_with(w, n, "at", 2) || ends_with(w, n, "bl", 2) ||
+            ends_with(w, n, "iz", 2)) { w.push_back('e'); n++; }
+        else if (p_double_cons(w, n) && w[n-1] != 'l' && w[n-1] != 's' &&
+                 w[n-1] != 'z') { n -= 1; w.resize(n); }
+        else if (p_measure(w, n) == 1 && p_cvc(w, n)) { w.push_back('e'); n++; }
+    }
+    // step 1c
+    if (n > 0 && w[n-1] == 'y' && p_has_vowel(w, n - 1)) w[n-1] = 'i';
+    // step 2
+    for (const Rule& r : STEP2) {
+        int64_t sn = (int64_t)strlen(r.suf);
+        if (ends_with(w, n, r.suf, sn)) {
+            if (p_measure(w, n - sn) > 0) {
+                w.resize(n - sn);
+                for (const char* p = r.rep; *p; p++) w.push_back(*p);
+                n = (int64_t)w.size();
+            }
+            break;
+        }
+    }
+    // step 3
+    for (const Rule& r : STEP3) {
+        int64_t sn = (int64_t)strlen(r.suf);
+        if (ends_with(w, n, r.suf, sn)) {
+            if (p_measure(w, n - sn) > 0) {
+                w.resize(n - sn);
+                for (const char* p = r.rep; *p; p++) w.push_back(*p);
+                n = (int64_t)w.size();
+            }
+            break;
+        }
+    }
+    // step 4 (mirrors the python for/else incl. the "ion" special case)
+    bool matched4 = false;
+    for (const char* suf : STEP4) {
+        int64_t sn = (int64_t)strlen(suf);
+        if (ends_with(w, n, suf, sn)) {
+            matched4 = true;
+            int64_t stem = n - sn;
+            if (strcmp(suf, "ion") == 0 &&
+                !(stem > 0 && (w[stem-1] == 's' || w[stem-1] == 't')))
+                break;
+            if (p_measure(w, stem) > 1) { n = stem; w.resize(n); }
+            break;
+        }
+    }
+    if (!matched4 && ends_with(w, n, "ion", 3) && p_measure(w, n - 3) > 1 &&
+        n - 3 > 0 && (w[n-4] == 's' || w[n-4] == 't')) {
+        n -= 3; w.resize(n);
+    }
+    // step 5a
+    if (n > 0 && w[n-1] == 'e') {
+        int m = p_measure(w, n - 1);
+        if (m > 1 || (m == 1 && !p_cvc(w, n - 1))) { n -= 1; w.resize(n); }
+    }
+    // step 5b
+    if (p_measure(w, n) > 1 && p_double_cons(w, n) && n > 0 && w[n-1] == 'l') {
+        n -= 1; w.resize(n);
+    }
+}
+
+// ---------------------------------------------------------------- hashing
+inline uint64_t fnv1a(const std::string& s) {
+    uint64_t h = 0xCBF29CE484222325ULL;
+    for (unsigned char b : s) { h ^= b; h *= 0x100000001B3ULL; }
+    return h;
+}
+
+// ---------------------------------------------------------------- config
+struct StCfg {
+    int tokenizer;   // 0 ascii_alpha, 1 unicode_alnum, 2 folded,
+                     // 3 whitespace, 4 whitespace_lower, 5 zh(->alnum)
+    int stemmer;     // 0 none, 1 english porter
+    int ngram_flags; // see seekstorm_tpu/ngram.py
+    std::unordered_set<std::string> stopwords;
+    std::unordered_set<std::string> frequent;
+    std::unordered_map<std::string, std::vector<std::string>> synonyms;
+    uint64_t dict_field_mask;        // symspell dictionary-source fields
+    uint64_t completion_field_mask;  // completion-source fields
+};
+
+void split_blob(const uint8_t* blob, int64_t len,
+                std::unordered_set<std::string>& out) {
+    int64_t start = 0;
+    for (int64_t i = 0; i <= len; i++) {
+        if (i == len || blob[i] == '\n') {
+            if (i > start) out.emplace((const char*)blob + start, i - start);
+            start = i + 1;
+        }
+    }
+}
+
+// tokenize one field text into final analyzed tokens
+void tokenize(const StCfg& cfg, const uint8_t* text, int64_t len,
+              std::vector<std::string>& out) {
+    out.clear();
+    const bool ws_mode = cfg.tokenizer == 3 || cfg.tokenizer == 4;
+    const bool lower_ws = cfg.tokenizer == 4;
+    const bool ascii_alpha = cfg.tokenizer == 0;
+    const bool folded = cfg.tokenizer == 2;
+
+    std::string tok;
+    CPS cps;
+    int64_t i = 0;
+    auto flush = [&]() {
+        if (tok.empty()) return;
+        if (!cfg.stopwords.empty() && cfg.stopwords.count(tok)) {
+            tok.clear(); cps.clear(); return;
+        }
+        if (cfg.stemmer == 1) {
+            porter_stem(cps);
+            tok.clear();
+            for (uint32_t c : cps) utf8_append(tok, c);
+        }
+        out.push_back(tok);
+        tok.clear(); cps.clear();
+    };
+    while (i < len) {
+        uint32_t cp = utf8_next(text, len, i);
+        if (ws_mode) {
+            if (is_space(cp)) { flush(); continue; }
+            uint32_t low[3];
+            if (lower_ws) {
+                int nl = to_lower(cp, low);
+                for (int j = 0; j < nl; j++) { utf8_append(tok, low[j]); cps.push_back(low[j]); }
+            } else { utf8_append(tok, cp); cps.push_back(cp); }
+            continue;
+        }
+        if (ascii_alpha) {
+            if ((cp >= 'a' && cp <= 'z')) { utf8_append(tok, cp); cps.push_back(cp); }
+            else if (cp >= 'A' && cp <= 'Z') { uint32_t l = cp + 32; utf8_append(tok, l); cps.push_back(l); }
+            else flush();
+            continue;
+        }
+        // unicode alnum (1, 5) and folded (2)
+        uint32_t expanded[4];
+        int ne;
+        if (folded) {
+            ne = to_fold(cp, expanded);
+        } else {
+            expanded[0] = cp; ne = 1;
+        }
+        for (int j = 0; j < ne; j++) {
+            uint32_t c2 = expanded[j];
+            if (folded && (c2 == 0x27 || c2 == 0x2019 || c2 == 0x02BC))
+                continue;  // apostrophe strip (tokenizer.py _strip_apostrophes)
+            if (is_alnum(c2) && c2 != '_') {
+                uint32_t low[3];
+                int nl = folded ? (low[0] = c2, 1) : to_lower(c2, low);
+                // folded table already lowercases
+                for (int k2 = 0; k2 < nl; k2++) {
+                    utf8_append(tok, low[k2]); cps.push_back(low[k2]);
+                }
+            } else {
+                flush();
+            }
+        }
+    }
+    flush();
+    if ((int64_t)out.size() > 65535) out.resize(65535);
+}
+
+// ---------------------------------------------------------------- accumulator
+struct TermP {
+    std::string term;
+    std::vector<uint16_t> docids;
+    std::vector<uint16_t> tfs;   // F per posting
+    std::vector<uint16_t> poss;  // flattened, field-major per posting
+};
+
+struct StAccum {
+    int n_fields = 1;
+    int doc_count = 0;
+    int64_t n_postings = 0;
+    int64_t n_positions = 0;
+    std::unordered_map<uint64_t, TermP> terms;
+    std::unordered_map<std::string, int64_t> dict_counts;        // symspell
+    std::unordered_map<std::string, int64_t> completion_counts;  // QAC
+    // scratch (term string owned by value; cleared per doc)
+    std::unordered_map<uint64_t, std::pair<std::string,
+        std::vector<std::vector<uint16_t>>>> doc_terms;
+};
+
+void add_term_positions(StAccum* a, uint64_t h, const std::string& term,
+                        int field, const std::vector<uint16_t>& positions) {
+    auto& e = a->doc_terms[h];
+    if (e.second.empty()) {
+        e.first = term;
+        e.second.resize(a->n_fields);
+    }
+    auto& v = e.second[field];
+    v.insert(v.end(), positions.begin(), positions.end());
+}
+
+}  // namespace
+
+extern "C" {
+
+StCfg* st_cfg_new(int tokenizer, int stemmer, int ngram_flags,
+                  const uint8_t* stop_blob, int64_t stop_len,
+                  const uint8_t* freq_blob, int64_t freq_len,
+                  uint64_t dict_field_mask, uint64_t completion_field_mask) {
+    StCfg* c = new StCfg();
+    c->tokenizer = tokenizer;
+    c->stemmer = stemmer;
+    c->ngram_flags = ngram_flags;
+    c->dict_field_mask = dict_field_mask;
+    c->completion_field_mask = completion_field_mask;
+    if (stop_blob && stop_len) split_blob(stop_blob, stop_len, c->stopwords);
+    if (freq_blob && freq_len) split_blob(freq_blob, freq_len, c->frequent);
+    return c;
+}
+
+// synonyms blob: per line "term\tsyn1\tsyn2..." (index-time expansion map)
+void st_cfg_set_synonyms(StCfg* c, const uint8_t* blob, int64_t len) {
+    c->synonyms.clear();
+    int64_t start = 0;
+    for (int64_t i = 0; i <= len; i++) {
+        if (i == len || blob[i] == '\n') {
+            if (i > start) {
+                std::string line((const char*)blob + start, i - start);
+                size_t tab = line.find('\t');
+                if (tab != std::string::npos) {
+                    std::string key = line.substr(0, tab);
+                    auto& v = c->synonyms[key];
+                    size_t p = tab + 1;
+                    while (p <= line.size()) {
+                        size_t q = line.find('\t', p);
+                        if (q == std::string::npos) q = line.size();
+                        if (q > p) v.push_back(line.substr(p, q - p));
+                        p = q + 1;
+                    }
+                }
+            }
+            start = i + 1;
+        }
+    }
+}
+
+void st_cfg_free(StCfg* c) { delete c; }
+
+StAccum* st_accum_new(int n_fields) {
+    StAccum* a = new StAccum();
+    a->n_fields = n_fields > 0 ? n_fields : 1;
+    return a;
+}
+
+void st_accum_free(StAccum* a) { delete a; }
+
+int st_accum_doc_count(StAccum* a) { return a->doc_count; }
+
+// Add one document.  text_blob holds all field texts concatenated;
+// field_offsets has n_fields+1 entries.  out_field_lengths receives the
+// token count per field.  Returns the level-local doc id.
+int st_accum_add_doc(StAccum* a, StCfg* cfg, const uint8_t* text_blob,
+                     const int64_t* field_offsets,
+                     int32_t* out_field_lengths) {
+    int docid = a->doc_count;
+    a->doc_terms.clear();
+    static thread_local std::vector<std::string> toks;
+
+    for (int f = 0; f < a->n_fields; f++) {
+        const uint8_t* t = text_blob + field_offsets[f];
+        int64_t len = field_offsets[f + 1] - field_offsets[f];
+        tokenize(*cfg, t, len, toks);
+        out_field_lengths[f] = (int32_t)toks.size();
+        bool dict_f = (cfg->dict_field_mask >> f) & 1;
+        bool comp_f = (cfg->completion_field_mask >> f) & 1;
+
+        // per-token positions
+        std::unordered_map<std::string, std::vector<uint16_t>> local;
+        for (size_t p = 0; p < toks.size(); p++)
+            local[toks[p]].push_back((uint16_t)p);
+        // index-time synonym expansion (seekstorm_tpu/index.py semantics)
+        if (!cfg->synonyms.empty()) {
+            std::unordered_map<std::string, std::vector<uint16_t>> extra;
+            for (auto& kv : local) {
+                auto it = cfg->synonyms.find(kv.first);
+                if (it == cfg->synonyms.end()) continue;
+                for (const std::string& syn : it->second) {
+                    auto& v = extra[syn];
+                    v.insert(v.end(), kv.second.begin(), kv.second.end());
+                }
+            }
+            for (auto& kv : extra) {
+                auto& v = local[kv.first];
+                v.insert(v.end(), kv.second.begin(), kv.second.end());
+                std::sort(v.begin(), v.end());
+                v.erase(std::unique(v.begin(), v.end()), v.end());
+            }
+        }
+        for (auto& kv : local) {
+            uint64_t h = fnv1a(kv.first);
+            add_term_positions(a, h, kv.first, f, kv.second);
+            if (dict_f && (h & 7) == 0)
+                a->dict_counts[kv.first] += (int64_t)kv.second.size();
+        }
+        // completions: token 1..3-grams
+        if (comp_f) {
+            for (int n = 1; n <= 3; n++) {
+                for (int64_t p = 0; p + n <= (int64_t)toks.size(); p++) {
+                    std::string g = toks[p];
+                    for (int j = 1; j < n; j++) { g += ' '; g += toks[p + j]; }
+                    a->completion_counts[g] += 1;
+                }
+            }
+        }
+        // n-grams of frequent terms (seekstorm_tpu/ngram.py semantics)
+        if (cfg->ngram_flags && !cfg->frequent.empty()) {
+            int64_t nt = (int64_t)toks.size();
+            std::vector<uint8_t> freq(nt);
+            for (int64_t p = 0; p < nt; p++)
+                freq[p] = cfg->frequent.count(toks[p]) ? 1 : 0;
+            auto bi_en = [&](int64_t p) {
+                if (freq[p] && freq[p + 1]) return (cfg->ngram_flags & 1) != 0;
+                return ((cfg->ngram_flags & 2) != 0) && (freq[p] || freq[p + 1]);
+            };
+            auto tri_en = [&](int64_t p) {
+                int s = freq[p] + freq[p + 1] + freq[p + 2];
+                if (s == 3) return (cfg->ngram_flags & 4) != 0;
+                return ((cfg->ngram_flags & 8) != 0) && s >= 2;
+            };
+            std::unordered_map<std::string, std::vector<uint16_t>> glocal;
+            for (int64_t p = 0; p + 2 <= nt; p++) {
+                if (p + 3 <= nt && tri_en(p)) {
+                    std::string g = toks[p];
+                    g += '\x01'; g += toks[p + 1];
+                    g += '\x01'; g += toks[p + 2];
+                    glocal[g].push_back((uint16_t)p);
+                }
+                if (bi_en(p)) {
+                    std::string g = toks[p];
+                    g += '\x01'; g += toks[p + 1];
+                    glocal[g].push_back((uint16_t)p);
+                }
+            }
+            for (auto& kv : glocal)
+                add_term_positions(a, fnv1a(kv.first), kv.first, f, kv.second);
+        }
+    }
+
+    // merge the per-doc map into the accumulator
+    for (auto& kv : a->doc_terms) {
+        uint64_t h = kv.first;
+        auto& tp = a->terms[h];
+        if (tp.term.empty()) tp.term = kv.second.first;
+        tp.docids.push_back((uint16_t)docid);
+        for (int f = 0; f < a->n_fields; f++) {
+            size_t tf = kv.second.second[f].size();
+            if (tf > 65535) tf = 65535;
+            tp.tfs.push_back((uint16_t)tf);
+            tp.poss.insert(tp.poss.end(), kv.second.second[f].begin(),
+                           kv.second.second[f].begin() + tf);
+            a->n_positions += (int64_t)tf;
+        }
+        a->n_postings += 1;
+    }
+    a->doc_count += 1;
+    return docid;
+}
+
+void st_accum_stats(StAccum* a, int64_t* n_terms, int64_t* n_postings,
+                    int64_t* n_positions) {
+    *n_terms = (int64_t)a->terms.size();
+    *n_postings = a->n_postings;
+    *n_positions = a->n_positions;
+}
+
+// Pack into caller-allocated buffers (terms hash-sorted; layout matches
+// Level0.pack in seekstorm_tpu/index.py).
+void st_accum_pack(StAccum* a, uint64_t* hashes, int64_t* offsets,
+                   uint16_t* docids, uint16_t* tfs, uint16_t* positions) {
+    std::vector<uint64_t> keys;
+    keys.reserve(a->terms.size());
+    for (auto& kv : a->terms) keys.push_back(kv.first);
+    std::sort(keys.begin(), keys.end());
+    int64_t po = 0, xo = 0;
+    offsets[0] = 0;
+    int F = a->n_fields;
+    for (size_t t = 0; t < keys.size(); t++) {
+        hashes[t] = keys[t];
+        TermP& tp = a->terms[keys[t]];
+        int64_t np = (int64_t)tp.docids.size();
+        memcpy(docids + po, tp.docids.data(), np * sizeof(uint16_t));
+        memcpy(tfs + po * F, tp.tfs.data(), np * F * sizeof(uint16_t));
+        memcpy(positions + xo, tp.poss.data(),
+               tp.poss.size() * sizeof(uint16_t));
+        po += np;
+        xo += (int64_t)tp.poss.size();
+        offsets[t + 1] = po;
+    }
+}
+
+// term strings blob in hash-sorted order: "term\n" per term
+int64_t st_accum_terms_blob(StAccum* a, uint8_t* blob, int64_t cap) {
+    std::vector<uint64_t> keys;
+    keys.reserve(a->terms.size());
+    for (auto& kv : a->terms) keys.push_back(kv.first);
+    std::sort(keys.begin(), keys.end());
+    int64_t sz = 0;
+    for (uint64_t k : keys) sz += (int64_t)a->terms[k].term.size() + 1;
+    if (!blob) return sz;
+    if (cap < sz) return -1;
+    int64_t o = 0;
+    for (uint64_t k : keys) {
+        const std::string& s = a->terms[k].term;
+        memcpy(blob + o, s.data(), s.size());
+        o += (int64_t)s.size();
+        blob[o++] = '\n';
+    }
+    return sz;
+}
+
+static int64_t export_counts(
+    const std::unordered_map<std::string, int64_t>& m, uint8_t* blob,
+    int64_t cap) {
+    int64_t sz = 0;
+    for (auto& kv : m) sz += (int64_t)kv.first.size() + 24;
+    if (!blob) return sz;
+    int64_t o = 0;
+    for (auto& kv : m) {
+        if (o + (int64_t)kv.first.size() + 24 > cap) return -1;
+        memcpy(blob + o, kv.first.data(), kv.first.size());
+        o += (int64_t)kv.first.size();
+        o += snprintf((char*)blob + o, 24, "\t%lld\n",
+                      (long long)kv.second);
+    }
+    return o;
+}
+
+int64_t st_accum_dict_blob(StAccum* a, uint8_t* blob, int64_t cap) {
+    return export_counts(a->dict_counts, blob, cap);
+}
+
+int64_t st_accum_completions_blob(StAccum* a, uint8_t* blob, int64_t cap) {
+    return export_counts(a->completion_counts, blob, cap);
+}
+
+// rebuild the accumulator from a packed level (partial-level reload)
+void st_accum_load(StAccum* a, const uint64_t* hashes,
+                   const int64_t* offsets, const uint16_t* docids,
+                   const uint16_t* tfs, const uint16_t* positions,
+                   const uint8_t* terms_blob, int64_t n_terms,
+                   int32_t doc_count) {
+    int F = a->n_fields;
+    int64_t blob_off = 0;
+    int64_t pos_off = 0;
+    for (int64_t t = 0; t < n_terms; t++) {
+        int64_t e = blob_off;
+        while (terms_blob[e] != '\n') e++;
+        TermP& tp = a->terms[hashes[t]];
+        tp.term.assign((const char*)terms_blob + blob_off, e - blob_off);
+        blob_off = e + 1;
+        int64_t p0 = offsets[t], p1 = offsets[t + 1];
+        tp.docids.assign(docids + p0, docids + p1);
+        tp.tfs.assign(tfs + p0 * F, tfs + p1 * F);
+        int64_t npos = 0;
+        for (int64_t r = p0 * F; r < p1 * F; r++) npos += tfs[r];
+        tp.poss.assign(positions + pos_off, positions + pos_off + npos);
+        pos_off += npos;
+        a->n_postings += p1 - p0;
+        a->n_positions += npos;
+    }
+    a->doc_count = doc_count;
+}
+
+// drain the symspell/completion counts after export
+void st_accum_clear_counts(StAccum* a) {
+    a->dict_counts.clear();
+    a->completion_counts.clear();
+}
+
+// realtime query: copy one term's postings; returns posting count or -1
+int64_t st_accum_term_postings(StAccum* a, uint64_t hash, uint16_t* docids,
+                               uint16_t* tfs, int64_t cap) {
+    auto it = a->terms.find(hash);
+    if (it == a->terms.end()) return 0;
+    int64_t np = (int64_t)it->second.docids.size();
+    if (!docids) return np;
+    if (np > cap) return -1;
+    memcpy(docids, it->second.docids.data(), np * sizeof(uint16_t));
+    memcpy(tfs, it->second.tfs.data(),
+           np * a->n_fields * sizeof(uint16_t));
+    return np;
+}
+
+// positions of (term, docid): flattened per field; returns count or -1
+int64_t st_accum_term_doc_positions(StAccum* a, uint64_t hash, int32_t docid,
+                                    uint16_t* out_tfs, uint16_t* positions,
+                                    int64_t cap) {
+    auto it = a->terms.find(hash);
+    if (it == a->terms.end()) return -1;
+    TermP& tp = it->second;
+    // binary search docid (docids ascending)
+    auto lo = std::lower_bound(tp.docids.begin(), tp.docids.end(),
+                               (uint16_t)docid);
+    if (lo == tp.docids.end() || *lo != docid) return -1;
+    int64_t row = lo - tp.docids.begin();
+    int F = a->n_fields;
+    // position offset = sum of tfs before this row
+    int64_t off = 0;
+    for (int64_t r = 0; r < row * F; r++) off += tp.tfs[r];
+    int64_t total = 0;
+    for (int f = 0; f < F; f++) {
+        out_tfs[f] = tp.tfs[row * F + f];
+        total += out_tfs[f];
+    }
+    if (total > cap) return -1;
+    memcpy(positions, tp.poss.data() + off, total * sizeof(uint16_t));
+    return total;
+}
+
+// standalone tokenizer (for parity tests / reuse): writes tokens joined by
+// '\n' into blob; returns size (or required size when blob == NULL)
+int64_t st_tokenize_text(StCfg* cfg, const uint8_t* text, int64_t len,
+                         uint8_t* blob, int64_t cap) {
+    std::vector<std::string> toks;
+    tokenize(*cfg, text, len, toks);
+    int64_t sz = 0;
+    for (auto& t : toks) sz += (int64_t)t.size() + 1;
+    if (!blob) return sz;
+    if (cap < sz) return -1;
+    int64_t o = 0;
+    for (auto& t : toks) {
+        memcpy(blob + o, t.data(), t.size());
+        o += (int64_t)t.size();
+        blob[o++] = '\n';
+    }
+    return sz;
+}
+
+}  // extern "C"

@@ -19,13 +19,26 @@ if not _os.environ.get("SEEKSTORM_TPU_NO_CACHE"):
     try:
         import jax as _jax
 
-        _cache_dir = _os.environ.get(
-            "SEEKSTORM_TPU_CACHE_DIR",
-            _os.path.join(_os.path.expanduser("~"), ".cache", "seekstorm_tpu_xla"),
-        )
-        _os.makedirs(_cache_dir, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # CPU-only sessions must NOT use the persistent cache: this XLA
+        # build round-trips CPU executables through an AOT path whose
+        # machine-feature check (+prefer-no-scatter/+prefer-no-gather
+        # pseudo-features) fails on reload and the loaded executable
+        # MIS-EXECUTES (observed: wrong gather results in the scoring
+        # kernel).  Cache only the TPU platform.
+        _platforms = str(getattr(_jax.config, "jax_platforms", "") or "auto")
+        if "cpu" != _platforms.strip():
+            _cache_dir = _os.path.join(
+                _os.environ.get(
+                    "SEEKSTORM_TPU_CACHE_DIR",
+                    _os.path.join(_os.path.expanduser("~"), ".cache",
+                                  "seekstorm_tpu_xla"),
+                ),
+                _platforms.replace(",", "_").replace("/", "_"),
+            )
+            _os.makedirs(_cache_dir, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

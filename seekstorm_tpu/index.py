@@ -186,6 +186,113 @@ class Level0:
         return l0
 
 
+class NativeLevel0(Level0):
+    """Level 0 backed by the C++ accumulator (native/seekstorm_native.cpp):
+    tokenization, posting/position accumulation, n-grams, synonyms and
+    dictionary/completion counting run natively; doc-store blobs, facet
+    values and doc lengths stay on the Python side."""
+
+    def __init__(self, n_fields: int, facet_ids: list[int]):
+        super().__init__(n_fields, facet_ids)
+        from .native import NativeAccumulator
+
+        self.acc = NativeAccumulator(n_fields)
+        self._term_str_cache = None
+
+    def add_document_native(
+        self, cfg, field_texts: list[bytes], facet_vals, blob: bytes
+    ) -> int:
+        local, lens = self.acc.add_doc(cfg, field_texts)
+        clens = compress_lengths(lens.astype(np.int64))
+        self.doclen.append(clens.tobytes())
+        self.positions_sum_normalized += int(
+            DOCUMENT_LENGTH_COMPRESSION[clens].sum()
+        )
+        for fid, vals in self.facet_values.items():
+            vals.append(facet_vals.get(fid))
+        self.blobs.append(blob)
+        self.doc_count += 1
+        self._term_str_cache = None
+        return local
+
+    @property
+    def term_str(self) -> dict:
+        if self._term_str_cache is None:
+            blob = self.acc.terms_blob()
+            names = blob.decode().split("\n")[:-1] if blob else []
+            h, _, _, _, _ = self.acc.pack()
+            self._term_str_cache = {int(hh): nm for hh, nm in zip(h, names)}
+        return self._term_str_cache
+
+    @term_str.setter
+    def term_str(self, v):  # base-class __init__ assigns {}
+        self._term_str_cache = None
+
+    def pack(self, path: Path, facet_fields: list[SchemaField]) -> None:
+        path.mkdir(parents=True, exist_ok=True)
+        F = self.n_fields
+        hashes, offsets, docid, tf, pos = self.acc.pack()
+        np.save(path / "term_hash.npy", hashes)
+        np.save(path / "term_offset.npy", offsets)
+        np.save(path / "docid.npy", docid)
+        np.save(path / "tf.npy", tf)
+        np.save(path / "pos.npy", pos)
+        doclen = (
+            np.frombuffer(b"".join(self.doclen), dtype=np.uint8).reshape(
+                self.doc_count, F
+            )
+            if self.doc_count
+            else np.zeros((0, F), np.uint8)
+        )
+        np.save(path / "doclen.npy", doclen)
+        with open(path / "terms.txt", "wb") as f:
+            f.write(self.acc.terms_blob())
+        for sf in facet_fields:
+            col = facet_column(sf, self.facet_values[sf.facet_id], self.doc_count)
+            np.save(path / f"facet_{sf.facet_id}.npy", col)
+        LevelDocStore.write(path, self.blobs)
+        with open(path / "level.json", "w") as f:
+            json.dump(
+                {
+                    "doc_count": self.doc_count,
+                    "positions_sum_normalized": self.positions_sum_normalized,
+                },
+                f,
+            )
+
+    @staticmethod
+    def from_level(
+        lvl: CommittedLevel, path: Path, facet_ids: list[int], n_fields: int
+    ) -> "NativeLevel0":
+        l0 = NativeLevel0(n_fields, facet_ids)
+        l0.doc_count = lvl.doc_count
+        l0.positions_sum_normalized = lvl.positions_sum_normalized
+        l0.doclen = [
+            np.asarray(lvl.doclen[i]).tobytes() for i in range(lvl.doc_count)
+        ]
+        tpath = path / "terms.txt"
+        if tpath.exists():
+            blob = tpath.read_bytes()
+        else:
+            blob = b"\n" * len(lvl.term_hash)
+        l0.acc.load_packed(
+            np.asarray(lvl.term_hash), np.asarray(lvl.term_offset),
+            np.asarray(lvl.docid), np.asarray(lvl.tf), np.asarray(lvl.pos),
+            blob, lvl.doc_count,
+        )
+        ptr = np.load(path / "docptr.npy")
+        data = np.fromfile(path / "docs.bin", dtype=np.uint8)
+        l0.blobs = [
+            bytes(data[int(ptr[i]) : int(ptr[i + 1])])
+            for i in range(lvl.doc_count)
+        ]
+        for fid in facet_ids:
+            fp = path / f"facet_{fid}.npy"
+            if fp.exists():
+                l0.facet_values[fid] = np.load(fp).tolist()
+        return l0
+
+
 def facet_column(sf: SchemaField, values: list, n: int) -> np.ndarray:
     """Build a fixed-width facet column from per-doc values."""
     dtype = FACET_DTYPES[sf.field_type]
@@ -311,12 +418,18 @@ class Index:
 
         self._frequent_words = frequent_word_set(meta)
 
+        # native (C++) ingest path when the shared library is available
+        from . import native as native_mod
+
+        self._native = native_mod.available()
+        self._native_cfg = None
+
         self.shards: list[Shard] = []
         facet_ids = [sf.facet_id for sf in self.facet_fields]
         for s in range(shard_count):
             sp = self.path / f"shard_{s}"
             sh = Shard(s, sp, max(len(self.indexed_fields), 1), facet_ids)
-            sh.level0 = Level0(sh.n_fields, facet_ids)
+            sh.level0 = self._new_level0()
             sh.lexical = build_shard_lexical([], self.boosts_or_default())
             self.shards.append(sh)
 
@@ -330,6 +443,21 @@ class Index:
             for sh in self.shards:
                 sh.path.mkdir(parents=True, exist_ok=True)
             self.save_meta()
+
+    # ------------------------------------------------------------------
+    def _new_level0(self):
+        facet_ids = [f.facet_id for f in self.facet_fields]
+        n_fields = max(len(self.indexed_fields), 1)
+        if self._native:
+            return NativeLevel0(n_fields, facet_ids)
+        return Level0(n_fields, facet_ids)
+
+    def _get_native_cfg(self):
+        if self._native_cfg is None:
+            from .native import NativeConfig
+
+            self._native_cfg = NativeConfig(self)
+        return self._native_cfg
 
     # ------------------------------------------------------------------
     def boosts_or_default(self) -> np.ndarray:
@@ -367,7 +495,45 @@ class Index:
     def index_documents(self, docs: list[dict]) -> list[int]:
         return [self.index_document(d) for d in docs]
 
+    def _index_document_shard_native(self, shard: Shard, doc: dict) -> None:
+        """C++ fast path: tokenize + accumulate postings natively."""
+        field_texts = []
+        for sf in self.indexed_fields:
+            text = doc.get(sf.field)
+            if text is None:
+                text = ""
+            elif not isinstance(text, str):
+                text = json.dumps(text, ensure_ascii=False)
+            field_texts.append(text.encode())
+        if not field_texts:
+            field_texts = [b""]
+
+        facet_vals: dict[int, object] = {}
+        for sf in self.facet_fields:
+            v = doc.get(sf.field)
+            if v is not None and sf.field_type.is_string_facet:
+                v = self._facet_ordinal(sf, v)
+            facet_vals[sf.facet_id] = v
+        stored = {
+            sf.field: doc[sf.field]
+            for sf in self.schema
+            if sf.stored and sf.field in doc
+        }
+        blob = compress_doc(stored, self.meta.doc_compression)
+
+        with self._lock:
+            local = shard.level0.add_document_native(
+                self._get_native_cfg(), field_texts, facet_vals, blob
+            )
+            if self.vectors is not None:
+                self.vectors.ingest(shard.shard_id, local, doc)
+            self._device_dirty = True
+            if shard.level0.doc_count >= BLOCK_SIZE:
+                self._commit_shard(shard)
+
     def _index_document_shard(self, shard: Shard, doc: dict) -> None:
+        if self._native and isinstance(shard.level0, NativeLevel0):
+            return self._index_document_shard_native(shard, doc)
         term_fields: dict[str, list[list[int]]] = {}
         F = max(len(self.indexed_fields), 1)
         field_lengths = [0] * F
@@ -575,12 +741,22 @@ class Index:
         if lvl_path.exists():
             shutil.rmtree(lvl_path)
         l0.pack(lvl_path, self.facet_fields)
+        if isinstance(l0, NativeLevel0) and (
+            self.spell is not None or self.completions is not None
+        ):
+            d, c = l0.acc.drain_counts()
+            if self.spell is not None:
+                for t, cnt in d.items():
+                    self.spell.add(t, cnt)
+            if self.completions is not None:
+                for t, cnt in c.items():
+                    self.completions.add(t, cnt)
         if self.vectors is not None:
             self.vectors.pack_shard_level(shard, lvl_path, lvl_id)
         if l0.doc_count >= BLOCK_SIZE:
             shard.full_levels += 1
             shard.partial_on_disk = 0
-            shard.level0 = Level0(shard.n_fields, [f.facet_id for f in self.facet_fields])
+            shard.level0 = self._new_level0()
             if self.vectors is not None:
                 self.vectors.on_level_complete(shard)
         else:
@@ -641,19 +817,33 @@ class Index:
         avg = self._avg_len(shard)
         out: list[OracleTermPostings | None] = []
         dfs: list[int] = []
+        native = isinstance(l0, NativeLevel0)
         for h in hashes:
-            tp = l0.terms.get(h)
-            if tp is None:
-                out.append(None)
-                dfs.append(0)
-                continue
-            docids = np.asarray(tp.docids, dtype=np.int64)
+            if native:
+                hit = l0.acc.term_postings(h)
+                if hit is None:
+                    out.append(None)
+                    dfs.append(0)
+                    continue
+                docids_all, tfs_all = hit
+                docids = docids_all.astype(np.int64)
+                tp = None
+            else:
+                tp = l0.terms.get(h)
+                if tp is None:
+                    out.append(None)
+                    dfs.append(0)
+                    continue
+                docids = np.asarray(tp.docids, dtype=np.int64)
             sel = docids >= start
             dfs.append(int(sel.sum()))
             if not sel.any():
                 out.append(None)
                 continue
-            tf = np.asarray(tp.tfs, dtype=np.uint16).reshape(-1, F)[sel]
+            if native:
+                tf = tfs_all[sel]
+            else:
+                tf = np.asarray(tp.tfs, dtype=np.uint16).reshape(-1, F)[sel]
             dl = np.frombuffer(
                 b"".join(l0.doclen[i] for i in docids[sel]), dtype=np.uint8
             ).reshape(-1, F)
@@ -669,6 +859,10 @@ class Index:
         self, shard: Shard, h: int, tail_docid: int
     ) -> list[np.ndarray] | None:
         l0 = shard.level0
+        if isinstance(l0, NativeLevel0):
+            return l0.acc.term_doc_positions(
+                h, shard.partial_on_disk + tail_docid
+            )
         tp = l0.terms.get(h)
         if tp is None:
             return None
@@ -712,6 +906,10 @@ class Index:
                 for t in terms[1:]:
                     m.setdefault(t, set()).add(terms[0])
         self._synonym_map = m
+        if self._native and self._native_cfg is not None:
+            self._native_cfg.set_synonyms(m)
+        elif self._native:
+            self._get_native_cfg()
         self.save_meta()
 
     def add_synonyms(self, synonyms: list[dict]) -> None:
@@ -802,7 +1000,7 @@ class Index:
                             shutil.rmtree(child)
                         else:
                             child.unlink()
-                sh.level0 = Level0(sh.n_fields, facet_ids)
+                sh.level0 = self._new_level0()
                 sh.full_levels = 0
                 sh.partial_on_disk = 0
                 sh.deleted = set()
@@ -919,14 +1117,15 @@ def open_index(path) -> Index:
         if sh.partial_on_disk:
             lvl_id = sh.full_levels
             lvl = sh.lexical.levels[lvl_id]
-            sh.level0 = Level0.from_level(
+            cls = NativeLevel0 if idx._native else Level0
+            sh.level0 = cls.from_level(
                 lvl,
                 sh.path / f"level_{lvl_id}",
                 [f.facet_id for f in idx.facet_fields],
                 sh.n_fields,
             )
         else:
-            sh.level0 = Level0(sh.n_fields, [f.facet_id for f in idx.facet_fields])
+            sh.level0 = idx._new_level0()
     if meta.vector.enabled:
         from .vector_index import IndexVectors
 

@@ -1,0 +1,281 @@
+"""ctypes bindings for the native host library (native/seekstorm_native.cpp):
+tokenizer + level-0 posting accumulator.
+
+Falls back to the pure-Python path when the shared library is absent; build
+it with `make -C native` (generates Unicode tables from Python for
+tokenizer parity, then compiles libseekstorm_native.so).
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_TOKENIZER_IDS = {
+    "AsciiAlphabetic": 0,
+    "UnicodeAlphanumeric": 1,
+    "UnicodeAlphanumericFolded": 2,
+    "Whitespace": 3,
+    "WhitespaceLowercase": 4,
+    "UnicodeAlphanumericZH": 5,
+}
+_STEMMER_IDS = {"None": 0, "English": 1}
+
+
+def _find_lib() -> Path | None:
+    env = os.environ.get("SEEKSTORM_TPU_NATIVE_LIB")
+    if env:
+        return Path(env)
+    here = Path(__file__).resolve().parent.parent / "native"
+    p = here / "libseekstorm_native.so"
+    return p if p.exists() else None
+
+
+def load() -> C.CDLL | None:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("SEEKSTORM_TPU_NO_NATIVE"):
+        return None
+    path = _find_lib()
+    if path is None:
+        return None
+    try:
+        lib = C.CDLL(str(path))
+    except OSError:
+        return None
+    u8p = C.POINTER(C.c_uint8)
+    u16p = C.POINTER(C.c_uint16)
+    u64p = C.POINTER(C.c_uint64)
+    i32p = C.POINTER(C.c_int32)
+    i64p = C.POINTER(C.c_int64)
+
+    lib.st_cfg_new.restype = C.c_void_p
+    lib.st_cfg_new.argtypes = [C.c_int, C.c_int, C.c_int, u8p, C.c_int64,
+                               u8p, C.c_int64, C.c_uint64, C.c_uint64]
+    lib.st_cfg_free.argtypes = [C.c_void_p]
+    lib.st_cfg_set_synonyms.argtypes = [C.c_void_p, u8p, C.c_int64]
+    lib.st_accum_new.restype = C.c_void_p
+    lib.st_accum_new.argtypes = [C.c_int]
+    lib.st_accum_free.argtypes = [C.c_void_p]
+    lib.st_accum_doc_count.restype = C.c_int
+    lib.st_accum_doc_count.argtypes = [C.c_void_p]
+    lib.st_accum_add_doc.restype = C.c_int
+    lib.st_accum_add_doc.argtypes = [C.c_void_p, C.c_void_p, u8p, i64p, i32p]
+    lib.st_accum_stats.argtypes = [C.c_void_p, i64p, i64p, i64p]
+    lib.st_accum_pack.argtypes = [C.c_void_p, u64p, i64p, u16p, u16p, u16p]
+    lib.st_accum_terms_blob.restype = C.c_int64
+    lib.st_accum_terms_blob.argtypes = [C.c_void_p, u8p, C.c_int64]
+    lib.st_accum_dict_blob.restype = C.c_int64
+    lib.st_accum_dict_blob.argtypes = [C.c_void_p, u8p, C.c_int64]
+    lib.st_accum_completions_blob.restype = C.c_int64
+    lib.st_accum_completions_blob.argtypes = [C.c_void_p, u8p, C.c_int64]
+    lib.st_accum_clear_counts.argtypes = [C.c_void_p]
+    lib.st_accum_load.argtypes = [C.c_void_p, u64p, i64p, u16p, u16p, u16p,
+                                  u8p, C.c_int64, C.c_int32]
+    lib.st_accum_term_postings.restype = C.c_int64
+    lib.st_accum_term_postings.argtypes = [C.c_void_p, C.c_uint64, u16p,
+                                           u16p, C.c_int64]
+    lib.st_accum_term_doc_positions.restype = C.c_int64
+    lib.st_accum_term_doc_positions.argtypes = [C.c_void_p, C.c_uint64,
+                                                C.c_int32, u16p, u16p,
+                                                C.c_int64]
+    lib.st_tokenize_text.restype = C.c_int64
+    lib.st_tokenize_text.argtypes = [C.c_void_p, u8p, C.c_int64, u8p,
+                                     C.c_int64]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _u8(b: bytes):
+    return C.cast(C.c_char_p(b), C.POINTER(C.c_uint8))
+
+
+def _arr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(C.POINTER(ctype))
+
+
+class NativeConfig:
+    """Wraps StCfg: analyzer + n-gram + synonym config for the accumulator."""
+
+    def __init__(self, index):
+        lib = load()
+        self._lib = lib
+        meta = index.meta
+        stop = "\n".join(sorted(index.analyzer.stopwords)).encode()
+        freq = "\n".join(sorted(index._frequent_words)).encode()
+        dict_mask = 0
+        for fid in index._dict_field_ids:
+            dict_mask |= 1 << fid
+        comp_mask = 0
+        if index.completions is not None:
+            for sf in index.indexed_fields:
+                if sf.field in index._completion_fields:
+                    comp_mask |= 1 << sf.indexed_field_id
+        if index.spell is None:
+            dict_mask = 0
+        self._stop = stop
+        self._freq = freq
+        self.ptr = lib.st_cfg_new(
+            _TOKENIZER_IDS[meta.tokenizer.value],
+            _STEMMER_IDS[meta.stemmer.value],
+            meta.ngram_indexing if index._frequent_words else 0,
+            _u8(stop), len(stop), _u8(freq), len(freq),
+            dict_mask, comp_mask,
+        )
+        self.set_synonyms(index._synonym_map)
+
+    def set_synonyms(self, syn_map: dict[str, set]) -> None:
+        lib = self._lib
+        blob = "\n".join(
+            t + "\t" + "\t".join(sorted(s)) for t, s in syn_map.items()
+        ).encode()
+        self._syn = blob
+        lib.st_cfg_set_synonyms(self.ptr, _u8(blob), len(blob))
+
+    def tokenize(self, text: str) -> list[str]:
+        lib = self._lib
+        raw = text.encode()
+        n = lib.st_tokenize_text(self.ptr, _u8(raw), len(raw), None, 0)
+        if n <= 0:
+            return []
+        buf = np.zeros(n, np.uint8)
+        lib.st_tokenize_text(self.ptr, _u8(raw), len(raw),
+                             _arr(buf, C.c_uint8), n)
+        return buf.tobytes().decode().split("\n")[:-1]
+
+    def __del__(self):
+        try:
+            self._lib.st_cfg_free(self.ptr)
+        except Exception:
+            pass
+
+
+class NativeAccumulator:
+    """Wraps StAccum: the level-0 term/posting store in C++."""
+
+    def __init__(self, n_fields: int):
+        self.lib = load()
+        self.n_fields = n_fields
+        self.ptr = self.lib.st_accum_new(n_fields)
+
+    def __del__(self):
+        try:
+            self.lib.st_accum_free(self.ptr)
+        except Exception:
+            pass
+
+    def add_doc(self, cfg: NativeConfig, field_texts: list[bytes]) -> tuple[int, np.ndarray]:
+        blob = b"".join(field_texts)
+        offs = np.zeros(self.n_fields + 1, np.int64)
+        np.cumsum([len(t) for t in field_texts], out=offs[1:])
+        out_lens = np.zeros(self.n_fields, np.int32)
+        docid = self.lib.st_accum_add_doc(
+            self.ptr, cfg.ptr, _u8(blob), _arr(offs, C.c_int64),
+            _arr(out_lens, C.c_int32),
+        )
+        return docid, out_lens
+
+    def stats(self) -> tuple[int, int, int]:
+        t = C.c_int64()
+        p = C.c_int64()
+        x = C.c_int64()
+        self.lib.st_accum_stats(self.ptr, C.byref(t), C.byref(p), C.byref(x))
+        return t.value, p.value, x.value
+
+    def pack(self):
+        T, P, X = self.stats()
+        F = self.n_fields
+        hashes = np.zeros(T, np.uint64)
+        offsets = np.zeros(T + 1, np.int64)
+        docids = np.zeros(P, np.uint16)
+        tfs = np.zeros((P, F), np.uint16)
+        positions = np.zeros(X, np.uint16)
+        if T:
+            self.lib.st_accum_pack(
+                self.ptr, _arr(hashes, C.c_uint64), _arr(offsets, C.c_int64),
+                _arr(docids, C.c_uint16), _arr(tfs, C.c_uint16),
+                _arr(positions, C.c_uint16),
+            )
+        return hashes, offsets, docids, tfs, positions
+
+    def terms_blob(self) -> bytes:
+        n = self.lib.st_accum_terms_blob(self.ptr, None, 0)
+        if n <= 0:
+            return b""
+        buf = np.zeros(n, np.uint8)
+        self.lib.st_accum_terms_blob(self.ptr, _arr(buf, C.c_uint8), n)
+        return buf.tobytes()
+
+    def _counts_blob(self, fn) -> dict[str, int]:
+        n = fn(self.ptr, None, 0)
+        if n <= 0:
+            return {}
+        buf = np.zeros(n, np.uint8)
+        m = fn(self.ptr, _arr(buf, C.c_uint8), n)
+        out = {}
+        for line in buf.tobytes()[:m].decode().splitlines():
+            if "\t" in line:
+                t, c = line.rsplit("\t", 1)
+                out[t] = int(c)
+        return out
+
+    def drain_counts(self) -> tuple[dict, dict]:
+        d = self._counts_blob(self.lib.st_accum_dict_blob)
+        c = self._counts_blob(self.lib.st_accum_completions_blob)
+        self.lib.st_accum_clear_counts(self.ptr)
+        return d, c
+
+    def load_packed(self, hashes, offsets, docids, tfs, positions,
+                    terms_blob: bytes, doc_count: int) -> None:
+        hashes = np.ascontiguousarray(hashes, np.uint64)
+        offsets = np.ascontiguousarray(offsets, np.int64)
+        docids = np.ascontiguousarray(docids, np.uint16)
+        tfs = np.ascontiguousarray(tfs, np.uint16)
+        positions = np.ascontiguousarray(positions, np.uint16)
+        self.lib.st_accum_load(
+            self.ptr, _arr(hashes, C.c_uint64), _arr(offsets, C.c_int64),
+            _arr(docids, C.c_uint16), _arr(tfs, C.c_uint16),
+            _arr(positions, C.c_uint16), _u8(terms_blob), len(hashes),
+            doc_count,
+        )
+
+    def term_postings(self, h: int):
+        n = self.lib.st_accum_term_postings(self.ptr, C.c_uint64(h), None,
+                                            None, 0)
+        if n <= 0:
+            return None
+        docids = np.zeros(n, np.uint16)
+        tfs = np.zeros((n, self.n_fields), np.uint16)
+        self.lib.st_accum_term_postings(
+            self.ptr, C.c_uint64(h), _arr(docids, C.c_uint16),
+            _arr(tfs, C.c_uint16), n,
+        )
+        return docids, tfs
+
+    def term_doc_positions(self, h: int, docid: int):
+        tfs = np.zeros(self.n_fields, np.uint16)
+        buf = np.zeros(65536, np.uint16)
+        n = self.lib.st_accum_term_doc_positions(
+            self.ptr, C.c_uint64(h), docid, _arr(tfs, C.c_uint16),
+            _arr(buf, C.c_uint16), len(buf),
+        )
+        if n < 0:
+            return None
+        out = []
+        off = 0
+        for f in range(self.n_fields):
+            out.append(buf[off : off + int(tfs[f])].astype(np.int64))
+            off += int(tfs[f])
+        return out

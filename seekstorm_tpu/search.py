@@ -313,10 +313,16 @@ def _plan_shard(
         l0 = shard.level0
         start = shard.partial_on_disk
         n_docs += l0.doc_count - start
+        acc = getattr(l0, "acc", None)
         for v, sl in enumerate(slots):
-            tp = l0.terms.get(sl.hash)
-            if tp is not None:
-                df_total[v] += int(np.sum(np.asarray(tp.docids) >= start))
+            if acc is not None:
+                hit = acc.term_postings(sl.hash)
+                if hit is not None:
+                    df_total[v] += int(np.sum(hit[0] >= start))
+            else:
+                tp = l0.terms.get(sl.hash)
+                if tp is not None:
+                    df_total[v] += int(np.sum(np.asarray(tp.docids) >= start))
     idf = np.array(
         [idf_fn(n_docs, int(df_total[v])) if df_total[v] else 0.0 for v in range(V)],
         dtype=np.float32,

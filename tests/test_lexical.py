@@ -135,7 +135,7 @@ def make_docs(rng, n, vocab_size=60):
     return docs
 
 
-def assert_parity(index, bf, query, query_type, k=10, deleted=()):
+def assert_parity(index, bf, query, query_type, k=10, deleted=(), tol=5e-3):
     expected = bf.score(query, query_type, deleted=deleted)
     req = st.SearchRequest(
         query=query,
@@ -152,7 +152,7 @@ def assert_parity(index, bf, query, query_type, k=10, deleted=()):
     got = [(r.doc_id, r.score) for r in rs.results]
     assert len(got) == len(exp_sorted)
     for (gid, gs), (eid, es) in zip(got, exp_sorted):
-        assert abs(gs - es) < 5e-3 * max(1.0, abs(es)), (query, gid, gs, eid, es)
+        assert abs(gs - es) < tol * max(1.0, abs(es)), (query, gid, gs, eid, es)
     # ids may swap under near-ties; verify score ordering instead of exact ids
     got_ids = {g for g, _ in got}
     exp_ids = {e for e, _ in exp_sorted}

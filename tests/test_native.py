@@ -1,0 +1,140 @@
+"""Native (C++) host library parity: tokenizer must be bit-identical to the
+Python analyzer; native and Python ingestion must produce identical packed
+levels and identical search results."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+import seekstorm_tpu as st
+from seekstorm_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built"
+)
+
+
+UNICODE_SAMPLES = [
+    "Hello, World! Don't stop 123 café",
+    "Ærøskøbing œuvre ß STRASSE İstanbul",
+    "naïve résumé — em–dash…ellipsis",
+    "ᎠᎡᎢ ქართული 中文测试 日本語テスト 한국어",
+    "ℕ𝔸𝕋𝕌ℝ𝔸𝕃 ﬁﬂ ﬀ ligatures ½ ⅓ fractions",
+    "tabs\tnewlines\nand nbsp emspace",
+    "ZA̡͊͠͝LGΌ ISͮ̂҉̯͈͕̹̘ TO͇̹̺ͅƝ̴ȳ̳",
+    "mixed1234numbers and_underscores_split",
+    "ΑΒΓΔΕ ελληνικά РУССКИЙ русский",
+    "ñ ç ü ö ä å ø æ þ ð",
+]
+
+
+def make_analyzer_pair(ttype, stemmer=st.StemmerType.Null,
+                       stop=st.StopwordType.Null):
+    from seekstorm_tpu.tokenizer import Analyzer
+
+    class FakeIndex:
+        pass
+
+    idx = FakeIndex()
+    idx.meta = st.IndexMeta(tokenizer=ttype, stemmer=stemmer, stop_words=stop)
+    idx.analyzer = Analyzer(ttype, stemmer, stop)
+    idx._frequent_words = frozenset()
+    idx._dict_field_ids = []
+    idx.spell = None
+    idx.completions = None
+    idx._completion_fields = []
+    idx.indexed_fields = []
+    idx._synonym_map = {}
+    cfg = native.NativeConfig(idx)
+    return idx.analyzer, cfg
+
+
+@pytest.mark.parametrize("ttype", [
+    st.TokenizerType.AsciiAlphabetic,
+    st.TokenizerType.UnicodeAlphanumeric,
+    st.TokenizerType.UnicodeAlphanumericFolded,
+    st.TokenizerType.Whitespace,
+    st.TokenizerType.WhitespaceLowercase,
+])
+def test_tokenizer_parity(ttype):
+    analyzer, cfg = make_analyzer_pair(ttype)
+    for text in UNICODE_SAMPLES:
+        assert cfg.tokenize(text) == analyzer.analyze(text), (ttype, text)
+
+
+def test_tokenizer_parity_stemmer_stopwords():
+    analyzer, cfg = make_analyzer_pair(
+        st.TokenizerType.UnicodeAlphanumeric,
+        st.StemmerType.English, st.StopwordType.English,
+    )
+    texts = [
+        "the running dogs are relational caresses ponies",
+        "nationalization of the industries was controversial",
+    ]
+    for t in texts:
+        assert cfg.tokenize(t) == analyzer.analyze(t), t
+
+
+def test_ingestion_parity(tmp_path, rng, monkeypatch):
+    """Native and Python ingestion write byte-identical packed levels."""
+    from tests.test_lexical import make_docs, std_schema
+
+    docs = make_docs(rng, 120)
+
+    idx_n = st.create_index(tmp_path / "nat", std_schema())
+    assert idx_n._native
+    idx_n.index_documents(docs)
+    idx_n.commit()
+
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_NATIVE", "1")
+    native._TRIED = False
+    native._LIB = None
+    idx_p = st.create_index(tmp_path / "py", std_schema())
+    assert not idx_p._native
+    idx_p.index_documents(docs)
+    idx_p.commit()
+    native._TRIED = False
+    native._LIB = None
+
+    for f in ["term_hash.npy", "term_offset.npy", "docid.npy", "tf.npy",
+              "pos.npy", "doclen.npy"]:
+        a = (tmp_path / "nat" / "shard_0" / "level_0" / f).read_bytes()
+        b = (tmp_path / "py" / "shard_0" / "level_0" / f).read_bytes()
+        assert hashlib.md5(a).hexdigest() == hashlib.md5(b).hexdigest(), f
+
+
+def test_native_realtime_and_phrase(tmp_path, rng):
+    from tests.test_lexical import BruteForce, assert_parity, make_docs, std_schema
+
+    docs = make_docs(rng, 150)
+    idx = st.create_index(tmp_path / "ix", std_schema())
+    idx.index_documents(docs[:100])
+    idx.commit()
+    idx.index_documents(docs[100:])
+    bf = BruteForce(idx, docs)
+    # 2% tolerance: the engine (like the reference, commit.rs:321) updates
+    # the average doc length only at commit, while the brute-force oracle
+    # averages over all docs including the uncommitted tail
+    assert_parity(idx, bf, "w001 w004", "Union", tol=2e-2)
+    assert_parity(idx, bf, "w002 w003", "Intersection", tol=2e-2)
+    assert_parity(idx, bf, "w001 w002", "Phrase", tol=2e-2)
+
+
+def test_native_synonyms_and_ngrams(tmp_path):
+    meta = st.IndexMeta(ngram_indexing=1 | 2, frequent_words=st.FrequentwordType.English)
+    idx = st.create_index(
+        tmp_path / "ix",
+        [st.SchemaField("t", st.FieldType.Text, stored=True, indexed=True)],
+        meta=meta,
+        synonyms=[{"terms": ["car", "automobile"], "multiway": True}],
+    )
+    assert idx._native
+    idx.index_documents([{"t": "the car of the year"}, {"t": "a bike"}])
+    idx.commit()
+    r = idx.search(st.SearchRequest(query="automobile"))
+    assert [x.doc_id for x in r.results] == [0]
+    r = idx.search(st.SearchRequest(query='"the car"'))
+    assert [x.doc_id for x in r.results] == [0]
+    r = idx.search(st.SearchRequest(query='"car of the year"'))
+    assert [x.doc_id for x in r.results] == [0]
