@@ -65,8 +65,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100_000)
     ap.add_argument("--vocab", type=int, default=30_000)
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--threads", type=int, default=8)
     ap.add_argument("--shards", type=int, default=1)
     args = ap.parse_args()
 
@@ -94,24 +95,37 @@ def main() -> None:
         idx.commit()
         commit_s = time.time() - t0
 
-        qs = make_queries(args.batch, rng)
-        union_reqs = [
-            st.SearchRequest(
-                query=q, length=10, result_type=st.ResultType.Topk,
-                realtime=False,
-                query_type_default=st.QueryType(t),
-            )
-            for q, t in qs
-        ]
-        # warmup (compiles)
-        for _ in range(3):
-            st.search_batch(idx, union_reqs)
+        # pipelined serving: N worker threads each issuing batches — host
+        # planning overlaps device execution and tunnel round trips
+        import threading
+
+        req_sets = []
+        for t in range(args.threads):
+            qs = make_queries(args.batch, np.random.default_rng(100 + t))
+            req_sets.append([
+                st.SearchRequest(
+                    query=q, length=10, result_type=st.ResultType.Topk,
+                    realtime=False, query_type_default=st.QueryType(ty),
+                )
+                for q, ty in qs
+            ])
+        for r in req_sets:  # warmup compiles
+            st.search_batch(idx, r)
+
+        def worker(reqs):
+            for _ in range(args.iters):
+                st.search_batch(idx, reqs)
+
         t0 = time.time()
-        for _ in range(args.iters):
-            st.search_batch(idx, union_reqs)
+        threads = [threading.Thread(target=worker, args=(r,))
+                   for r in req_sets]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
         dt = time.time() - t0
-        qps = args.batch * args.iters / dt
-        lat_ms = dt / args.iters * 1e3
+        qps = args.threads * args.batch * args.iters / dt
+        lat_ms = dt / (args.iters * args.threads) * 1e3
 
         print(
             f"# corpus={args.docs} docs gen={gen_s:.1f}s "
