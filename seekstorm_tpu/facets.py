@@ -91,12 +91,39 @@ class FacetRuntime:
         sf = self.field(qf.field)
         col = self.column(sf)
         if qf.ranges is not None:
+            if sf.field_type == FieldType.Point:
+                # distance buckets from a base point (reference Ranges::Point)
+                if qf.ranges.base is None:
+                    raise ValueError("Point ranges require a base point")
+                dcol = geo.point_distance(
+                    col, float(qf.ranges.base[0]), float(qf.ranges.base[1])
+                )
+                if qf.ranges.unit == "Miles":
+                    dcol = dcol * 0.621371192
+                col = dcol
             bounds = np.array([float(r[1]) for r in qf.ranges.ranges])
             labels = [r[0] for r in qf.ranges.ranges]
             # bucket 0 = below first bound; bucket i = [bounds[i-1], bounds[i])
             codes = np.searchsorted(bounds, col, side="right").astype(np.int32)
             labels = ["_below"] + labels
             n_codes = len(labels)
+        elif sf.field_type in (FieldType.StringSet16, FieldType.StringSet32):
+            # codes are SET ordinals; expansion to per-value counts happens
+            # at result assembly (reference string_set_to_single_term_id)
+            codes = col.astype(np.int32)
+            sets = getattr(self.index, "_facet_set_tables", {}).get(
+                sf.facet_id, {(): 0}
+            )
+            tab = getattr(self.index, "_facet_tables", {}).get(
+                sf.facet_id, {"": 0}
+            )
+            rev = {v: k for k, v in tab.items()}
+            set_members = [()] * len(sets)
+            for members, so in sets.items():
+                if so < len(set_members):
+                    set_members[so] = tuple(rev.get(m, str(m)) for m in members)
+            labels = ("__SETS__", set_members)
+            n_codes = max(len(sets), 1)
         elif sf.field_type.is_string_facet:
             codes = col.astype(np.int32)
             tab = getattr(self.index, "_facet_tables", {}).get(sf.facet_id, {"": 0})
@@ -138,7 +165,19 @@ class FacetRuntime:
             sf = self.field(f.field)
             col = self.column(sf)
             if f.values is not None:
-                if sf.field_type.is_string_facet:
+                if sf.field_type in (FieldType.StringSet16,
+                                     FieldType.StringSet32):
+                    # allowed set ordinals = sets containing any given value
+                    tab = getattr(self.index, "_facet_tables", {}).get(
+                        sf.facet_id, {"": 0}
+                    )
+                    want = {tab.get(str(v), -1) for v in f.values}
+                    sets = getattr(self.index, "_facet_set_tables", {}).get(
+                        sf.facet_id, {(): 0}
+                    )
+                    vals = [so for members, so in sets.items()
+                            if want & set(members)]
+                elif sf.field_type.is_string_facet:
                     tab = getattr(self.index, "_facet_tables", {}).get(
                         sf.facet_id, {"": 0}
                     )

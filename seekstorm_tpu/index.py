@@ -640,6 +640,26 @@ class Index:
         if tables is None:
             tables = self._facet_tables = {}
         tab = tables.setdefault(sf.facet_id, {"": 0})
+        if sf.field_type in (FieldType.StringSet16, FieldType.StringSet32):
+            # string SETS: the column stores an ordinal per distinct value
+            # combination (reference string_set_to_single_term_id); counting
+            # expands set ordinals to per-value counts at assembly
+            if not isinstance(value, (list, tuple, set)):
+                value = [value]
+            members = []
+            for v in value:
+                v = str(v)
+                if v not in tab:
+                    tab[v] = len(tab)
+                members.append(tab[v])
+            key = tuple(sorted(set(members)))
+            sets = getattr(self, "_facet_set_tables", None)
+            if sets is None:
+                sets = self._facet_set_tables = {}
+            stab = sets.setdefault(sf.facet_id, {(): 0})
+            if key not in stab:
+                stab[key] = len(stab)
+            return stab[key]
         if isinstance(value, list):
             value = value[0] if value else ""
         v = str(value)
@@ -1099,9 +1119,18 @@ def open_index(path) -> Index:
     ft_path = path / "facet_tables.json"
     if ft_path.exists():
         with open(ft_path) as f:
-            idx._facet_tables = {
-                int(k): v for k, v in json.load(f).items()
+            raw = json.load(f)
+        if "values" in raw:
+            idx._facet_tables = {int(k): v for k, v in raw["values"].items()}
+            idx._facet_set_tables = {
+                int(k): {
+                    tuple(int(x) for x in m.split(",") if x): v
+                    for m, v in t.items()
+                }
+                for k, t in raw.get("sets", {}).items()
             }
+        else:  # legacy format
+            idx._facet_tables = {int(k): v for k, v in raw.items()}
     for sh in idx.shards:
         sj = sh.path / "shard.json"
         if sj.exists():
@@ -1136,5 +1165,15 @@ def open_index(path) -> Index:
 
 def _save_facet_tables(idx: Index) -> None:
     tables = getattr(idx, "_facet_tables", {})
+    sets = getattr(idx, "_facet_set_tables", {})
     with open(idx.path / "facet_tables.json", "w") as f:
-        json.dump({str(k): v for k, v in tables.items()}, f)
+        json.dump(
+            {
+                "values": {str(k): v for k, v in tables.items()},
+                "sets": {
+                    str(k): {",".join(map(str, m)): v for m, v in t.items()}
+                    for k, t in sets.items()
+                },
+            },
+            f,
+        )

@@ -57,10 +57,14 @@ class SearchMode(str, enum.Enum):
 
 @dataclass
 class Ranges:
-    """Named numeric ranges for a range facet (reference search.rs:390)."""
+    """Named numeric/geo ranges for a range facet (reference search.rs:388-420
+    Ranges enum + RangeType :220-228)."""
 
     field: str
-    ranges: list  # list of (label, start) — bucket i is [start_i, start_{i+1})
+    ranges: list                 # [(label, start)] — bucket i is [start_i, start_{i+1})
+    range_type: str = "CountWithinRange"  # | CountAboveRange | CountBelowRange
+    base: object = None          # Point ranges: (lat, lon) base for distance buckets
+    unit: str = "Kilometers"
 
 
 @dataclass
@@ -787,12 +791,34 @@ def _finalize_lexical(index, requests, results, live, live_specs, slots,
         if facet_specs and fc_total is not None:
             rs.facets = {}
             for fi, (qf, labels, nc) in enumerate(facet_specs):
-                vec = fc_total[fi, bi, :nc]
-                nz = np.flatnonzero(vec)
-                pairs = sorted(
-                    ((labels[c] if labels else int(c), int(vec[c])) for c in nz),
-                    key=lambda kv: (-kv[1], str(kv[0])),
-                )[: qf.length]
+                vec = fc_total[fi, bi, :nc].copy()
+                if qf.ranges is not None and qf.ranges.range_type != \
+                        "CountWithinRange":
+                    # cumulative range counts (reference RangeType
+                    # search.rs:220-228, cumulation search.rs:3660-3764)
+                    if qf.ranges.range_type == "CountAboveRange":
+                        vec = np.cumsum(vec[::-1])[::-1]
+                    elif qf.ranges.range_type == "CountBelowRange":
+                        vec = np.cumsum(vec)
+                if isinstance(labels, tuple) and labels and \
+                        labels[0] == "__SETS__":
+                    # StringSet: expand set-ordinal histogram to value counts
+                    set_members = labels[1]
+                    vcounts: dict[str, int] = {}
+                    for so in np.flatnonzero(vec):
+                        if so < len(set_members):
+                            for v in set_members[so]:
+                                vcounts[v] = vcounts.get(v, 0) + int(vec[so])
+                    pairs = sorted(
+                        vcounts.items(), key=lambda kv: (-kv[1], str(kv[0]))
+                    )[: qf.length]
+                else:
+                    nz = np.flatnonzero(vec)
+                    pairs = sorted(
+                        ((labels[c] if labels else int(c), int(vec[c]))
+                         for c in nz),
+                        key=lambda kv: (-kv[1], str(kv[0])),
+                    )[: qf.length]
                 rs.facets[qf.field] = pairs
         _attach_docs(index, requests[qi], rs)
         results[qi] = rs
@@ -894,10 +920,21 @@ def _merge_tail(
         if with_counts:
             counts[qi] += int(matched.sum())
         if facet_specs and fc_total is not None:
+            from .schema import FieldType as FT2
+
             for fi, (qf, labels, nc) in enumerate(facet_specs):
                 sf = index.schema_map[qf.field]
                 col = _tail_col(qf.field)
                 if qf.ranges is not None:
+                    if sf.field_type == FT2.Point:
+                        from . import geo as geo_mod
+
+                        col = geo_mod.point_distance(
+                            col, float(qf.ranges.base[0]),
+                            float(qf.ranges.base[1]),
+                        )
+                        if qf.ranges.unit == "Miles":
+                            col = col * 0.621371192
                     bounds = np.array([float(r[1]) for r in qf.ranges.ranges])
                     codes = np.searchsorted(bounds, col, side="right")
                 else:

@@ -79,6 +79,16 @@ class IndexVectors:
         for i, sf in enumerate(self.vector_fields):
             sf.vector_field_id = i
         self.shards = [ShardVectors() for _ in index.shards]
+        self.model = None
+        from .schema import InferenceType
+
+        if self.cfg.inference in (InferenceType.Model2Vec,
+                                  InferenceType.Model2VecCustom):
+            from .inference import Model2Vec
+
+            self.model = Model2Vec.load(self.cfg.model)
+            if self.cfg.dim == 0:
+                self.cfg.dim = self.model.dim
 
     # ------------------------------------------------------------------
     def ingest(self, shard_id: int, level_local_docid: int, doc: dict) -> None:
@@ -89,7 +99,14 @@ class IndexVectors:
             val = doc.get(sf.field)
             if val is None:
                 continue
-            vecs = self._as_vectors(val)
+            if self.model is not None and isinstance(val, str):
+                # internal inference: chunk + embed (reference vector.rs:561)
+                from .inference import chunk_text
+
+                chunks = chunk_text(val, self.cfg.chunk_size)
+                vecs = list(self.model.encode(chunks)) if chunks else []
+            else:
+                vecs = self._as_vectors(val)
             for ci, v in enumerate(vecs):
                 sv.level0.append(
                     (level_local_docid, sf.vector_field_id, ci, v)

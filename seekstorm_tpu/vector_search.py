@@ -55,11 +55,23 @@ def vector_search_batch(index: Index, requests) -> list:
     vc = index.meta.vector
     B = len(requests)
     req0 = requests[0]
+    model = index.vectors.model if index.vectors else None
     if any(r.query_vector is None for r in requests):
-        raise ValueError(
-            "vector search requires query_vector (internal Model2Vec "
-            "inference is not yet wired)"
-        )
+        if model is None:
+            raise ValueError(
+                "vector search requires query_vector (or an index with "
+                "Model2Vec inference to embed the query string)"
+            )
+        # embed query strings with the index's Model2Vec model
+        missing = [i for i, r in enumerate(requests) if r.query_vector is None]
+        embs = model.encode([requests[i].query for i in missing])
+        import dataclasses as _dc
+
+        requests = list(requests)
+        for j, i in enumerate(missing):
+            requests[i] = _dc.replace(requests[i],
+                                      query_vector=embs[j].tolist())
+        req0 = requests[0]
     xp, qb = _quantize_queries(index, requests)
     euclidean = vc.similarity == VectorSimilarity.Euclidean
 

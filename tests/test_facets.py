@@ -187,3 +187,79 @@ def test_facets_after_delete(tmp_index_dir, rng):
         if g != victim:
             expected[d["brand"]] = expected.get(d["brand"], 0) + 1
     assert dict(rs.facets["brand"]) == expected
+
+
+def test_stringset_facet(tmp_index_dir, rng):
+    schema2 = [
+        st.SchemaField("text", st.FieldType.Text, stored=True, indexed=True),
+        st.SchemaField("tags", st.FieldType.StringSet16, stored=True, facet=True),
+    ]
+    idx = st.create_index(tmp_index_dir, schema2, shard_count=2)
+    docs = [
+        {"text": "common a", "tags": ["red", "blue"]},
+        {"text": "common b", "tags": ["red"]},
+        {"text": "common c", "tags": ["green", "blue"]},
+        {"text": "common d", "tags": ["green"]},
+        {"text": "common e", "tags": ["red", "green", "blue"]},
+    ]
+    idx.index_documents(docs)
+    idx.commit()
+    rs = idx.search(st.SearchRequest(
+        query="common", query_facets=[st.QueryFacet(field="tags")]))
+    got = dict(rs.facets["tags"])
+    assert got == {"red": 3, "blue": 3, "green": 3}
+    # set-membership filter
+    rs = idx.search(st.SearchRequest(
+        query="common",
+        facet_filter=[st.FacetFilter(field="tags", values=["blue"])]))
+    assert rs.result_count_total == 3
+    assert {r.doc_id for r in rs.results} == {0, 2, 4}
+    # tail doc counts too
+    idx.index_documents([{"text": "common f", "tags": ["blue"]}])
+    rs = idx.search(st.SearchRequest(
+        query="common", query_facets=[st.QueryFacet(field="tags")]))
+    assert dict(rs.facets["tags"])["blue"] == 4
+
+
+def test_range_count_modes(tmp_index_dir, rng):
+    idx, docs = build(tmp_index_dir, rng, n=100)
+    within = st.Ranges(field="price",
+                       ranges=[("low", 0), ("mid", 100), ("high", 300)])
+    above = st.Ranges(field="price",
+                      ranges=[("low", 0), ("mid", 100), ("high", 300)],
+                      range_type="CountAboveRange")
+    below = st.Ranges(field="price",
+                      ranges=[("low", 0), ("mid", 100), ("high", 300)],
+                      range_type="CountBelowRange")
+    rw = idx.search(st.SearchRequest(
+        query="common", query_facets=[st.QueryFacet(field="price", ranges=within)]))
+    ra = idx.search(st.SearchRequest(
+        query="common", query_facets=[st.QueryFacet(field="price", ranges=above)]))
+    rb = idx.search(st.SearchRequest(
+        query="common", query_facets=[st.QueryFacet(field="price", ranges=below)]))
+    w = dict(rw.facets["price"])
+    a = dict(ra.facets["price"])
+    b = dict(rb.facets["price"])
+    assert a["low"] == w.get("low", 0) + w.get("mid", 0) + w.get("high", 0)
+    assert a["high"] == w.get("high", 0)
+    assert b["high"] == w.get("low", 0) + w.get("mid", 0) + w.get("high", 0)
+    assert b["low"] == w.get("low", 0)
+
+
+def test_geo_distance_ranges(tmp_index_dir, rng):
+    idx, docs = build(tmp_index_dir, rng, n=80)
+    base = [50.0, 0.0]
+    ranges = st.Ranges(field="loc", base=base,
+                       ranges=[("near", 0), ("far", 300)])
+    rs = idx.search(st.SearchRequest(
+        query="common",
+        query_facets=[st.QueryFacet(field="loc", ranges=ranges)]))
+    got = dict(rs.facets["loc"])
+    from seekstorm_tpu.geo import euclidian_distance
+
+    exp = {"near": 0, "far": 0}
+    for d in docs:
+        dist = euclidian_distance(d["loc"][0], d["loc"][1], *base)
+        exp["near" if dist < 300 else "far"] += 1
+    exp = {k: v for k, v in exp.items() if v}
+    assert got == exp
