@@ -691,6 +691,7 @@ class Index:
             shard._dev = None
             self._device_dirty = True
             self._facet_runtime_dirty = True
+            self._warmup_cache = {}
             self._save_deletes(shard)
 
     def delete_documents(self, ids: list[int]) -> None:
@@ -703,6 +704,7 @@ class Index:
                 touched.add(shard.shard_id)
         if touched:
             self._device_dirty = True
+            self._warmup_cache = {}
             for sid in touched:
                 self.shards[sid]._dev = None
                 self._save_deletes(self.shards[sid])
@@ -743,6 +745,8 @@ class Index:
             for sh in self.shards:
                 self._commit_shard(sh)
             self.save_meta()
+            if self._frequent_words:
+                self.warmup()
             _save_facet_tables(self)
             if self.spell is not None:
                 self.spell.save(self.path / "dictionary.csv")
@@ -989,6 +993,38 @@ class Index:
                 result.append((g, doc))
             return result
         return out
+
+    # ------------------------------------------------------------------
+    def warmup(self, k: int = 1000, batch: int = 256) -> None:
+        """Precompute cached results for every frequent word present in the
+        index (reference warmup index.rs:4006-4058, invoked from commit
+        commit.rs:148): top-k doc ids + scores + exact counts, served to
+        single-term queries without touching the scoring kernel."""
+        from .search import ResultType, SearchRequest, search_batch
+
+        present = []
+        for w in sorted(self._frequent_words):
+            h = term_hash(w)
+            if any(sh.lexical.directory is not None
+                   and sh.lexical.directory.lookup(h) >= 0
+                   for sh in self.shards):
+                present.append(w)
+        cache: dict[int, tuple] = {}
+        for i in range(0, len(present), batch):
+            chunk = present[i : i + batch]
+            reqs = [
+                SearchRequest(query=w, length=k, realtime=False,
+                              result_type=ResultType.TopkCount)
+                for w in chunk
+            ]
+            for w, rs in zip(chunk, search_batch(self, reqs)):
+                cache[term_hash(w)] = (
+                    np.array([r.score for r in rs.results], np.float32),
+                    np.array([r.doc_id for r in rs.results], np.int64),
+                    rs.result_count_total,
+                )
+        self._warmup_cache = cache
+        self._warmup_k = k
 
     # ------------------------------------------------------------------
     def attach_mesh(self, mesh=None) -> None:

@@ -574,11 +574,38 @@ def _lexical_search_batch(
 
     results: list[ResultSet | None] = [None] * len(requests)
     live: list[int] = []
+    warm = getattr(index, "_warmup_cache", None) or {}
+    warm_k = getattr(index, "_warmup_k", 0)
     for i, (r, spec) in enumerate(zip(requests, specs)):
         if not r.query.strip():
             results[i] = _empty_query_results(index, r)
         elif not spec.weights:
             results[i] = ResultSet()
+        elif (
+            warm
+            and len(spec.weights) == 1
+            and not spec.phrases
+            and not any(spec.negated.values())
+            and not r.query_facets and not r.facet_filter
+            and not r.result_sort
+            and r.offset + r.length <= warm_k
+            and (not r.realtime
+                 or all(sh.tail_len() == 0 for sh in index.shards))
+            and slots[next(iter(spec.weights))].hash in warm
+        ):
+            # frequent-word cached result (reference warmup index.rs:4006)
+            scores, gids, total = warm[slots[next(iter(spec.weights))].hash]
+            rs = ResultSet()
+            rs.result_count_total = int(total)
+            pg = slice(r.offset, r.offset + r.length)
+            rs.results = [
+                ResultObject(doc_id=int(g), score=float(sc))
+                for sc, g in zip(scores[pg], gids[pg])
+            ]
+            rs.result_count = len(rs.results)
+            rs.query_terms = [slots[s2].term for s2 in spec.weights]
+            _attach_docs(index, r, rs)
+            results[i] = rs
         else:
             live.append(i)
     if not live:

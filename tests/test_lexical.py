@@ -329,3 +329,25 @@ def test_multi_block(tmp_index_dir, rng):
         or ("w07" in (d["title"] + " " + d["body"]).split())
     )
     assert rs.result_count_total == expected
+
+
+def test_warmup_cache(tmp_index_dir, rng):
+    meta = st.IndexMeta(frequent_words=st.FrequentwordType.Custom,
+                        custom_frequent_words=("w000", "w001"))
+    docs = make_docs(rng, 150)
+    idx = st.create_index(tmp_index_dir, std_schema(), meta=meta)
+    idx.index_documents(docs)
+    idx.commit()
+    assert idx._warmup_cache and len(idx._warmup_cache) == 2
+    bf = BruteForce(idx, docs)
+    exp = bf.score("w000", "Union")
+    rs = idx.search(st.SearchRequest(query="w000"))
+    assert rs.result_count_total == len(exp)
+    top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [r.doc_id for r in rs.results] == [g for g, _ in top]
+    # uncached multi-term still works
+    assert_parity(idx, bf, "w000 w002", "Union")
+    # tail present + realtime -> cache bypassed, results stay correct
+    idx.index_documents(make_docs(rng, 10))
+    rs2 = idx.search(st.SearchRequest(query="w000", realtime=True))
+    assert rs2.result_count_total >= rs.result_count_total
