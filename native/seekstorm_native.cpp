@@ -65,6 +65,13 @@ inline bool is_alnum(uint32_t cp) {
     return (st_alnum_bits[cp >> 3] >> (cp & 7)) & 1;
 }
 
+inline bool is_cjk(uint32_t cp) {
+    return (cp >= 0x2E80 && cp <= 0x2EFF) || (cp >= 0x3000 && cp <= 0x303F) ||
+           (cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+           (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0xF900 && cp <= 0xFAFF) ||
+           (cp >= 0x20000 && cp <= 0x2A6DF);
+}
+
 inline bool is_space(uint32_t cp) {
     switch (cp) {
         case 0x09: case 0x0A: case 0x0B: case 0x0C: case 0x0D: case 0x20:
@@ -287,6 +294,7 @@ void tokenize(const StCfg& cfg, const uint8_t* text, int64_t len,
     const bool lower_ws = cfg.tokenizer == 4;
     const bool ascii_alpha = cfg.tokenizer == 0;
     const bool folded = cfg.tokenizer == 2;
+    const bool zh = cfg.tokenizer == 5;
 
     std::string tok;
     CPS cps;
@@ -334,6 +342,13 @@ void tokenize(const StCfg& cfg, const uint8_t* text, int64_t len,
             if (folded && (c2 == 0x27 || c2 == 0x2019 || c2 == 0x02BC))
                 continue;  // apostrophe strip (tokenizer.py _strip_apostrophes)
             if (is_alnum(c2) && c2 != '_') {
+                if (zh && is_cjk(c2)) {
+                    // character-level CJK fallback segmentation
+                    flush();
+                    utf8_append(tok, c2); cps.push_back(c2);
+                    flush();
+                    continue;
+                }
                 uint32_t low[3];
                 int nl = folded ? (low[0] = c2, 1) : to_lower(c2, low);
                 // folded table already lowercases

@@ -74,6 +74,36 @@ def _strip_apostrophes(token: str) -> str:
     return token.translate({ord(c): None for c in _APOSTROPHES})
 
 
+_CJK_RANGES = (
+    (0x2E80, 0x2EFF), (0x3000, 0x303F), (0x3040, 0x30FF), (0x3400, 0x4DBF),
+    (0x4E00, 0x9FFF), (0xF900, 0xFAFF), (0x20000, 0x2A6DF),
+)
+
+
+def _is_cjk(cp: int) -> bool:
+    return any(a <= cp <= b for a, b in _CJK_RANGES)
+
+
+def _split_cjk_chars(tokens: list[str]) -> list[str]:
+    """Character-level CJK fallback segmentation: CJK runs emit one token
+    per character (until the dictionary-based Triangular-Matrix segmenter
+    lands, reference word_segmentation.rs:23)."""
+    out: list[str] = []
+    for tok in tokens:
+        cur = ""
+        for ch in tok:
+            if _is_cjk(ord(ch)):
+                if cur:
+                    out.append(cur)
+                    cur = ""
+                out.append(ch)
+            else:
+                cur += ch
+        if cur:
+            out.append(cur)
+    return out
+
+
 def tokenize_text(text: str, ttype: TokenizerType) -> list[str]:
     """Split text into raw tokens according to the tokenizer type."""
     if ttype == TokenizerType.AsciiAlphabetic:
@@ -86,8 +116,10 @@ def tokenize_text(text: str, ttype: TokenizerType) -> list[str]:
         folded = fold_text(text)
         folded = _strip_apostrophes(folded)
         return [m.group(0).lower() for m in _RE_UNICODE_ALNUM.finditer(folded)]
-    # UnicodeAlphanumeric (+ ZH falls back to this until segmentation lands)
-    return [m.group(0).lower() for m in _RE_UNICODE_ALNUM.finditer(text)]
+    toks = [m.group(0).lower() for m in _RE_UNICODE_ALNUM.finditer(text)]
+    if ttype == TokenizerType.UnicodeAlphanumericZH:
+        toks = _split_cjk_chars(toks)
+    return toks
 
 
 # --------------------------------------------------------------------------

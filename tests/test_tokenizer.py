@@ -94,3 +94,9 @@ def test_smallfloat_roundtrip():
 def test_term_hash_stability():
     assert term_hash("hello") == term_hash("hello")
     assert term_hash("hello") != term_hash("world")
+
+
+def test_zh_character_fallback():
+    toks = tokenize_text("中文测试 english 日本語text",
+                         TokenizerType.UnicodeAlphanumericZH)
+    assert toks == ["中", "文", "测", "试", "english", "日", "本", "語", "text"]
