@@ -176,6 +176,10 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _route2(self, method, parts, q):
         ctx = self.ctx
+        if parts == ["openapi.json"] and method == "GET":
+            from .openapi import openapi_spec
+
+            return self._send(200, openapi_spec())
         if len(parts) >= 2 and parts[0] == "api":
             ver, rest = parts[1], parts[2:]
         else:
@@ -184,6 +188,11 @@ class _Handler(BaseHTTPRequestHandler):
         # GET /api/v1/live
         if ver == "v1" and rest == ["live"] and method == "GET":
             return self._send(200, {"status": "ok"})
+
+        if ver == "openapi.json" or (parts and parts[0] == "openapi.json"):
+            from .openapi import openapi_spec
+
+            return self._send(200, openapi_spec())
 
         # ---- apikey management (master key) ----
         if ver == "v1" and rest == ["apikey"]:
@@ -317,6 +326,32 @@ class _Handler(BaseHTTPRequestHandler):
                     else:
                         ix.add_synonyms(body)
                 return self._send(200, {"count": len(ix.synonyms)})
+            return self._err(405, "method not allowed")
+
+        if sub == "file":
+            if method == "POST":
+                raw = self._body()
+                try:
+                    from pypdf import PdfReader  # type: ignore
+                except ImportError:
+                    return self._err(
+                        501,
+                        "PDF ingestion requires the 'pypdf' package "
+                        "(not installed); the reference uses pdfium",
+                    )
+                import io as _io
+
+                reader = PdfReader(_io.BytesIO(raw))
+                text = "\n".join(
+                    page.extract_text() or "" for page in reader.pages
+                )
+                title = (reader.metadata.title
+                         if reader.metadata else None) or "document.pdf"
+                with ctx.lock:
+                    did = ix.index_document(
+                        {"title": title, "body": text}
+                    )
+                return self._send(200, did)
             return self._err(405, "method not allowed")
 
         if sub == "iterator":

@@ -201,3 +201,12 @@ def test_synonyms_applied_at_indexing(client):
     client.commit_index(iid)
     r = client.query(iid, {"query": "automobile"})
     assert r["count_total"] == 1 and r["results"][0]["_id"] == 0
+
+
+def test_openapi(client):
+    import urllib.request, json as _json
+
+    with urllib.request.urlopen(client.base + "/openapi.json") as r:
+        spec = _json.loads(r.read())
+    assert spec["openapi"].startswith("3.")
+    assert "/api/v1/index/{index_id}/query" in spec["paths"]
