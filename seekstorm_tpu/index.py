@@ -995,6 +995,53 @@ class Index:
         return out
 
     # ------------------------------------------------------------------
+    def info(self) -> dict:
+        """Index statistics (reference display_index_info ingest.rs:639)."""
+        import os as _os
+
+        def dir_size(p):
+            total = 0
+            for root, _, files in _os.walk(p):
+                for f in files:
+                    try:
+                        total += _os.path.getsize(_os.path.join(root, f))
+                    except OSError:
+                        pass
+            return total
+
+        postings = sum(len(sh.lexical.pl_docid) for sh in self.shards)
+        terms = sum(
+            len(sh.lexical.directory.hash) if sh.lexical.directory else 0
+            for sh in self.shards
+        )
+        vectors = 0
+        if self.vectors is not None:
+            vectors = sum(
+                sum(l.n for l in sv.levels) + len(sv.level0)
+                for sv in self.vectors.shards
+            )
+        return {
+            "id": self.meta.id,
+            "name": self.meta.name,
+            "shard_count": self.shard_count,
+            "indexed_doc_count": self.indexed_doc_count,
+            "committed_doc_count": self.committed_doc_count,
+            "deleted_doc_count": self.deleted_doc_count,
+            "current_doc_count": self.current_doc_count,
+            "term_count": int(terms),
+            "posting_count": int(postings),
+            "vector_count": int(vectors),
+            "levels": [
+                sh.full_levels + (1 if sh.partial_on_disk else 0)
+                for sh in self.shards
+            ],
+            "index_size_bytes": dir_size(self.path),
+            "tokenizer": self.meta.tokenizer.value,
+            "similarity": self.meta.similarity.value,
+            "access_type": self.meta.access_type.value,
+        }
+
+    # ------------------------------------------------------------------
     def warmup(self, k: int = 1000, batch: int = 256) -> None:
         """Precompute cached results for every frequent word present in the
         index (reference warmup index.rs:4006-4058, invoked from commit

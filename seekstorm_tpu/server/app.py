@@ -289,15 +289,9 @@ class _Handler(BaseHTTPRequestHandler):
                 ix.close()
                 return self._send(200, {"closed": True})
             if method == "GET":     # info
-                return self._send(200, {
-                    "id": iid,
-                    "name": ix.meta.name,
-                    "schema": [schema_field_to_api(sf) for sf in ix.schema],
-                    "indexed_doc_count": ix.indexed_doc_count,
-                    "committed_doc_count": ix.committed_doc_count,
-                    "deleted_doc_count": ix.deleted_doc_count,
-                    "shard_count": ix.shard_count,
-                })
+                info = ix.info()
+                info["schema"] = [schema_field_to_api(sf) for sf in ix.schema]
+                return self._send(200, info)
             return self._err(405, "method not allowed")
 
         if sub == "query":

@@ -16,6 +16,7 @@ HELP = """commands:
   create <name>                 create a demo index under the master demo key
   ingest <path> [index_id]      ingest a local file (ndjson/json/csv) into an index
   ingestsift <dir> [index_id]   build a SIFT vector index from fvecs files
+  info <index_id>               show index statistics
   search <index_id> <query...>  run a lexical search
   searchsift <dir> <index_id> [nprobe]   recall@10 harness against SIFT ground truth
   delete <index_id>             delete an index
@@ -121,6 +122,13 @@ def handle_command(server, line: str, demo_hash=None) -> bool:
         nprobe = int(args[2]) if len(args) > 2 else 16
         recall, lat_us = search_sift(ak.index_list[iid], args[0], nprobe)
         print(f"recall@10={recall*100:.2f}%  avg={lat_us:.0f}µs  nprobe={nprobe}")
+        return True
+    if cmd == "info":
+        import json as _json
+
+        ak = _first_apikey(server)
+        iid = int(args[0])
+        print(_json.dumps(ak.index_list[iid].info(), indent=1))
         return True
     if cmd == "search":
         from ..search import SearchRequest
