@@ -529,7 +529,10 @@ class Index:
                 self.vectors.ingest(shard.shard_id, local, doc)
             self._device_dirty = True
             if shard.level0.doc_count >= BLOCK_SIZE:
-                self._commit_shard(shard)
+                # bulk-ingest fast path: pack the full level but defer the
+                # O(levels) directory/HBM rebuild until the next search or
+                # explicit commit
+                self._commit_shard(shard, reload=False)
 
     def _index_document_shard(self, shard: Shard, doc: dict) -> None:
         if self._native and isinstance(shard.level0, NativeLevel0):
@@ -632,7 +635,7 @@ class Index:
                 self.vectors.ingest(shard.shard_id, local, doc)
             self._device_dirty = True
             if shard.level0.doc_count >= BLOCK_SIZE:
-                self._commit_shard(shard)
+                self._commit_shard(shard, reload=False)
 
     # string facet ordinals (per facet field string table)
     def _facet_ordinal(self, sf: SchemaField, value) -> int:
@@ -740,6 +743,13 @@ class Index:
     # ------------------------------------------------------------------
     # commit (reference commit.rs:50-258)
 
+    def ensure_loaded(self) -> None:
+        """Apply any deferred level reloads (bulk-ingest fast path)."""
+        with self._lock:
+            for sh in self.shards:
+                if getattr(sh, "_needs_reload", False):
+                    self._reload_shard(sh)
+
     def commit(self) -> None:
         with self._lock:
             for sh in self.shards:
@@ -755,10 +765,11 @@ class Index:
             if self.vectors is not None:
                 self.vectors.commit()
 
-    def _commit_shard(self, shard: Shard) -> None:
+    def _commit_shard(self, shard: Shard, reload: bool = True) -> None:
         l0 = shard.level0
         if l0.doc_count == 0:
-            self._reload_shard(shard)
+            if reload and getattr(shard, "_needs_reload", False):
+                self._reload_shard(shard)
             return
         lvl_id = shard.full_levels
         lvl_path = shard.path / f"level_{lvl_id}"
@@ -793,7 +804,10 @@ class Index:
                 },
                 f,
             )
-        self._reload_shard(shard)
+        if reload:
+            self._reload_shard(shard)
+        else:
+            shard._needs_reload = True
 
     def _reload_shard(self, shard: Shard) -> None:
         """Rebuild committed structures (host + device inputs) from disk."""
@@ -819,6 +833,7 @@ class Index:
                     cols.append(np.load(fp, mmap_mode="r" if mmap else None))
             if cols:
                 shard.facet_cols[sf.facet_id] = np.concatenate(cols)
+        shard._needs_reload = False
         if self.vectors is not None:
             self.vectors.reload_shard(shard)
         self._device_dirty = True

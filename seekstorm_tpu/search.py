@@ -488,6 +488,7 @@ def search_batch(index: Index, requests: list[SearchRequest]) -> list[ResultSet]
 
     All requests must share the same settings except the query string /
     query vector (the batch maps to one device launch)."""
+    index.ensure_loaded()
     t0 = time.perf_counter()
     req0 = requests[0]
     out: list[ResultSet] = []
