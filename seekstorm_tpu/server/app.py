@@ -176,6 +176,16 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _route2(self, method, parts, q):
         ctx = self.ctx
+        if not parts and method == "GET":
+            from .webui import INDEX_HTML
+
+            data = INDEX_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return
         if parts == ["openapi.json"] and method == "GET":
             from .openapi import openapi_spec
 
@@ -188,11 +198,6 @@ class _Handler(BaseHTTPRequestHandler):
         # GET /api/v1/live
         if ver == "v1" and rest == ["live"] and method == "GET":
             return self._send(200, {"status": "ok"})
-
-        if ver == "openapi.json" or (parts and parts[0] == "openapi.json"):
-            from .openapi import openapi_spec
-
-            return self._send(200, openapi_spec())
 
         # ---- apikey management (master key) ----
         if ver == "v1" and rest == ["apikey"]:

@@ -210,3 +210,11 @@ def test_openapi(client):
         spec = _json.loads(r.read())
     assert spec["openapi"].startswith("3.")
     assert "/api/v1/index/{index_id}/query" in spec["paths"]
+
+
+def test_web_ui_served(client):
+    import urllib.request
+
+    with urllib.request.urlopen(client.base + "/") as r:
+        html = r.read().decode()
+    assert "seekstorm-tpu" in html and "<script>" in html
