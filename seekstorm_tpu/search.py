@@ -544,24 +544,171 @@ def search_batch(index: Index, requests: list[SearchRequest]) -> list[ResultSet]
 
 
 def _empty_query_results(index: Index, req: SearchRequest) -> ResultSet:
-    """Empty-query browse path (reference search.rs:1413 -> iterator.rs)."""
+    """Empty-query browse path (reference search.rs:1413 -> iterator.rs):
+    supports facet_filter, query_facets and result_sort over all docs
+    (reference enable_empty_query semantics)."""
     rs = ResultSet()
-    total = index.current_doc_count
-    rs.result_count_total = total
-    ids: list[int] = []
-    g = 0
-    skipped = 0
-    while g < index.docid_global and len(ids) < req.length:
-        shard = index.shards[g % index.shard_count]
-        local = g // index.shard_count
-        if local < shard.doc_count and local not in shard.deleted:
-            if skipped >= req.offset:
-                ids.append(g)
-            else:
-                skipped += 1
-        g += 1
-    rs.results = [ResultObject(doc_id=i, score=0.0) for i in ids]
+    index.ensure_loaded()
+
+    # match-all mask over all docs (committed + tail), host columnar
+    from . import facets as facets_mod
+
+    rt = facets_mod.get_runtime(index) if (
+        req.facet_filter or req.query_facets or req.result_sort
+    ) else None
+
+    gids = []
+    keep = []
+    for shard in index.shards:
+        n = shard.doc_count
+        local = np.arange(n, dtype=np.int64)
+        mask = np.ones(n, dtype=bool)
+        if shard.deleted:
+            dl = np.fromiter(shard.deleted, dtype=np.int64)
+            dl = dl[dl < n]
+            mask[dl] = False
+        if rt is not None and req.facet_filter:
+            allowed = rt.filter_mask(req.facet_filter)
+            if allowed is not None:
+                am = allowed[shard.shard_id]
+                committed = min(n, shard.committed_doc_count, am.shape[0])
+                mask[:committed] &= am[local[:committed]]
+                # tail docs: evaluate from level-0 values
+                for li in range(committed, n):
+                    ok = True
+                    for f in req.facet_filter:
+                        sf = index.schema_map[f.field]
+                        vals = shard.level0.facet_values.get(sf.facet_id, [])
+                        ti = li - shard.full_levels * BLOCK_SIZE
+                        v = vals[ti] if 0 <= ti < len(vals) else None
+                        if f.values is not None:
+                            if sf.field_type.is_string_facet:
+                                tab = getattr(index, "_facet_tables", {}).get(
+                                    sf.facet_id, {"": 0})
+                                want = {tab.get(str(x), -1) for x in f.values}
+                                sets = getattr(index, "_facet_set_tables",
+                                               {}).get(sf.facet_id)
+                                if sets is not None:
+                                    members = next(
+                                        (m for m, so in sets.items()
+                                         if so == v), ())
+                                    ok &= bool(want & set(members))
+                                else:
+                                    ok &= v in want
+                            else:
+                                ok &= v in [float(x) for x in f.values]
+                        elif f.range is not None and v is not None:
+                            lo, hi = f.range
+                            ok &= lo <= v <= hi
+                        else:
+                            ok &= v is not None
+                    if not ok:
+                        mask[li] = False
+        sel = local[mask]
+        gids.append(sel * index.shard_count + shard.shard_id)
+        keep.append((shard, sel))
+    all_gids = np.concatenate(gids) if gids else np.zeros(0, np.int64)
+    rs.result_count_total = int(len(all_gids))
+
+    # ordering: docid asc by default, or result_sort keys
+    if rt is not None and req.result_sort:
+        rs0 = req.result_sort[0]
+        key = rt.sort_key(rs0)  # [S, N]
+        kvals = np.zeros(len(all_gids), np.float32)
+        pos = 0
+        for shard, sel in keep:
+            committed_cols = key.shape[1]
+            kv = np.zeros(len(sel), np.float32)
+            inb = sel < committed_cols
+            kv[inb] = key[shard.shard_id, sel[inb]]
+            kvals[pos : pos + len(sel)] = kv
+            pos += len(sel)
+        order = np.lexsort((all_gids, -kvals if rs0.order != "Ascending"
+                            else kvals))
+        all_gids = all_gids[order]
+        kvals = kvals[order]
+    else:
+        order = np.argsort(all_gids, kind="stable")
+        all_gids = all_gids[order]
+        kvals = None
+
+    page = all_gids[req.offset : req.offset + req.length]
+    if kvals is not None:
+        pk = kvals[req.offset : req.offset + req.length]
+        rs.results = [ResultObject(doc_id=int(g), score=float(v))
+                      for g, v in zip(page, pk)]
+    else:
+        rs.results = [ResultObject(doc_id=int(g), score=0.0) for g in page]
     rs.result_count = len(rs.results)
+
+    # facet counting over all matching docs
+    if rt is not None and req.query_facets:
+        rs.facets = {}
+        for qf in req.query_facets:
+            codes, labels, nc = rt.codes_for(qf)
+            sf = index.schema_map[qf.field]
+            vec = np.zeros(max(nc, 1), np.float64)
+            for shard, sel in keep:
+                committed = shard.committed_doc_count
+                inb = sel[sel < committed]
+                c = codes[shard.shard_id, inb]
+                np.add.at(vec, np.clip(c, 0, nc - 1), 1)
+                # tail docs: codes from level-0 facet values
+                tail_sel = sel[sel >= committed]
+                if len(tail_sel):
+                    vals = shard.level0.facet_values.get(sf.facet_id, [])
+                    base2 = shard.full_levels * BLOCK_SIZE
+                    raw = [vals[g - base2] if 0 <= g - base2 < len(vals)
+                           else None for g in tail_sel]
+                    if qf.ranges is not None:
+                        from .schema import FieldType as FT3
+
+                        if sf.field_type == FT3.Point:
+                            from . import geo as geo_mod
+
+                            lat = np.array([v[0] if v else 0.0 for v in raw])
+                            lon = np.array([v[1] if v else 0.0 for v in raw])
+                            code_col = geo_mod.point_distance(
+                                geo_mod.encode_morton_2_d(lat, lon),
+                                float(qf.ranges.base[0]),
+                                float(qf.ranges.base[1]))
+                            if qf.ranges.unit == "Miles":
+                                code_col = code_col * 0.621371192
+                        else:
+                            code_col = np.array(
+                                [0 if v is None else v for v in raw],
+                                np.float64)
+                        bounds = np.array([float(r[1])
+                                           for r in qf.ranges.ranges])
+                        cc = np.searchsorted(bounds, code_col, side="right")
+                    else:
+                        cc = np.array([0 if v is None else int(v)
+                                       for v in raw], np.int64)
+                    np.add.at(vec, np.clip(cc, 0, nc - 1), 1)
+            if qf.ranges is not None and qf.ranges.range_type != \
+                    "CountWithinRange":
+                if qf.ranges.range_type == "CountAboveRange":
+                    vec = np.cumsum(vec[::-1])[::-1]
+                else:
+                    vec = np.cumsum(vec)
+            if isinstance(labels, tuple) and labels and labels[0] == "__SETS__":
+                set_members = labels[1]
+                vcounts = {}
+                for so in np.flatnonzero(vec):
+                    if so < len(set_members):
+                        for v in set_members[so]:
+                            vcounts[v] = vcounts.get(v, 0) + int(vec[so])
+                pairs = sorted(vcounts.items(),
+                               key=lambda kv2: (-kv2[1], str(kv2[0])))
+            else:
+                nz = np.flatnonzero(vec)
+                pairs = sorted(
+                    ((labels[c2] if labels else int(c2), int(vec[c2]))
+                     for c2 in nz),
+                    key=lambda kv2: (-kv2[1], str(kv2[0])),
+                )
+            rs.facets[qf.field] = pairs[: qf.length]
+
     _attach_docs(index, req, rs)
     return rs
 
@@ -806,6 +953,25 @@ def _finalize_lexical(index, requests, results, live, live_specs, slots,
         if sorting:
             # device rank = key (desc) or -key (asc); report the real key
             vals = scores if sort_desc else -scores
+            # multi-key tie-breaking over the candidate window (reference
+            # result_ordering_root min_heap.rs:56-545): sub-sort ties of the
+            # primary key by the remaining sort fields using host columns
+            sort_fields = requests[qi].result_sort
+            if len(sort_fields) > 1 and len(gids):
+                from . import facets as facets_mod
+
+                rt2 = facets_mod.get_runtime(index)
+                keys = [(-vals if sort_fields[0].order != "Ascending"
+                         else vals)]
+                for rs_f in sort_fields[1:]:
+                    col = np.zeros(len(gids), np.float32)
+                    for row, g in enumerate(gids):
+                        v = rt2.raw_value(rs_f.field, int(g))
+                        col[row] = 0.0 if v is None else float(v)
+                    keys.append(-col if rs_f.order != "Ascending" else col)
+                keys.append(gids)
+                order2 = np.lexsort(tuple(reversed(keys)))
+                vals, gids = vals[order2], gids[order2]
             rs.results = [
                 ResultObject(doc_id=int(g), score=float(v))
                 for v, g in zip(vals[page], gids[page])

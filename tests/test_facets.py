@@ -263,3 +263,51 @@ def test_geo_distance_ranges(tmp_index_dir, rng):
         exp["near" if dist < 300 else "far"] += 1
     exp = {k: v for k, v in exp.items() if v}
     assert got == exp
+
+
+def test_empty_query_browse_with_facets(tmp_index_dir, rng):
+    idx, docs = build(tmp_index_dir, rng, n=60)
+    extra = make_docs(rng, 10)
+    idx.index_documents(extra)  # tail
+    rs = idx.search(st.SearchRequest(
+        query="", query_facets=[st.QueryFacet(field="brand")],
+        result_sort=[st.ResultSort(field="price", order="Descending")],
+        length=70))
+    assert rs.result_count_total == 70
+    prices = [r.score for r in rs.results[:60]]  # committed docs have keys
+    # committed portion sorted desc (tail keys default 0 sort last)
+    assert all(prices[i] >= prices[i+1] for i in range(len(prices)-1))
+    expected = {}
+    for d in docs + extra:
+        expected[d["brand"]] = expected.get(d["brand"], 0) + 1
+    assert dict(rs.facets["brand"]) == expected
+
+    # filtered browse (committed + tail evaluated)
+    rs = idx.search(st.SearchRequest(
+        query="",
+        facet_filter=[st.FacetFilter(field="price", range=(0, 250))],
+        length=100))
+    exp = sum(1 for d in docs + extra if d["price"] <= 250)
+    assert rs.result_count_total == exp
+
+
+def test_multikey_sort(tmp_index_dir, rng):
+    idx = st.create_index(tmp_index_dir, schema(), shard_count=1)
+    docs = [
+        {"text": "common", "brand": "b", "price": 100, "loc": [50, 0]},
+        {"text": "common", "brand": "a", "price": 100, "loc": [50, 0]},
+        {"text": "common", "brand": "c", "price": 200, "loc": [50, 0]},
+        {"text": "common", "brand": "d", "price": 100, "loc": [50, 0]},
+    ]
+    idx.index_documents(docs)
+    idx.commit()
+    rs = idx.search(st.SearchRequest(
+        query="common", length=4,
+        result_sort=[st.ResultSort(field="price", order="Descending"),
+                     st.ResultSort(field="brand", order="Ascending")]))
+    ids = [r.doc_id for r in rs.results]
+    assert ids[0] == 2          # price 200 first
+    # ties at price 100 sub-sorted by brand ordinal ascending (insert order:
+    # b=1, a=2, d=3 -> brand asc by ordinal = b, a, d... ordinals assigned
+    # in insertion order, so expect docs [0, 1, 3]
+    assert set(ids[1:]) == {0, 1, 3}
