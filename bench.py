@@ -109,7 +109,10 @@ def main() -> None:
                 )
                 for q, ty in qs
             ])
-        for r in req_sets:  # warmup compiles
+        # warmup compiles: all sets share padded plan shapes, so warming the
+        # first set compiles for everyone; one cheap pass for the rest
+        st.search_batch(idx, req_sets[0])
+        for r in req_sets[1:]:
             st.search_batch(idx, r)
 
         def worker(reqs):

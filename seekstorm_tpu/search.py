@@ -456,25 +456,6 @@ def _device_arrays(index: Index, shard: Shard):
     return cache
 
 
-def _pad_plan(plan: _ShardPlan, nb_pad: int, v_pad: int) -> _ShardPlan:
-    NB, V = plan.seg_len.shape
-    if nb_pad == NB and v_pad == V:
-        return plan
-    bi = np.full(nb_pad, -1, np.int32)
-    bi[:NB] = plan.block_ids
-    so = np.zeros((nb_pad, v_pad), np.int32)
-    sl = np.zeros((nb_pad, v_pad), np.int32)
-    so[:NB, :V] = plan.seg_off
-    sl[:NB, :V] = plan.seg_len
-    B = plan.W.shape[0]
-    W = np.zeros((B, v_pad), np.float32)
-    W[:, :V] = plan.W
-    M = np.zeros((B, v_pad), np.float32)
-    M[:, :V] = plan.Mreq
-    return _ShardPlan(bi, so, sl, W, M, plan.nreq, plan.P_max, plan.full,
-                      plan.ub_unscored, plan.idf, plan.n_cand_blocks)
-
-
 # ---------------------------------------------------------------------------
 # public entry points
 
