@@ -119,6 +119,7 @@ class ShardLexical:
     directory: TermDirectory | None = None
     pl_docid: np.ndarray | None = None   # u16[P] concatenated
     pl_tf: np.ndarray | None = None      # u16[P, F]
+    pl_impact: np.ndarray | None = None  # f32[P] default-boost impacts
     comp: np.ndarray | None = None       # f32[n_blocks*BLOCK_SIZE, F]
     avg_len: float = 0.0
     doc_count: int = 0                   # committed docs in this shard
@@ -160,6 +161,7 @@ def build_shard_lexical(
         F = len(boosts)
         sh.pl_docid = np.zeros(0, np.uint16)
         sh.pl_tf = np.zeros((0, F), np.uint16)
+        sh.pl_impact = np.zeros(0, np.float32)
         sh.comp = np.zeros((0, F), np.float32)
         sh.level_post_base = np.zeros(1, np.int64)
         return sh
@@ -215,18 +217,22 @@ def build_shard_lexical(
     np.cumsum(counts, out=seg_start[1:])
     df = np.add.reduceat(seg_len.astype(np.int64), first_idx)
 
-    # per-(level, term) max impact, computed per level then reordered
+    # per-posting default-boost impacts (stored for the Pallas decode fast
+    # path) + per-(level, term) max impact, computed per level then reordered
     seg_max = np.zeros(len(order), dtype=np.float32)
+    pl_impact = np.zeros(len(sh.pl_docid), dtype=np.float32)
     for i, l in enumerate(levels):
         if len(l.docid) == 0:
             continue
         comps_l = comp[i * BLOCK_SIZE + l.docid.astype(np.int64)]
         imp = term_impacts(np.asarray(l.tf), comps_l, boosts)
+        pl_impact[base[i] : base[i + 1]] = imp
         starts = np.asarray(l.term_offset[:-1], dtype=np.int64)
         # reduceat over term segments (term_offset has no empty segments)
         mx = np.maximum.reduceat(imp, starts) if len(starts) else np.zeros(0, np.float32)
         m = sh_level == i
         seg_max[m] = mx[sh_local[m]]
+    sh.pl_impact = pl_impact
 
     sh.directory = TermDirectory(
         hash=uniq_hash,

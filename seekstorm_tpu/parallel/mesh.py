@@ -81,60 +81,171 @@ def score_shards_stacked(
     return mts, mgid, counts
 
 
+def _pack_plan(bi, so, sl, W, M, nr, bst):
+    """Pack the per-batch plan into ONE [S, L] i32 buffer (row per shard):
+    per-transfer latency through the TPU tunnel dominates, so the whole
+    plan ships as a single host->device upload, and the per-shard rows
+    shard cleanly over the mesh axis."""
+    S = bi.shape[0]
+    rows = []
+    for s in range(S):
+        rows.append(np.concatenate([
+            bi[s].reshape(-1),
+            so[s].reshape(-1),
+            sl[s].reshape(-1),
+            W[s].reshape(-1).view(np.int32),
+            M[s].reshape(-1).view(np.int32),
+            nr[s].reshape(-1),
+            bst.reshape(-1).view(np.int32),
+        ]))
+    return np.stack(rows)
+
+
+def _unpack_plan(row, NB, V, B, F):
+    """Device-side unpack of one shard's plan row (inside jit)."""
+    sizes = [NB, NB * V, NB * V, B * V, B * V, B, V * F]
+    offs = np.cumsum([0] + sizes)
+    bi = row[offs[0]:offs[1]]
+    so = row[offs[1]:offs[2]].reshape(NB, V)
+    sl = row[offs[2]:offs[3]].reshape(NB, V)
+    W = jax.lax.bitcast_convert_type(
+        row[offs[3]:offs[4]], jnp.float32).reshape(B, V)
+    M = jax.lax.bitcast_convert_type(
+        row[offs[4]:offs[5]], jnp.float32).reshape(B, V)
+    nr = row[offs[5]:offs[6]]
+    bst = jax.lax.bitcast_convert_type(
+        row[offs[6]:offs[7]], jnp.float32).reshape(V, F)
+    return bi, so, sl, W, M, nr, bst
+
+
+def _pack_result(ts, gid, cnt, fc):
+    """Two result buffers (f32: scores|facets, i32: gids|counts) — a single
+    device_get sync fetches both.  (Bitcasting small ints through f32 is
+    unsafe: the values are denormals and get flushed to zero.)"""
+    B = ts.shape[0]
+    f32_part = jnp.concatenate(
+        [ts, jnp.transpose(fc, (1, 0, 2)).reshape(B, -1)], axis=1)
+    i32_part = jnp.concatenate([gid, cnt[:, None]], axis=1)
+    return f32_part, i32_part
+
+
+_SCAN_STATICS = dict()
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "S", "shard_id", "NB", "V", "B", "F",
         "P_max", "k", "with_counts", "n_facets", "facet_codes_max",
         "use_sort_key", "sort_desc",
     ),
 )
-def scan_shards_stacked(
+def scan_one_shard(
     pl_docid, pl_tf, comp, deleted,
-    block_ids, seg_off, seg_len, W, Mreq, nreq, boosts,
-    facet_codes,   # i32[S, n_facets, N] (dummy when n_facets == 0)
-    sort_key,      # f32[S, N]           (dummy when not use_sort_key)
+    plan_buf, facet_codes, sort_key,
     *,
-    P_max: int,
-    k: int,
-    with_counts: bool,
-    n_facets: int,
-    facet_codes_max: int,
-    use_sort_key: bool,
-    sort_desc: bool,
+    S: int, shard_id: int, NB: int, V: int, B: int, F: int,
+    P_max: int, k: int, with_counts: bool, n_facets: int,
+    facet_codes_max: int, use_sort_key: bool, sort_desc: bool,
 ):
-    """General stacked scan: scoring/sorting + counts + facet histograms,
-    merged across the shard axis on device."""
+    """One shard's scan (no batch dims — vmap-batched gather/scatter lowers
+    catastrophically on TPU). Returns (ts, gid, cnt, fc) device arrays."""
     from ..ops.lexical import lexical_scan
 
-    S = pl_docid.shape[0]
-    ts, ti, cnt, fc = jax.vmap(
-        lambda pd, pt, cp, dl, bi, so, sl, w, m, nr, fcod, skey: lexical_scan(
-            pd, pt, cp, dl, bi, so, sl, w, m, nr, boosts, fcod, skey,
-            P_max=P_max, k=k, with_counts=with_counts, n_facets=n_facets,
-            facet_codes_max=facet_codes_max, use_sort_key=use_sort_key,
-            sort_desc=sort_desc,
-        )
-    )(pl_docid, pl_tf, comp, deleted, block_ids, seg_off, seg_len, W, Mreq,
-      nreq, facet_codes, sort_key)
-    shard_ids = jnp.arange(S, dtype=jnp.int32)[:, None, None]
-    gid = ti * S + shard_ids
-    B = ts.shape[1]
-    ts_t = jnp.transpose(ts, (1, 0, 2)).reshape(B, S * k)
-    gid_t = jnp.transpose(gid, (1, 0, 2)).reshape(B, S * k)
+    bi, so, sl, W, M, nr, bst = _unpack_plan(plan_buf, NB, V, B, F)
+    ts, ti, cnt, fc = lexical_scan(
+        pl_docid, pl_tf, comp, deleted,
+        bi, so, sl, W, M, nr, bst,
+        facet_codes, sort_key,
+        P_max=P_max, k=k, with_counts=with_counts, n_facets=n_facets,
+        facet_codes_max=facet_codes_max, use_sort_key=use_sort_key,
+        sort_desc=sort_desc,
+    )
+    gid = ti * S + shard_id
+    return ts, gid, cnt, fc
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def merge_shard_results(ts_all, gid_all, cnt_all, fc_all, *, k: int):
+    """[n, B, k] per-shard results -> merged packed result buffer."""
+    n, B, _ = ts_all.shape
+    ts_t = jnp.transpose(ts_all, (1, 0, 2)).reshape(B, n * k)
+    gid_t = jnp.transpose(gid_all, (1, 0, 2)).reshape(B, n * k)
     mts, sel = jax.lax.top_k(ts_t, k)
     mgid = jnp.take_along_axis(gid_t, sel, axis=1)
-    counts = jnp.sum(cnt, axis=0, dtype=jnp.int32)
-    fcounts = jnp.sum(fc, axis=0)  # [n_facets, B, FCM]
-    return mts, mgid, counts, fcounts
+    counts = jnp.sum(cnt_all, axis=0, dtype=jnp.int32)
+    fcounts = jnp.sum(fc_all, axis=0)
+    return _pack_result(mts, mgid, counts, fcounts)
+
+
+def make_sharded_scan(mesh, statics):
+    """shard_map program for a mesh: each device scans its own shard with
+    NO batch dims, then merges via all_gather/psum over ICI."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.lexical import lexical_scan
+
+    S = statics["S"]
+
+    def body(pl_docid, pl_tf, comp, deleted, plan_buf, facet_codes, sort_key):
+        # per-device slices carry a leading axis of size 1 — squeeze it
+        bi, so, sl, W, M, nr, bst = _unpack_plan(
+            plan_buf[0], statics["NB"], statics["V"], statics["B"],
+            statics["F"])
+        ts, ti, cnt, fc = lexical_scan(
+            pl_docid[0], pl_tf[0], comp[0], deleted[0],
+            bi, so, sl, W, M, nr, bst,
+            facet_codes[0], sort_key[0],
+            P_max=statics["P_max"], k=statics["k"],
+            with_counts=statics["with_counts"], n_facets=statics["n_facets"],
+            facet_codes_max=statics["facet_codes_max"],
+            use_sort_key=statics["use_sort_key"],
+            sort_desc=statics["sort_desc"],
+        )
+        sid = jax.lax.axis_index("shards")
+        gid = ti * S + sid
+        # ICI collectives: gather every shard's top-k, merge on device
+        ts_all = jax.lax.all_gather(ts, "shards")    # [S, B, k]
+        gid_all = jax.lax.all_gather(gid, "shards")
+        cnt_sum = jax.lax.psum(cnt, "shards")
+        fc_sum = jax.lax.psum(fc, "shards")
+        B = ts.shape[0]
+        k = statics["k"]
+        ts_t = jnp.transpose(ts_all, (1, 0, 2)).reshape(B, S * k)
+        gid_t = jnp.transpose(gid_all, (1, 0, 2)).reshape(B, S * k)
+        mts, sel = jax.lax.top_k(ts_t, k)
+        mgid = jnp.take_along_axis(gid_t, sel, axis=1)
+        f32_part, i32_part = _pack_result(mts, mgid, cnt_sum, fc_sum)
+        return f32_part[None], i32_part[None]
+
+    P_ = P
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P_("shards"),) * 7,
+        out_specs=(P_("shards"), P_("shards")),
+        check_rep=False,
+    )
+    return jax.jit(lambda *a: tuple(x[0] for x in fn(*a)))
 
 
 class StackedIndex:
-    """Stacked + (optionally) mesh-sharded device tensors for all shards."""
+    """Device tensors + executor for all shards.
+
+    Two execution modes:
+      * single-device (mesh=None): per-shard UNSTACKED arrays (no padding
+        waste), a jitted per-shard scan, and an on-device cross-shard merge
+        — per-shard results never leave the device until the final packed
+        fetch;
+      * mesh: arrays stacked [S, ...] and sharded over Mesh(("shards",)),
+        one shard_map program per plan-shape with all_gather/psum merges
+        over ICI.
+    """
 
     def __init__(self, index, mesh: Mesh | None = None):
         self.index = index
         self.mesh = mesh
         self._aux_cache: dict = {}
+        self._sharded_fns: dict = {}
         self.build()
 
     def _put_row(self, x):
@@ -157,38 +268,52 @@ class StackedIndex:
         idx = self.index
         S = idx.shard_count
         F = max(len(idx.indexed_fields), 1)
-        P_pad = 1
-        NB_pad = 1
-        for sh in idx.shards:
-            P_pad = max(P_pad, ceil_pow2(max(len(sh.lexical.pl_docid), 1), 128))
-            NB_pad = max(NB_pad, max(sh.lexical.n_blocks, 1))
-        pl_docid = np.zeros((S, P_pad), np.uint16)
-        pl_tf = np.zeros((S, P_pad, F), np.uint16)
-        comp = np.ones((S, NB_pad * BLOCK_SIZE, F), np.float32)
-        deleted = np.zeros((S, NB_pad * BLOCK_SIZE), bool)
-        for s, sh in enumerate(idx.shards):
+        NB_pad = max(max(sh.lexical.n_blocks for sh in idx.shards), 1)
+        self.NB_pad = NB_pad
+        N = NB_pad * BLOCK_SIZE
+
+        def shard_arrays(sh):
             lex = sh.lexical
-            p = len(lex.pl_docid)
-            pl_docid[s, :p] = lex.pl_docid
-            pl_tf[s, :p] = lex.pl_tf
+            p = max(len(lex.pl_docid), 1)
+            pd = np.zeros(p, np.uint16)
+            pt = np.zeros((p, F), np.uint16)
+            pd[: len(lex.pl_docid)] = lex.pl_docid
+            pt[: len(lex.pl_tf)] = lex.pl_tf
+            cp = np.ones((N, F), np.float32)
             if lex.comp is not None and len(lex.comp):
-                comp[s, : len(lex.comp)] = lex.comp
+                cp[: len(lex.comp)] = lex.comp
+            dl = np.zeros(N, bool)
             if sh.deleted:
                 ids = np.fromiter(sh.deleted, dtype=np.int64)
-                ids = ids[ids < NB_pad * BLOCK_SIZE]
-                deleted[s, ids] = True
+                ids = ids[ids < N]
+                dl[ids] = True
+            return pd, pt, cp, dl
 
-        if self.mesh is not None:
-            row = NamedSharding(self.mesh, P("shards"))
-            put = lambda x: jax.device_put(x, row)
+        if self.mesh is None:
+            self.per_shard = []
+            for sh in idx.shards:
+                pd, pt, cp, dl = shard_arrays(sh)
+                self.per_shard.append(tuple(jnp.asarray(x)
+                                            for x in (pd, pt, cp, dl)))
         else:
-            put = jnp.asarray
-        self.pl_docid = put(pl_docid)
-        self.pl_tf = put(pl_tf)
-        self.comp = put(comp)
-        self.deleted = put(deleted)
-        self.NB_pad = NB_pad
-        self.P_pad = P_pad
+            P_pad = max(
+                ceil_pow2(max(len(sh.lexical.pl_docid), 1), 128)
+                for sh in idx.shards
+            )
+            pl_docid = np.zeros((S, P_pad), np.uint16)
+            pl_tf = np.zeros((S, P_pad, F), np.uint16)
+            comp = np.ones((S, N, F), np.float32)
+            deleted = np.zeros((S, N), bool)
+            for s, sh in enumerate(idx.shards):
+                pd, pt, cp, dl = shard_arrays(sh)
+                pl_docid[s, : len(pd)] = pd
+                pl_tf[s, : len(pt)] = pt
+                comp[s] = cp
+                deleted[s] = dl
+            self.pl_docid = self._put_row(pl_docid)
+            self.pl_tf = self._put_row(pl_tf)
+            self.comp = self._put_row(comp)
+            self.deleted = self._put_row(deleted)
 
     def run(self, plans, boosts, k: int, with_counts: bool,
             fcod_dev=None, facet_codes_max: int = 1,
@@ -203,7 +328,7 @@ class StackedIndex:
         S = self.index.shard_count
         nb = max(max((p.seg_len.shape[0] for p in plans if p is not None),
                      default=1), 1)
-        nb = ceil_pow2(nb, 4)
+        nb = ceil_pow2(nb, 1)
         v = max(max((p.seg_len.shape[1] for p in plans if p is not None),
                     default=1), 1)
         v = ceil_pow2(v, 8)
@@ -229,32 +354,64 @@ class StackedIndex:
             nr[s] = p.nreq
         bst = np.zeros((v, boosts.shape[0]), np.float32)
         bst[:] = boosts[None, :]
-
-        put = self._put_row
-
-        deleted = self.deleted
-        if allowed_dev is not None:
-            deleted = _merge_deleted(self.deleted, allowed_dev)
-
-        n_facets = 0
-        fcod = jnp.zeros((S, 1, 1), jnp.int32)
-        if fcod_dev is not None:
-            fcod = fcod_dev
-            n_facets = fcod.shape[1]
-        skey = jnp.zeros((S, 1), jnp.float32)
+        F = bst.shape[1]
+        n_facets = int(fcod_dev.shape[1]) if fcod_dev is not None else 0
         use_sort = skey_dev is not None
-        if use_sort:
-            skey = skey_dev
+        plan_rows = _pack_plan(bi, so, sl, W, M, nr, bst)
 
-        ts, gid, cnt, fcounts = scan_shards_stacked(
-            self.pl_docid, self.pl_tf, self.comp, deleted,
-            put(bi), put(so), put(sl), put(W), put(M), put(nr),
-            jnp.asarray(bst), fcod, skey,
-            P_max=P_max, k=k, with_counts=with_counts,
-            n_facets=n_facets, facet_codes_max=facet_codes_max,
-            use_sort_key=use_sort, sort_desc=sort_desc,
-        )
-        return jax.device_get((ts, gid, cnt, fcounts))  # one D2H sync
+        if self.mesh is None:
+            plan_dev = jnp.asarray(plan_rows)  # ONE upload
+            results = []
+            for s in range(S):
+                pd, pt, cp, dl = self.per_shard[s]
+                if allowed_dev is not None:
+                    dl = _merge_deleted(dl, allowed_dev[s])
+                fcod = (fcod_dev[s] if fcod_dev is not None
+                        else jnp.zeros((1, 1), jnp.int32))
+                skey = (skey_dev[s] if use_sort
+                        else jnp.zeros((1,), jnp.float32))
+                results.append(scan_one_shard(
+                    pd, pt, cp, dl, plan_dev[s], fcod, skey,
+                    S=S, shard_id=s, NB=nb, V=v, B=B, F=F,
+                    P_max=P_max, k=k, with_counts=with_counts,
+                    n_facets=n_facets, facet_codes_max=facet_codes_max,
+                    use_sort_key=use_sort, sort_desc=sort_desc,
+                ))
+            ts_all = jnp.stack([r[0] for r in results])
+            gid_all = jnp.stack([r[1] for r in results])
+            cnt_all = jnp.stack([r[2] for r in results])
+            fc_all = jnp.stack([r[3] for r in results])
+            out = merge_shard_results(ts_all, gid_all, cnt_all, fc_all, k=k)
+        else:
+            statics = dict(
+                S=S, NB=nb, V=v, B=B, F=F, P_max=P_max, k=k,
+                with_counts=with_counts, n_facets=n_facets,
+                facet_codes_max=facet_codes_max, use_sort_key=use_sort,
+                sort_desc=sort_desc,
+            )
+            key = tuple(sorted(statics.items()))
+            fn = self._sharded_fns.get(key)
+            if fn is None:
+                fn = make_sharded_scan(self.mesh, statics)
+                self._sharded_fns[key] = fn
+            deleted = self.deleted
+            if allowed_dev is not None:
+                deleted = _merge_deleted(self.deleted, allowed_dev)
+            fcod = (fcod_dev if fcod_dev is not None
+                    else self._put_row(np.zeros((S, 1, 1), np.int32)))
+            skey = (skey_dev if use_sort
+                    else self._put_row(np.zeros((S, 1), np.float32)))
+            plan_dev = self._put_row(plan_rows)
+            out = fn(self.pl_docid, self.pl_tf, self.comp, deleted,
+                     plan_dev, fcod, skey)
+
+        f32_part, i32_part = jax.device_get(out)  # ONE D2H sync
+        ts = f32_part[:, :k]
+        fcounts = f32_part[:, k:].reshape(
+            B, max(n_facets, 1), facet_codes_max).transpose(1, 0, 2)
+        gid = i32_part[:, :k]
+        cnt = i32_part[:, k]
+        return ts, gid, cnt, fcounts
 
 
 @jax.jit
