@@ -66,15 +66,19 @@ def _block_step(
     V = seg_len.shape[0]
     F = pl_tf.shape[1]
 
-    # ragged ranges -> flat posting window of size P_max
+    # ragged ranges -> flat posting window of size P_max.
+    # slot-per-posting = searchsorted(cum, i, 'right'), built in O(P) as a
+    # cumsum over segment-START markers (the naive [P_max, V] comparison
+    # matrix costs ~60% of the whole scan; jnp.searchsorted lowers to a
+    # serial loop — both are far slower).
     cum = jnp.cumsum(seg_len)
     total = cum[-1]
     pidx = jnp.arange(P_max, dtype=jnp.int32)
-    # vectorized searchsorted(cum, pidx, 'right'): count of cum[v] <= i.
-    # (jnp.searchsorted lowers to a serial loop on TPU — 1000x slower.)
-    slot = jnp.sum(
-        (pidx[:, None] >= cum[None, :]).astype(jnp.int32), axis=1
-    )
+    # slot[i] = #{v : cum[v] <= i} = inclusive cumsum of segment-END markers
+    # (a marker at exactly P_max is dropped, correctly: no i < P_max reaches
+    # it; empty segments stack markers at the same position)
+    markers = jnp.zeros((P_max,), jnp.int32).at[cum].add(1, mode="drop")
+    slot = jnp.cumsum(markers)
     slot_c = jnp.minimum(slot, V - 1)
     prev = jnp.where(slot_c > 0, cum[jnp.maximum(slot_c - 1, 0)], 0)
     hbm_idx = seg_off[slot_c] + (pidx - prev)
