@@ -27,17 +27,23 @@ import jax.numpy as jnp
 
 def _dots(q_data, tiles, quantized: bool):
     if quantized:
+        # int8 x int8 -> int32 accumulation is exact on the MXU.
         return jax.lax.dot_general(
             q_data,
             tiles,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
+    # Precision.HIGHEST: the TPU MXU's default f32 matmul runs bf16 passes,
+    # whose ~8-bit mantissa flips near-tie ranks (measured: 95% vs 100%
+    # recall@10 on a 200K euclidean benchmark). Full f32 passes restore
+    # exactness — the f32 path exists precisely for exact scoring.
     return jax.lax.dot_general(
         q_data,
         tiles,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -61,7 +67,9 @@ def _reconstruct(Q, q_scale, q_zp, q_qsum, r_scale, r_zp, r_qsum, d, quantized):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "quantized", "euclidean", "with_counts")
+    jax.jit,
+    static_argnames=("k", "quantized", "euclidean", "with_counts",
+                     "exhaustive", "use_field_filter"),
 )
 def vector_scan_topk(
     data,          # i8/f32 [n_tiles, T, d]
@@ -71,11 +79,9 @@ def vector_scan_topk(
     r_norm2,       # f32[n_tiles, T]
     row_docid,     # i32[n_tiles, T]  (-1 = padding)
     row_field,     # i32[n_tiles, T]
-    row_cluster,   # i32[n_tiles, T]
     deleted,       # bool[n_docs_pad] per shard-doc
-    tile_ids,      # i32[NT] selected tiles (-1 = padding)
-    cluster_sel,   # bool[B, C_pad]
-    field_ok,      # bool[B, NF]
+    tile_ids,      # i32[NT] selected tiles (-1 = padding; exhaustive ignores)
+    field_ok,      # bool[NF] allowed vector fields (shared by the batch)
     q_data,        # i8/f32 [B, d]
     q_scale, q_zp, q_qsum, q_norm2,  # f32[B]
     score_min,     # f32[B] ranking-score threshold (-inf = none)
@@ -84,22 +90,43 @@ def vector_scan_topk(
     quantized: bool,
     euclidean: bool,
     with_counts: bool,
+    exhaustive: bool,
+    use_field_filter: bool,
 ):
-    """Returns (scores f32[B,k], rows i32[B,k] global row ids, counts i32[B])."""
-    NT = tile_ids.shape[0]
+    """Returns (scores f32[B,k], rows i32[B,k] global row ids, counts i32[B]).
+
+    nprobe cluster selection happens at tile granularity on the host (the
+    union of clusters selected by any query in the batch) — per-query
+    per-row cluster masks cost a [B, N] gather that dwarfs the scan itself,
+    and a batch-level union only ever IMPROVES recall vs per-query nprobe."""
     T = data.shape[1]
     d = data.shape[2]
     B = q_data.shape[0]
 
-    tid = jnp.maximum(tile_ids, 0)
-    tiles = jnp.take(data, tid, axis=0).reshape(NT * T, d)
-    sc = jnp.take(r_scale, tid, axis=0).reshape(NT * T)
-    zp = jnp.take(r_zp, tid, axis=0).reshape(NT * T)
-    qs = jnp.take(r_qsum, tid, axis=0).reshape(NT * T)
-    n2 = jnp.take(r_norm2, tid, axis=0).reshape(NT * T)
-    docid = jnp.take(row_docid, tid, axis=0).reshape(NT * T)
-    fldid = jnp.take(row_field, tid, axis=0).reshape(NT * T)
-    clsid = jnp.take(row_cluster, tid, axis=0).reshape(NT * T)
+    if exhaustive:
+        NT = data.shape[0]
+        tiles = data.reshape(NT * T, d)
+        sc = r_scale.reshape(NT * T)
+        zp = r_zp.reshape(NT * T)
+        qs = r_qsum.reshape(NT * T)
+        n2 = r_norm2.reshape(NT * T)
+        docid = row_docid.reshape(NT * T)
+        fldid = row_field.reshape(NT * T)
+        valid = docid >= 0
+        row_base = jnp.arange(NT * T, dtype=jnp.int32)
+    else:
+        NT = tile_ids.shape[0]
+        tid = jnp.maximum(tile_ids, 0)
+        tiles = jnp.take(data, tid, axis=0).reshape(NT * T, d)
+        sc = jnp.take(r_scale, tid, axis=0).reshape(NT * T)
+        zp = jnp.take(r_zp, tid, axis=0).reshape(NT * T)
+        qs = jnp.take(r_qsum, tid, axis=0).reshape(NT * T)
+        n2 = jnp.take(r_norm2, tid, axis=0).reshape(NT * T)
+        docid = jnp.take(row_docid, tid, axis=0).reshape(NT * T)
+        fldid = jnp.take(row_field, tid, axis=0).reshape(NT * T)
+        valid = (docid >= 0) & (jnp.repeat(tile_ids, T) >= 0)
+        row_base = tid.repeat(T) * T + jnp.tile(
+            jnp.arange(T, dtype=jnp.int32), NT)
 
     Q = _dots(q_data, tiles, quantized)                       # [B, NT*T]
     dots = _reconstruct(Q, q_scale, q_zp, q_qsum, sc, zp, qs, d, quantized)
@@ -108,16 +135,10 @@ def vector_scan_topk(
     else:
         scores = dots
 
-    valid = (docid >= 0) & (jnp.repeat(tile_ids, T) >= 0)
-    not_deleted = ~jnp.take(deleted, jnp.maximum(docid, 0), axis=0)
-    row_ok = valid & not_deleted                              # [NT*T]
-    c_ok = jnp.take_along_axis(
-        cluster_sel, jnp.maximum(clsid, 0)[None, :].repeat(B, axis=0), axis=1
-    )
-    f_ok = jnp.take_along_axis(
-        field_ok, jnp.maximum(fldid, 0)[None, :].repeat(B, axis=0), axis=1
-    )
-    mask = row_ok[None, :] & c_ok & f_ok & (scores >= score_min[:, None])
+    row_ok = valid & ~jnp.take(deleted, jnp.maximum(docid, 0), axis=0)
+    if use_field_filter:
+        row_ok = row_ok & jnp.take(field_ok, jnp.maximum(fldid, 0), axis=0)
+    mask = row_ok[None, :] & (scores >= score_min[:, None])
     scores = jnp.where(mask, scores, -jnp.inf)
 
     counts = (
@@ -127,8 +148,7 @@ def vector_scan_topk(
     )
     kk = min(k, NT * T)
     ts, ti = jax.lax.top_k(scores, kk)
-    # flat index -> global row id
-    rows = tile_ids[ti // T] * T + (ti % T)
+    rows = jnp.take(row_base, ti, axis=0)
     if kk < k:
         ts = jnp.concatenate(
             [ts, jnp.full((B, k - kk), -jnp.inf, jnp.float32)], axis=1

@@ -119,9 +119,10 @@ def vector_search_batch(index: Index, requests) -> list:
                 AnnMode.NprobeSimilarityThreshold,
             ):
                 cluster_thr[:] = threshold_to_score(float(sim_thr), vc.similarity)
-            if mode == AnnMode.All or dev["n_clusters"] <= 1:
-                sel = np.ones((B, dev["C_pad"]), bool)
-                tile_ids = np.arange(dev["n_tiles"], dtype=np.int32)
+            exhaustive = mode == AnnMode.All or dev["n_clusters"] <= 1
+            tile_ids = np.zeros(0, np.int32)
+            if exhaustive:
+                pass
             else:
                 sel, _mscores = medoid_select(
                     dev["med_data"], dev["m_scale"], dev["m_zp"], dev["m_qsum"],
@@ -146,8 +147,9 @@ def vector_search_batch(index: Index, requests) -> list:
             tid = np.full(nt_pad, -1, np.int32)
             tid[: len(tile_ids)] = tile_ids
 
-            field_ok = np.ones((B, dev["nf_pad"]), bool)
-            if req0.field_filter and index.vectors.vector_fields:
+            use_ff = bool(req0.field_filter and index.vectors.vector_fields)
+            field_ok = np.ones(dev["nf_pad"], bool)
+            if use_ff:
                 allowed = {
                     sf.vector_field_id
                     for sf in index.vectors.vector_fields
@@ -155,17 +157,18 @@ def vector_search_batch(index: Index, requests) -> list:
                 }
                 field_ok[:] = False
                 for a in allowed:
-                    field_ok[:, a] = True
+                    field_ok[a] = True
 
             lex_dev = _device_arrays(index, shard)
             ts, rows, cnt = vector_scan_topk(
                 dev["data"], dev["scale"], dev["zp"], dev["qsum"], dev["norm2"],
-                dev["docid"], dev["fieldid"], dev["cluster"],
+                dev["docid"], dev["fieldid"],
                 lex_dev["deleted"],
-                jnp.asarray(tid), jnp.asarray(sel), jnp.asarray(field_ok),
+                jnp.asarray(tid), jnp.asarray(field_ok),
                 *qargs, jnp.asarray(score_min),
                 k=k, quantized=quantized, euclidean=euclidean,
-                with_counts=with_counts,
+                with_counts=with_counts, exhaustive=exhaustive,
+                use_field_filter=use_ff,
             )
             import jax
 
