@@ -38,6 +38,7 @@ from .schema import (
     AccessType,
     FieldType,
     IndexMeta,
+    LexicalSimilarity,
     SchemaField,
     schema_from_json,
     schema_to_json,
@@ -143,6 +144,13 @@ class Level0:
         np.save(path / "tf.npy", tf)
         np.save(path / "pos.npy", pos)
         np.save(path / "doclen.npy", doclen)
+        with open(path / "terms.txt", "wb") as f:
+            f.write(
+                b"".join(
+                    self.term_str.get(int(h), "").encode() + b"\n"
+                    for h in hashes
+                )
+            )
         for sf in facet_fields:
             col = facet_column(sf, self.facet_values[sf.facet_id], self.doc_count)
             np.save(path / f"facet_{sf.facet_id}.npy", col)
@@ -165,6 +173,10 @@ class Level0:
         l0.doc_count = lvl.doc_count
         l0.positions_sum_normalized = lvl.positions_sum_normalized
         l0.doclen = [np.asarray(lvl.doclen[i]).tobytes() for i in range(lvl.doc_count)]
+        if lvl.term_names:
+            l0.term_str = {
+                int(h): nm for h, nm in zip(lvl.term_hash, lvl.term_names)
+            }
         for t in range(len(lvl.term_hash)):
             h = int(lvl.term_hash[t])
             tp = _TermPostings0()
@@ -423,6 +435,13 @@ class Index:
 
         self._native = native_mod.available()
         self._native_cfg = None
+        # Bm25f scores n-gram postings with per-constituent tfs/idfs
+        # (reference add_result.rs:868-915); Bm25fProximity scores the
+        # n-gram as a single term with its own idf (add_result.rs:917-919)
+        self._expand_ngrams = (
+            self.meta.similarity == LexicalSimilarity.Bm25f
+            and bool(self.meta.ngram_indexing)
+        )
 
         self.shards: list[Shard] = []
         facet_ids = [sf.facet_id for sf in self.facet_fields]
@@ -817,7 +836,10 @@ class Index:
             CommittedLevel.load(shard.path / f"level_{i}", mmap=mmap)
             for i in range(n_levels)
         ]
-        shard.lexical = build_shard_lexical(levels, self.boosts_or_default())
+        shard.lexical = build_shard_lexical(
+            levels, self.boosts_or_default(),
+            expand_ngrams=self._expand_ngrams,
+        )
         shard.docstores = [
             LevelDocStore(shard.path / f"level_{i}", self.meta.doc_compression, mmap)
             for i in range(n_levels)
@@ -843,9 +865,14 @@ class Index:
     # realtime (level-0 tail) oracle postings
 
     def tail_postings(
-        self, shard: Shard, hashes: list[int], boosts: np.ndarray
+        self, shard: Shard, hashes: list, boosts: np.ndarray
     ) -> tuple[list[OracleTermPostings | None], list[int], int]:
         """Oracle postings over the uncommitted tail of a shard.
+
+        `hashes` entries are term hashes, or `(hash, tf_hash)` pairs for
+        n-gram constituent scoring (Bm25f): docids come from the n-gram's
+        postings, tfs from the constituent's postings at those docs, and
+        the reported df is the CONSTITUENT's tail df (it drives idf).
 
         Returns (postings with docids relative to tail start, tail dfs,
         tail doc count)."""
@@ -857,32 +884,49 @@ class Index:
         out: list[OracleTermPostings | None] = []
         dfs: list[int] = []
         native = isinstance(l0, NativeLevel0)
-        for h in hashes:
+
+        def lookup(h):
+            """(docids i64[], tfs u16[,F]) of a term in level 0, or None."""
             if native:
                 hit = l0.acc.term_postings(h)
                 if hit is None:
-                    out.append(None)
-                    dfs.append(0)
-                    continue
-                docids_all, tfs_all = hit
-                docids = docids_all.astype(np.int64)
-                tp = None
+                    return None
+                return hit[0].astype(np.int64), hit[1]
+            tp = l0.terms.get(h)
+            if tp is None:
+                return None
+            return (
+                np.asarray(tp.docids, dtype=np.int64),
+                np.asarray(tp.tfs, dtype=np.uint16).reshape(-1, F),
+            )
+
+        for entry in hashes:
+            h, tf_hash = entry if isinstance(entry, tuple) else (entry, None)
+            hit = lookup(h)
+            if hit is None:
+                out.append(None)
+                dfs.append(0)
+                continue
+            docids, tf = hit
+            if tf_hash is not None:
+                chit = lookup(tf_hash)
+                if chit is not None:
+                    cd, ctf = chit
+                    pos = np.minimum(
+                        np.searchsorted(cd, docids), len(cd) - 1
+                    )
+                    found = cd[pos] == docids
+                    tf = np.where(found[:, None], ctf[pos], tf)
+                    dfs.append(int(np.sum(cd >= start)))
+                else:
+                    dfs.append(int(np.sum(docids >= start)))
             else:
-                tp = l0.terms.get(h)
-                if tp is None:
-                    out.append(None)
-                    dfs.append(0)
-                    continue
-                docids = np.asarray(tp.docids, dtype=np.int64)
+                dfs.append(int(np.sum(docids >= start)))
             sel = docids >= start
-            dfs.append(int(sel.sum()))
             if not sel.any():
                 out.append(None)
                 continue
-            if native:
-                tf = tfs_all[sel]
-            else:
-                tf = np.asarray(tp.tfs, dtype=np.uint16).reshape(-1, F)[sel]
+            tf = tf[sel]
             dl = np.frombuffer(
                 b"".join(l0.doclen[i] for i in docids[sel]), dtype=np.uint8
             ).reshape(-1, F)

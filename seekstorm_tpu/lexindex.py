@@ -48,6 +48,7 @@ class CommittedLevel:
     pos: np.ndarray          # u16[sum(tf)] flat positions, field-major per posting
     pos_offset: np.ndarray   # i64[P+1] derived at load (cumsum of per-posting tf)
     doclen: np.ndarray       # u8[doc_count, F]
+    term_names: list | None = None  # hash-sorted term strings (terms.txt)
 
     @staticmethod
     def load(path: Path, mmap: bool = False) -> "CommittedLevel":
@@ -58,6 +59,11 @@ class CommittedLevel:
         per_posting = tf.sum(axis=1, dtype=np.int64)
         pos_offset = np.zeros(len(tf) + 1, dtype=np.int64)
         np.cumsum(per_posting, out=pos_offset[1:])
+        names = None
+        tpath = path / "terms.txt"
+        if tpath.exists():
+            blob = tpath.read_bytes()
+            names = blob.decode().split("\n")[:-1] if blob else []
         return CommittedLevel(
             doc_count=meta["doc_count"],
             positions_sum_normalized=meta["positions_sum_normalized"],
@@ -68,6 +74,7 @@ class CommittedLevel:
             pos=np.load(path / "pos.npy", mmap_mode=mm),
             pos_offset=pos_offset,
             doclen=np.load(path / "doclen.npy", mmap_mode=mm),
+            term_names=names,
         )
 
     def posting_index(self, hash_: int, local_docid: int) -> int:
@@ -141,11 +148,20 @@ class ShardLexical:
 
 
 def build_shard_lexical(
-    levels: list[CommittedLevel], boosts: np.ndarray
+    levels: list[CommittedLevel], boosts: np.ndarray,
+    expand_ngrams: bool = False,
 ) -> ShardLexical:
     """Merge committed levels into the flat device layout + term directory.
 
     boosts: f32[F] default per-field boosts (schema boosts).
+
+    expand_ngrams (Bm25f similarity only): n-gram posting lists are scored
+    with per-CONSTITUENT tfs and idfs (reference add_result.rs:868-915 reads
+    constituent tfs stored inside each n-gram posting).  Here the join runs
+    at build time: the n-gram's main segment gets constituent-1 tfs, and
+    constituents 2..k become appended virtual posting segments under
+    synthetic directory hashes — the scoring kernel is unchanged, n-gram
+    slots just decode as k weighted slots.
     """
     sh = ShardLexical(levels=levels)
     if not levels:
@@ -189,58 +205,141 @@ def build_shard_lexical(
     comp[comp == 0.0] = 1.0
     sh.comp = comp
 
-    # merged directory: entries = (level, local term idx)
+    # directory entries in level order: (hash, level, offset, len, max_impact)
     all_hash = np.concatenate([l.term_hash for l in levels])
     all_level = np.concatenate(
         [np.full(len(l.term_hash), i, dtype=np.int32) for i, l in enumerate(levels)]
     )
-    all_local = np.concatenate(
-        [np.arange(len(l.term_hash), dtype=np.int64) for l in levels]
+    all_off = np.concatenate(
+        [base[i] + np.asarray(l.term_offset[:-1], dtype=np.int64)
+         for i, l in enumerate(levels)]
     )
+    all_len = np.concatenate(
+        [np.diff(np.asarray(l.term_offset, dtype=np.int64)).astype(np.int32)
+         for l in levels]
+    )
+
+    # per-posting default-boost impacts (stored for the Pallas decode fast
+    # path) + per-(level, term) max impact, in level order
+    all_max = np.zeros(len(all_hash), dtype=np.float32)
+    pl_impact = np.zeros(len(sh.pl_docid), dtype=np.float32)
+    t0 = 0
+    for i, l in enumerate(levels):
+        nt = len(l.term_hash)
+        if len(l.docid):
+            comps_l = comp[i * BLOCK_SIZE + l.docid.astype(np.int64)]
+            imp = term_impacts(np.asarray(l.tf), comps_l, boosts)
+            pl_impact[base[i] : base[i + 1]] = imp
+            starts = np.asarray(l.term_offset[:-1], dtype=np.int64)
+            # reduceat over term segments (term_offset has no empty segments)
+            if len(starts):
+                all_max[t0 : t0 + nt] = np.maximum.reduceat(imp, starts)
+        t0 += nt
+
+    if expand_ngrams:
+        (all_hash, all_level, all_off, all_len, all_max,
+         pl_impact) = _expand_ngram_segments(
+            sh, levels, base, comp, boosts,
+            all_hash, all_level, all_off, all_len, all_max, pl_impact,
+        )
+    sh.pl_impact = pl_impact
+
     order = np.argsort(all_hash, kind="stable")
     sh_hash = all_hash[order]
-    sh_level = all_level[order]
-    sh_local = all_local[order]
-
-    seg_offset = np.empty(len(order), dtype=np.int64)
-    seg_len = np.empty(len(order), dtype=np.int32)
-    for i, l in enumerate(levels):
-        m = sh_level == i
-        lo = sh_local[m]
-        seg_offset[m] = base[i] + l.term_offset[lo]
-        seg_len[m] = (l.term_offset[lo + 1] - l.term_offset[lo]).astype(np.int32)
-
     uniq_hash, first_idx, counts = np.unique(
         sh_hash, return_index=True, return_counts=True
     )
     seg_start = np.zeros(len(uniq_hash) + 1, dtype=np.int64)
     np.cumsum(counts, out=seg_start[1:])
-    df = np.add.reduceat(seg_len.astype(np.int64), first_idx)
-
-    # per-posting default-boost impacts (stored for the Pallas decode fast
-    # path) + per-(level, term) max impact, computed per level then reordered
-    seg_max = np.zeros(len(order), dtype=np.float32)
-    pl_impact = np.zeros(len(sh.pl_docid), dtype=np.float32)
-    for i, l in enumerate(levels):
-        if len(l.docid) == 0:
-            continue
-        comps_l = comp[i * BLOCK_SIZE + l.docid.astype(np.int64)]
-        imp = term_impacts(np.asarray(l.tf), comps_l, boosts)
-        pl_impact[base[i] : base[i + 1]] = imp
-        starts = np.asarray(l.term_offset[:-1], dtype=np.int64)
-        # reduceat over term segments (term_offset has no empty segments)
-        mx = np.maximum.reduceat(imp, starts) if len(starts) else np.zeros(0, np.float32)
-        m = sh_level == i
-        seg_max[m] = mx[sh_local[m]]
-    sh.pl_impact = pl_impact
+    seg_len_sorted = all_len[order]
+    df = np.add.reduceat(seg_len_sorted.astype(np.int64), first_idx)
 
     sh.directory = TermDirectory(
         hash=uniq_hash,
         df=df,
         seg_start=seg_start,
-        seg_block=sh_level,
-        seg_offset=seg_offset,
-        seg_len=seg_len,
-        seg_max_impact=seg_max,
+        seg_block=all_level[order],
+        seg_offset=all_off[order],
+        seg_len=seg_len_sorted,
+        seg_max_impact=all_max[order],
     )
     return sh
+
+
+def _expand_ngram_segments(
+    sh: ShardLexical, levels, base, comp, boosts,
+    all_hash, all_level, all_off, all_len, all_max, pl_impact,
+):
+    """Constituent-tf expansion of n-gram posting lists (Bm25f semantics,
+    reference add_result.rs:868-915 / search.rs:3235-3260).
+
+    For each n-gram term (name contains NGRAM_SEP) of each level:
+      * the MAIN segment's tfs are replaced with constituent-1's per-field
+        tfs in the same docs (joined against constituent-1's own postings);
+      * constituents 2..k get appended virtual posting rows + directory
+        entries under `ngram_virtual_hash(h, j)`.
+    The query planner weights each segment by its constituent's idf.
+    """
+    from .ngram import NGRAM_SEP
+    from .utils import ngram_virtual_hash, term_hash
+
+    v_hash, v_level, v_off, v_len, v_max = [], [], [], [], []
+    v_docid, v_tf, v_imp = [], [], []
+    vpos = len(sh.pl_docid)
+
+    def constituent_tf(l, ch, gdoc, a, b):
+        """Per-field tfs of constituent `ch` at the n-gram's docs."""
+        t = int(np.searchsorted(l.term_hash, np.uint64(ch)))
+        if t >= len(l.term_hash) or l.term_hash[t] != np.uint64(ch):
+            return np.asarray(l.tf[a:b])          # fallback: the n-gram's tf
+        ca, cb = int(l.term_offset[t]), int(l.term_offset[t + 1])
+        cd = l.docid[ca:cb]
+        pos = np.searchsorted(cd, gdoc)
+        pos = np.minimum(pos, len(cd) - 1)
+        found = cd[pos] == gdoc
+        tf_c = np.asarray(l.tf[ca:cb])[pos]
+        return np.where(found[:, None], tf_c, np.asarray(l.tf[a:b]))
+
+    for i, l in enumerate(levels):
+        if not l.term_names:
+            continue
+        for t, name in enumerate(l.term_names):
+            if NGRAM_SEP not in name:
+                continue
+            a, b = int(l.term_offset[t]), int(l.term_offset[t + 1])
+            if b <= a:
+                continue
+            gdoc = l.docid[a:b]
+            comps_g = comp[i * BLOCK_SIZE + gdoc.astype(np.int64)]
+            parts = name.split(NGRAM_SEP)
+            for j, part in enumerate(parts):
+                tf_c = constituent_tf(l, term_hash(part), gdoc, a, b)
+                imp_c = term_impacts(tf_c, comps_g, boosts)
+                if j == 0:
+                    # rewrite the main segment in place
+                    sh.pl_tf[base[i] + a : base[i] + b] = tf_c
+                    pl_impact[base[i] + a : base[i] + b] = imp_c
+                    # entry index in level-ordered arrays
+                    ei = int(np.sum([len(x.term_hash) for x in levels[:i]])) + t
+                    all_max[ei] = imp_c.max()
+                else:
+                    v_hash.append(ngram_virtual_hash(int(l.term_hash[t]), j + 1))
+                    v_level.append(i)
+                    v_off.append(vpos)
+                    v_len.append(b - a)
+                    v_max.append(float(imp_c.max()))
+                    v_docid.append(gdoc)
+                    v_tf.append(tf_c)
+                    v_imp.append(imp_c)
+                    vpos += b - a
+
+    if v_hash:
+        sh.pl_docid = np.concatenate([sh.pl_docid] + v_docid)
+        sh.pl_tf = np.concatenate([sh.pl_tf] + v_tf, axis=0)
+        pl_impact = np.concatenate([pl_impact] + v_imp)
+        all_hash = np.concatenate([all_hash, np.array(v_hash, np.uint64)])
+        all_level = np.concatenate([all_level, np.array(v_level, np.int32)])
+        all_off = np.concatenate([all_off, np.array(v_off, np.int64)])
+        all_len = np.concatenate([all_len, np.array(v_len, np.int32)])
+        all_max = np.concatenate([all_max, np.array(v_max, np.float32)])
+    return all_hash, all_level, all_off, all_len, all_max, pl_impact

@@ -20,8 +20,9 @@ from .index import Index, Shard
 from .oracle import idf as idf_fn
 from .oracle import score_query, topk_from_scores, verify_phrase
 from .schema import BLOCK_SIZE
+from .ngram import NGRAM_SEP
 from .tokenizer import ParsedQuery, parse_query
-from .utils import ceil_pow2, term_hash
+from .utils import ceil_pow2, ngram_virtual_hash, term_hash
 
 # blocks threshold under which plans always cover all candidate blocks
 FULL_PLAN_BLOCKS = 96
@@ -151,6 +152,13 @@ class _Slot:
     hash: int
     term: str
     dir_idx: list  # per shard: directory index or -1
+    # n-gram constituent scoring (Bm25f, reference add_result.rs:868-915):
+    # idf_hash redirects this slot's df/idf to a constituent term; tf_hash
+    # is set on slots whose tail postings join against a constituent's tfs
+    # (committed levels carry the join pre-materialized, lexindex.py).
+    idf_hash: int | None = None
+    tf_hash: int | None = None
+    virtual: bool = False   # weight-only companion slot of an n-gram
 
 
 @dataclass
@@ -170,6 +178,7 @@ def _build_specs(
 
     flags = index.meta.ngram_indexing
     frequent = getattr(index, "_frequent_words", frozenset())
+    expand = getattr(index, "_expand_ngrams", False)
 
     slot_of: dict[int, int] = {}
     slots: list[_Slot] = []
@@ -179,8 +188,30 @@ def _build_specs(
         h = term_hash(term)
         if h not in slot_of:
             slot_of[h] = len(slots)
-            slots.append(_Slot(h, term, []))
+            if expand and NGRAM_SEP in term:
+                parts = term.split(NGRAM_SEP)
+                slots.append(_Slot(h, term, [],
+                                   idf_hash=term_hash(parts[0]),
+                                   tf_hash=term_hash(parts[0])))
+            else:
+                slots.append(_Slot(h, term, []))
         return slot_of[h]
+
+    def get_virtual_slots(term: str, h: int) -> list[int]:
+        """Weight-only companion slots for constituents 2..k of an n-gram
+        (Bm25f constituent scoring; see lexindex._expand_ngram_segments)."""
+        parts = term.split(NGRAM_SEP)
+        out = []
+        for j in range(2, len(parts) + 1):
+            vh = ngram_virtual_hash(h, j)
+            if vh not in slot_of:
+                slot_of[vh] = len(slots)
+                slots.append(_Slot(vh, term, [],
+                                   idf_hash=term_hash(parts[j - 1]),
+                                   tf_hash=term_hash(parts[j - 1]),
+                                   virtual=True))
+            out.append(slot_of[vh])
+        return out
 
     for q in queries:
         pq = parse_query(q, index.analyzer)
@@ -205,6 +236,10 @@ def _build_specs(
             required[s_] = required.get(s_, False) or (req and not neg)
             if not negated[s_]:
                 weights[s_] = 1.0
+                if expand and NGRAM_SEP in term:
+                    for vs in get_virtual_slots(term, slots[s_].hash):
+                        weights[vs] = 1.0
+                        negated.setdefault(vs, False)
             return s_
 
         def add_phrase(tokens: list[str], neg: bool):
@@ -308,7 +343,13 @@ def _plan_shard(
         seg_offs.append(d.seg_offset[a:b])
         seg_lens.append(d.seg_len[a:b])
         seg_maxs.append(d.seg_max_impact[a:b])
-        df[v] = d.df[ti]
+        if sl.idf_hash is not None:
+            # n-gram constituent idf (reference posting_count_ngram_N,
+            # search.rs:3235-3260) — df of the constituent term itself
+            ci = d.lookup(sl.idf_hash)
+            df[v] = d.df[ci] if ci >= 0 else d.df[ti]
+        else:
+            df[v] = d.df[ti]
 
     # doc counts / dfs incl. realtime tail for idf
     n_docs = lex.doc_count
@@ -319,12 +360,13 @@ def _plan_shard(
         n_docs += l0.doc_count - start
         acc = getattr(l0, "acc", None)
         for v, sl in enumerate(slots):
+            h = sl.idf_hash if sl.idf_hash is not None else sl.hash
             if acc is not None:
-                hit = acc.term_postings(sl.hash)
+                hit = acc.term_postings(h)
                 if hit is not None:
                     df_total[v] += int(np.sum(hit[0] >= start))
             else:
-                tp = l0.terms.get(sl.hash)
+                tp = l0.terms.get(h)
                 if tp is not None:
                     df_total[v] += int(np.sum(np.asarray(tp.docids) >= start))
     idf = np.array(
@@ -732,7 +774,8 @@ def _lexical_search_batch(
                 for sc, g in zip(scores[pg], gids[pg])
             ]
             rs.result_count = len(rs.results)
-            rs.query_terms = [slots[s2].term for s2 in spec.weights]
+            rs.query_terms = [slots[s2].term for s2 in spec.weights
+                              if not slots[s2].virtual]
             _attach_docs(index, r, rs)
             results[i] = rs
         else:
@@ -927,7 +970,8 @@ def _finalize_lexical(index, requests, results, live, live_specs, slots,
                 counts[bi] = len(gids)  # exact when all candidates retrieved
                 counts_exact[bi] = counts_exact[bi] and len(gids) < PHRASE_EXACT_LIMIT
         rs = ResultSet()
-        rs.query_terms = [slots[s].term for s in spec.weights]
+        rs.query_terms = [slots[s].term for s in spec.weights
+                          if not slots[s].virtual]
         rs.result_count_total = int(counts[bi]) if with_counts else 0
         rs.count_exact = bool(counts_exact[bi])
         page = slice(requests[qi].offset, requests[qi].offset + requests[qi].length)
@@ -1009,7 +1053,11 @@ def _merge_tail(
 ) -> None:
     """Score the uncommitted level-0 tail with the numpy oracle and merge
     (including tail facet counting / filtering / sort keys)."""
-    hashes = [sl.hash for sl in slots]
+    hashes = [
+        (term_hash(sl.term), sl.tf_hash) if sl.tf_hash is not None
+        else sl.hash
+        for sl in slots
+    ]
     postings, tail_dfs, n_tail = index.tail_postings(shard, hashes, boosts)
     if n_tail <= 0:
         return
@@ -1083,7 +1131,8 @@ def _merge_tail(
     for qi, spec in enumerate(specs):
         term_ps, dfs, reqs, negs = [], [], [], []
         for s in spec.slots:
-            ti = d.lookup(slots[s].hash)
+            sl = slots[s]
+            ti = d.lookup(sl.idf_hash if sl.idf_hash is not None else sl.hash)
             df_c = int(d.df[ti]) if ti >= 0 else 0
             term_ps.append(postings[s])
             dfs.append(df_c + tail_dfs[s])

@@ -85,3 +85,15 @@ def ceil_pow2(n: int, minimum: int = 1) -> int:
 
 def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def ngram_virtual_hash(h: int, j: int) -> int:
+    """Synthetic directory hash for the j-th constituent-impact segment of an
+    n-gram posting list (j >= 2; constituent 1 reuses the n-gram's own hash).
+
+    Under Bm25f, n-gram postings are scored with per-constituent tfs and idfs
+    (reference add_result.rs:868-915 stores constituent tfs in the n-gram
+    posting; here each constituent gets its own virtual posting segment so
+    the scoring kernel stays unchanged)."""
+    return (h * 0x9E3779B97F4A7C15 + j * 0xA24BAED4963EE407 + 0x1F0E) \
+        & 0xFFFFFFFFFFFFFFFF

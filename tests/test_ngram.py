@@ -114,3 +114,100 @@ def test_ngram_reopen(tmp_path, rng):
     idx2 = st.open_index(tmp_path / "ix")
     r2 = idx2.search(st.SearchRequest(query='"the of"'))
     assert [x.doc_id for x in r1.results] == [x.doc_id for x in r2.results]
+
+
+def _score_map(rs):
+    return {x.doc_id: x.score for x in rs.results}
+
+
+def test_ngram_constituent_scores_match_plain_index(tmp_path):
+    """Bm25f scores n-gram postings with per-constituent tfs/idfs
+    (reference add_result.rs:868-915), so phrase scores must be IDENTICAL
+    with and without n-gram acceleration."""
+    rng = np.random.default_rng(23)
+    docs = make_docs(rng, 300)
+
+    idx_plain = st.create_index(
+        tmp_path / "plain",
+        [st.SchemaField("t", st.FieldType.Text, stored=True, indexed=True)],
+    )
+    idx_plain.index_documents(docs)
+    idx_plain.commit()
+
+    meta = st.IndexMeta(ngram_indexing=1 | 2 | 4 | 8,
+                        frequent_words=st.FrequentwordType.English)
+    idx_ng = st.create_index(
+        tmp_path / "ngram",
+        [st.SchemaField("t", st.FieldType.Text, stored=True, indexed=True)],
+        meta=meta,
+    )
+    idx_ng.index_documents(docs)
+    idx_ng.commit()
+
+    for phrase in ['"the of"', '"of the"', '"zq01 the"', '"the zq05 and"',
+                   '"the of and"', '"and zq03"']:
+        rp = idx_plain.search(st.SearchRequest(query=phrase, length=100))
+        rn = idx_ng.search(st.SearchRequest(query=phrase, length=100))
+        sp, sn = _score_map(rp), _score_map(rn)
+        assert set(sp) == set(sn), phrase
+        for d in sp:
+            assert abs(sp[d] - sn[d]) <= 1e-3 * max(abs(sp[d]), 1.0), (
+                phrase, d, sp[d], sn[d])
+
+
+def test_ngram_constituent_scores_realtime_tail(tmp_path):
+    """The uncommitted level-0 tail must score n-grams with the same
+    constituent semantics as committed levels."""
+    rng = np.random.default_rng(29)
+    docs = make_docs(rng, 120)
+    mk = lambda p: st.create_index(
+        p, [st.SchemaField("t", st.FieldType.Text, stored=True, indexed=True)],
+        meta=st.IndexMeta(ngram_indexing=1 | 2 | 4 | 8,
+                          frequent_words=st.FrequentwordType.English))
+    idx_c = mk(tmp_path / "committed")
+    idx_c.index_documents(docs)
+    idx_c.commit()
+    idx_t = mk(tmp_path / "tail")
+    idx_t.index_documents(docs)   # NOT committed
+
+    for phrase in ['"the of"', '"the zq05 and"']:
+        rc = idx_c.search(st.SearchRequest(query=phrase, length=100))
+        rt = idx_t.search(st.SearchRequest(query=phrase, length=100,
+                                           realtime=True))
+        sc, stt = _score_map(rc), _score_map(rt)
+        assert set(sc) == set(stt), phrase
+        for d in sc:
+            assert abs(sc[d] - stt[d]) <= 1e-3 * max(abs(sc[d]), 1.0), (
+                phrase, d, sc[d], stt[d])
+
+
+def test_bm25f_proximity_scores_ngram_as_unit(tmp_path):
+    """Bm25fProximity keeps the n-gram's own idf (reference
+    add_result.rs:917-919) — rarer than its constituents, so adjacency is
+    rewarded and scores differ from the plain-index phrase scores."""
+    rng = np.random.default_rng(31)
+    docs = make_docs(rng, 300)
+    meta = st.IndexMeta(ngram_indexing=1 | 2 | 4 | 8,
+                        frequent_words=st.FrequentwordType.English,
+                        similarity=st.LexicalSimilarity.Bm25fProximity)
+    idx = st.create_index(
+        tmp_path / "prox",
+        [st.SchemaField("t", st.FieldType.Text, stored=True, indexed=True)],
+        meta=meta,
+    )
+    idx.index_documents(docs)
+    idx.commit()
+    idx_plain = st.create_index(
+        tmp_path / "plain",
+        [st.SchemaField("t", st.FieldType.Text, stored=True, indexed=True)],
+    )
+    idx_plain.index_documents(docs)
+    idx_plain.commit()
+
+    rs = idx.search(st.SearchRequest(query='"the of"', length=100))
+    rp = idx_plain.search(st.SearchRequest(query='"the of"', length=100))
+    assert {x.doc_id for x in rs.results} == {x.doc_id for x in rp.results}
+    sm, sp = _score_map(rs), _score_map(rp)
+    # idf of the bigram exceeds idf(the)+idf(of) would be coincidence;
+    # the point is the formulas differ
+    assert any(abs(sm[d] - sp[d]) > 1e-6 for d in sm)
