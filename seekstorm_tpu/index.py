@@ -504,6 +504,9 @@ class Index:
     # document CRUD (reference index.rs:5081-5299)
 
     def index_document(self, doc: dict) -> int:
+        from .metrics import METRICS
+
+        METRICS.inc("docs_indexed_total")
         with self._lock:
             g = self.docid_global
             self.docid_global += 1
@@ -785,6 +788,9 @@ class Index:
                 self.vectors.commit()
 
     def _commit_shard(self, shard: Shard, reload: bool = True) -> None:
+        from .metrics import METRICS
+
+        METRICS.inc("commits_total")
         l0 = shard.level0
         if l0.doc_count == 0:
             if reload and getattr(shard, "_needs_reload", False):

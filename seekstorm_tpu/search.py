@@ -511,6 +511,9 @@ def search_batch(index: Index, requests: list[SearchRequest]) -> list[ResultSet]
 
     All requests must share the same settings except the query string /
     query vector (the batch maps to one device launch)."""
+    from .metrics import METRICS
+
+    METRICS.inc("queries_total", len(requests))
     index.ensure_loaded()
     t0 = time.perf_counter()
     req0 = requests[0]
@@ -559,6 +562,7 @@ def search_batch(index: Index, requests: list[SearchRequest]) -> list[ResultSet]
         out = _lexical_search_batch(index, requests)
 
     dt = (time.perf_counter() - t0) * 1e6 / max(len(requests), 1)
+    METRICS.observe("search_batch", dt * 1e-6 * max(len(requests), 1))
     for i, r in enumerate(out):
         r.time_us = dt
         if outcomes is not None:
@@ -878,6 +882,9 @@ def _lexical_search_batch(
         max_cand = min(max_cand, PHRASE_EXACT_LIMIT)
         k_eff = min(ceil_pow2(max(k, max_cand)), PHRASE_EXACT_LIMIT)
     if any(p is not None for p in plans):
+        from .metrics import METRICS
+
+        METRICS.inc("device_dispatch_total")
         all_full = all(p is None or p.full for p in plans)
         ts, gid, cnt, fcounts = stacked.run(
             plans, boosts, k_eff, with_counts and all_full,
@@ -892,6 +899,8 @@ def _lexical_search_batch(
                     ub = np.maximum(ub, p.ub_unscored)
             kth = ts[:, min(need, k_eff) - 1]
             if ((kth < ub) | ~np.isfinite(kth)).any():
+                METRICS.inc("plan_escalations_total")
+                METRICS.inc("device_dispatch_total")
                 plans = [
                     _plan_shard(index, sh, slots, live_specs,
                                 req0.realtime, True, PRUNE_BLOCKS)

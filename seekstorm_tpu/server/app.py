@@ -190,6 +190,34 @@ class _Handler(BaseHTTPRequestHandler):
             from .openapi import openapi_spec
 
             return self._send(200, openapi_spec())
+        if parts == ["metrics"] and method == "GET":
+            # Prometheus text format (observability surface, metrics.py)
+            from ..metrics import METRICS
+
+            data = METRICS.render_prometheus().encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return
+        if len(parts) == 2 and parts[0] == "trace" and method == "POST":
+            # device tracing: POST /trace/start {"log_dir": ...} | /trace/stop
+            from ..metrics import start_trace, stop_trace
+
+            if not self.ctx.is_master(self.headers):
+                return self._err(401, "master apikey required")
+            if parts[1] == "start":
+                body = self._json() or {}
+                r = start_trace(body.get("log_dir", "/tmp/seekstorm_trace"))
+                if isinstance(r, str):
+                    return self._send(503, {"tracing": False, "error": r})
+                return self._send(200, {"tracing": bool(r)})
+            if parts[1] == "stop":
+                r = stop_trace()
+                if isinstance(r, str):
+                    return self._send(503, {"stopped": False, "error": r})
+                return self._send(200, {"stopped": bool(r)})
         if len(parts) >= 2 and parts[0] == "api":
             ver, rest = parts[1], parts[2:]
         else:

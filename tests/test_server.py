@@ -218,3 +218,14 @@ def test_web_ui_served(client):
     with urllib.request.urlopen(client.base + "/") as r:
         html = r.read().decode()
     assert "seekstorm-tpu" in html and "<script>" in html
+
+
+def test_metrics_endpoint(client):
+    """GET /metrics renders Prometheus counters moved by earlier tests."""
+    import urllib.request
+
+    with urllib.request.urlopen(client.base + "/metrics") as r:
+        text = r.read().decode()
+    assert "seekstorm_queries_total" in text
+    assert "seekstorm_docs_indexed_total" in text
+    assert "seekstorm_commits_total" in text
