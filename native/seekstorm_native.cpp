@@ -563,6 +563,22 @@ int st_accum_add_doc(StAccum* a, StCfg* cfg, const uint8_t* text_blob,
     return docid;
 }
 
+// Batch ingest: one C call for n_docs documents sharing one text blob.
+// field_offsets is one cumulative array of n_docs * n_fields + 1 entries
+// (doc i's field f spans [offs[i*F + f], offs[i*F + f + 1])), so each
+// doc's slice of the array is itself a valid per-doc offsets view.
+// Returns the first assigned docid.
+int st_accum_add_docs(StAccum* a, StCfg* cfg, const uint8_t* text_blob,
+                      const int64_t* field_offsets, int32_t n_docs,
+                      int32_t* out_field_lengths) {
+    int first = a->doc_count;
+    for (int32_t i = 0; i < n_docs; i++)
+        st_accum_add_doc(a, cfg, text_blob,
+                         field_offsets + (int64_t)i * a->n_fields,
+                         out_field_lengths + (int64_t)i * a->n_fields);
+    return first;
+}
+
 void st_accum_stats(StAccum* a, int64_t* n_terms, int64_t* n_postings,
                     int64_t* n_positions) {
     *n_terms = (int64_t)a->terms.size();

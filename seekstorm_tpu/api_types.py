@@ -292,6 +292,7 @@ def result_set_to_json(rs, req: SearchRequest, original_query: str) -> dict:
         "length": req.length,
         "count": rs.result_count,
         "count_total": rs.result_count_total,
+        "count_exact": bool(rs.count_exact),
         "query_terms": rs.query_terms,
         "results": [
             {"_id": r.doc_id, "_score": r.score, **(r.doc or {})}

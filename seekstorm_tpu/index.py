@@ -44,7 +44,8 @@ from .schema import (
     schema_to_json,
 )
 from .tokenizer import Analyzer
-from .utils import DOCUMENT_LENGTH_COMPRESSION, compress_lengths, term_hash
+from .utils import (DLC_LIST, DOCUMENT_LENGTH_COMPRESSION,
+                    compress_lengths, compress_lengths_bytes, term_hash)
 
 
 class _TermPostings0:
@@ -215,17 +216,37 @@ class NativeLevel0(Level0):
         self, cfg, field_texts: list[bytes], facet_vals, blob: bytes
     ) -> int:
         local, lens = self.acc.add_doc(cfg, field_texts)
-        clens = compress_lengths(lens.astype(np.int64))
-        self.doclen.append(clens.tobytes())
-        self.positions_sum_normalized += int(
-            DOCUMENT_LENGTH_COMPRESSION[clens].sum()
-        )
+        clens = compress_lengths_bytes(lens)
+        self.doclen.append(clens)
+        self.positions_sum_normalized += sum(DLC_LIST[c] for c in clens)
+        self._after_add(facet_vals, blob)
+        return local
+
+    def add_documents_native(
+        self, cfg, texts_flat: list[bytes], facet_vals_list: list,
+        blobs: list[bytes],
+    ) -> int:
+        """Batch path: ONE C call for the whole chunk (bulk-ingest hot path;
+        per-call ctypes marshalling dominated single-core throughput)."""
+        first, lens = self.acc.add_docs(cfg, texts_flat)
+        F = self.n_fields
+        for i in range(len(blobs)):
+            clens = compress_lengths_bytes(lens[i * F : (i + 1) * F])
+            self.doclen.append(clens)
+            self.positions_sum_normalized += sum(DLC_LIST[c] for c in clens)
+        for fid, vals in self.facet_values.items():
+            vals.extend(fv.get(fid) for fv in facet_vals_list)
+        self.blobs.extend(blobs)
+        self.doc_count += len(blobs)
+        self._term_str_cache = None
+        return first
+
+    def _after_add(self, facet_vals, blob) -> None:
         for fid, vals in self.facet_values.items():
             vals.append(facet_vals.get(fid))
         self.blobs.append(blob)
         self.doc_count += 1
         self._term_str_cache = None
-        return local
 
     @property
     def term_str(self) -> dict:
@@ -330,6 +351,9 @@ class Shard:
     level0: Level0 = None  # type: ignore
     full_levels: int = 0           # number of complete 64K levels on disk
     partial_on_disk: int = 0       # docs of level0 already persisted as last level
+    # per-shard ingest lock: shard-parallel indexing serializes only within
+    # a shard (reference index.rs shard parallelism analog)
+    ingest_lock: threading.Lock = field(default_factory=threading.Lock)
     lexical: ShardLexical = None   # type: ignore
     docstores: list[LevelDocStore] = field(default_factory=list)
     deleted: set = field(default_factory=set)  # shard-local doc ids
@@ -435,6 +459,7 @@ class Index:
 
         self._native = native_mod.available()
         self._native_cfg = None
+        self._facet_tab_lock = threading.Lock()
         # Bm25f scores n-gram postings with per-constituent tfs/idfs
         # (reference add_result.rs:868-915); Bm25fProximity scores the
         # n-gram as a single term with its own idf (add_result.rs:917-919)
@@ -515,10 +540,62 @@ class Index:
         return g
 
     def index_documents(self, docs: list[dict]) -> list[int]:
-        return [self.index_document(d) for d in docs]
+        """Batch ingest; shard-parallel on the native path (reference
+        README.md:88 '35K docs/sec sharded' — indexing parallelism is
+        per-shard, one worker thread per shard, C ABI calls release the
+        GIL so tokenization/accumulation run concurrently)."""
+        native_all = self._native and all(
+            isinstance(sh.level0, NativeLevel0) for sh in self.shards
+        )
+        if not native_all or len(docs) < 64:
+            return [self.index_document(d) for d in docs]
+        from .metrics import METRICS
 
-    def _index_document_shard_native(self, shard: Shard, doc: dict) -> None:
-        """C++ fast path: tokenize + accumulate postings natively."""
+        METRICS.inc("docs_indexed_total", len(docs))
+        self._get_native_cfg()  # build once before fan-out
+        with self._lock:
+            g0 = self.docid_global
+            self.docid_global += len(docs)
+        per_shard: list[list[dict]] = [[] for _ in range(self.shard_count)]
+        for i, d in enumerate(docs):
+            per_shard[(g0 + i) % self.shard_count].append(d)
+
+        import concurrent.futures as cf
+
+        def worker(si: int) -> None:
+            sh = self.shards[si]
+            ds = per_shard[si]
+            cfg = self._get_native_cfg()
+            i = 0
+            while i < len(ds):
+                # split batches at level (64K-doc) boundaries
+                room = max(BLOCK_SIZE - sh.level0.doc_count, 1)
+                chunk = ds[i : i + room]
+                texts: list[bytes] = []
+                fvals, blobs = [], []
+                for d in chunk:
+                    texts.extend(self._native_field_texts(d))
+                    fvals.append(self._doc_facet_vals(d))
+                    blobs.append(self._doc_blob(d))
+                with sh.ingest_lock:
+                    first = sh.level0.add_documents_native(
+                        cfg, texts, fvals, blobs
+                    )
+                    if self.vectors is not None:
+                        for j, d in enumerate(chunk):
+                            self.vectors.ingest(sh.shard_id, first + j, d)
+                    self._device_dirty = True
+                    if sh.level0.doc_count >= BLOCK_SIZE:
+                        with self._lock:
+                            self._commit_shard(sh, reload=False)
+                i += len(chunk)
+
+        workers = min(self.shard_count, os.cpu_count() or 8)
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(worker, range(self.shard_count)))
+        return list(range(g0, g0 + len(docs)))
+
+    def _native_field_texts(self, doc: dict) -> list[bytes]:
         field_texts = []
         for sf in self.indexed_fields:
             text = doc.get(sf.field)
@@ -527,23 +604,32 @@ class Index:
             elif not isinstance(text, str):
                 text = json.dumps(text, ensure_ascii=False)
             field_texts.append(text.encode())
-        if not field_texts:
-            field_texts = [b""]
+        return field_texts or [b""]
 
+    def _doc_facet_vals(self, doc: dict) -> dict:
         facet_vals: dict[int, object] = {}
         for sf in self.facet_fields:
             v = doc.get(sf.field)
             if v is not None and sf.field_type.is_string_facet:
                 v = self._facet_ordinal(sf, v)
             facet_vals[sf.facet_id] = v
+        return facet_vals
+
+    def _doc_blob(self, doc: dict) -> bytes:
         stored = {
             sf.field: doc[sf.field]
             for sf in self.schema
             if sf.stored and sf.field in doc
         }
-        blob = compress_doc(stored, self.meta.doc_compression)
+        return compress_doc(stored, self.meta.doc_compression)
 
-        with self._lock:
+    def _index_document_shard_native(self, shard: Shard, doc: dict) -> None:
+        """C++ fast path: tokenize + accumulate postings natively."""
+        field_texts = self._native_field_texts(doc)
+        facet_vals = self._doc_facet_vals(doc)
+        blob = self._doc_blob(doc)
+
+        with shard.ingest_lock:
             local = shard.level0.add_document_native(
                 self._get_native_cfg(), field_texts, facet_vals, blob
             )
@@ -553,8 +639,11 @@ class Index:
             if shard.level0.doc_count >= BLOCK_SIZE:
                 # bulk-ingest fast path: pack the full level but defer the
                 # O(levels) directory/HBM rebuild until the next search or
-                # explicit commit
-                self._commit_shard(shard, reload=False)
+                # explicit commit. Commit mutates shared index state ->
+                # global lock (nested inside the shard lock; the global
+                # lock is RLock and commit never takes other shard locks)
+                with self._lock:
+                    self._commit_shard(shard, reload=False)
 
     def _index_document_shard(self, shard: Shard, doc: dict) -> None:
         if self._native and isinstance(shard.level0, NativeLevel0):
@@ -661,6 +750,15 @@ class Index:
 
     # string facet ordinals (per facet field string table)
     def _facet_ordinal(self, sf: SchemaField, value) -> int:
+        # leaf lock: string-table mutation must be atomic under
+        # shard-parallel ingest (never held while taking another lock)
+        lk = getattr(self, "_facet_tab_lock", None)
+        if lk is None:
+            lk = self._facet_tab_lock = threading.Lock()
+        with lk:
+            return self._facet_ordinal_locked(sf, value)
+
+    def _facet_ordinal_locked(self, sf: SchemaField, value) -> int:
         tables = getattr(self, "_facet_tables", None)
         if tables is None:
             tables = self._facet_tables = {}
@@ -773,9 +871,13 @@ class Index:
                     self._reload_shard(sh)
 
     def commit(self) -> None:
-        with self._lock:
-            for sh in self.shards:
+        # lock order everywhere: shard.ingest_lock BEFORE self._lock
+        # (parallel-ingest workers hold a shard lock when a full level
+        # triggers a nested commit under the global lock)
+        for sh in self.shards:
+            with sh.ingest_lock, self._lock:
                 self._commit_shard(sh)
+        with self._lock:
             self.save_meta()
             if self._frequent_words:
                 self.warmup()

@@ -69,6 +69,10 @@ def load() -> C.CDLL | None:
     lib.st_accum_doc_count.argtypes = [C.c_void_p]
     lib.st_accum_add_doc.restype = C.c_int
     lib.st_accum_add_doc.argtypes = [C.c_void_p, C.c_void_p, u8p, i64p, i32p]
+    lib.st_accum_add_docs.restype = C.c_int
+    lib.st_accum_add_docs.argtypes = [
+        C.c_void_p, C.c_void_p, u8p, i64p, C.c_int32, i32p,
+    ]
     lib.st_accum_stats.argtypes = [C.c_void_p, i64p, i64p, i64p]
     lib.st_accum_pack.argtypes = [C.c_void_p, u64p, i64p, u16p, u16p, u16p]
     lib.st_accum_terms_blob.restype = C.c_int64
@@ -176,16 +180,42 @@ class NativeAccumulator:
         except Exception:
             pass
 
-    def add_doc(self, cfg: NativeConfig, field_texts: list[bytes]) -> tuple[int, np.ndarray]:
+    def add_doc(self, cfg: NativeConfig, field_texts: list[bytes]) -> tuple[int, list]:
+        """Hot path: reusable ctypes buffers, no numpy per call (the per-doc
+        marshalling cost dominated single-core ingest)."""
         blob = b"".join(field_texts)
-        offs = np.zeros(self.n_fields + 1, np.int64)
-        np.cumsum([len(t) for t in field_texts], out=offs[1:])
-        out_lens = np.zeros(self.n_fields, np.int32)
+        offs = getattr(self, "_offs_buf", None)
+        if offs is None:
+            offs = self._offs_buf = (C.c_int64 * (self.n_fields + 1))()
+            self._lens_buf = (C.c_int32 * self.n_fields)()
+        o = 0
+        for i, t in enumerate(field_texts):
+            o += len(t)
+            offs[i + 1] = o
         docid = self.lib.st_accum_add_doc(
-            self.ptr, cfg.ptr, _u8(blob), _arr(offs, C.c_int64),
-            _arr(out_lens, C.c_int32),
+            self.ptr, cfg.ptr, _u8(blob), offs, self._lens_buf,
         )
-        return docid, out_lens
+        return docid, list(self._lens_buf)
+
+    def add_docs(
+        self, cfg: NativeConfig, texts: list[bytes]
+    ) -> tuple[int, list]:
+        """Batch ingest: texts is n_docs*n_fields field byte strings in doc
+        order; ONE C call tokenizes and accumulates all of them. Returns
+        (first_docid, flat per-field token lengths)."""
+        F = self.n_fields
+        n_docs = len(texts) // F
+        blob = b"".join(texts)
+        offs = (C.c_int64 * (len(texts) + 1))()
+        o = 0
+        for i, t in enumerate(texts):
+            o += len(t)
+            offs[i + 1] = o
+        lens = (C.c_int32 * len(texts))()
+        first = self.lib.st_accum_add_docs(
+            self.ptr, cfg.ptr, _u8(blob), offs, n_docs, lens,
+        )
+        return first, list(lens)
 
     def stats(self) -> tuple[int, int, int]:
         t = C.c_int64()

@@ -970,14 +970,26 @@ def _finalize_lexical(index, requests, results, live, live_specs, slots,
         order = np.lexsort((gids, -scores))
         scores, gids = scores[order], gids[order]
         if spec.phrases:
+            retrieved = len(gids)
+            and_count = int(counts[bi])  # device AND count (pre-verification)
             keep = np.ones(len(gids), dtype=bool)
             for row, g in enumerate(gids):
                 if not _phrase_ok(index, slots, spec, int(g)):
                     keep[row] = False
             scores, gids = scores[keep], gids[keep]
             if with_counts:
-                counts[bi] = len(gids)  # exact when all candidates retrieved
-                counts_exact[bi] = counts_exact[bi] and len(gids) < PHRASE_EXACT_LIMIT
+                if and_count <= retrieved:
+                    # every AND candidate was retrieved and verified
+                    counts[bi] = len(gids)
+                else:
+                    # candidates exceeded the verification window: report an
+                    # extrapolated estimate and mark it inexact (the n-gram
+                    # index path gives exact counts for frequent phrases —
+                    # the segment's df IS the phrase count)
+                    counts[bi] = int(round(
+                        and_count * (len(gids) / max(retrieved, 1))
+                    ))
+                    counts_exact[bi] = False
         rs = ResultSet()
         rs.query_terms = [slots[s].term for s in spec.weights
                           if not slots[s].virtual]

@@ -8,6 +8,7 @@ DOCUMENT_LENGTH_COMPRESSION table (reference index.rs:4237-4279).
 from __future__ import annotations
 
 import numpy as np
+from bisect import bisect_right as _bisect_right
 
 _FNV64_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV64_PRIME = np.uint64(0x100000001B3)
@@ -78,6 +79,15 @@ def compress_lengths(lengths: np.ndarray) -> np.ndarray:
     return idx.astype(np.uint8)
 
 
+def compress_lengths_bytes(lengths: list) -> bytes:
+    """Scalar intToByte4 over a short list (per-doc ingest hot path — the
+    numpy version costs more than the C tokenizer call for 2-field docs)."""
+    return bytes(
+        _bisect_right(_TABLE_LIST, min(max(int(v), 0), _TABLE_MAX)) - 1
+        for v in lengths
+    )
+
+
 def ceil_pow2(n: int, minimum: int = 1) -> int:
     n = max(int(n), minimum)
     return 1 << (n - 1).bit_length()
@@ -97,3 +107,8 @@ def ngram_virtual_hash(h: int, j: int) -> int:
     the scoring kernel stays unchanged)."""
     return (h * 0x9E3779B97F4A7C15 + j * 0xA24BAED4963EE407 + 0x1F0E) \
         & 0xFFFFFFFFFFFFFFFF
+
+
+_TABLE_LIST = _TABLE.tolist()
+_TABLE_MAX = int(_TABLE[-1])
+DLC_LIST = DOCUMENT_LENGTH_COMPRESSION.tolist()
