@@ -1209,6 +1209,14 @@ class Index:
         }
 
     # ------------------------------------------------------------------
+    def precompile(self, **kw) -> int:
+        """Precompile the device scan kernels for a grid of plan shapes
+        (see search.precompile_scan). One-time deploy-time cost; compiled
+        binaries persist in the on-disk XLA cache."""
+        from .search import precompile_scan
+
+        return precompile_scan(self, **kw)
+
     def warmup(self, k: int = 1000, batch: int = 256) -> None:
         """Precompute cached results for every frequent word present in the
         index (reference warmup index.rs:4006-4058, invoked from commit

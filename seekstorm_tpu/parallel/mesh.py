@@ -331,10 +331,14 @@ class StackedIndex:
         nb = ceil_pow2(nb, 1)
         v = max(max((p.seg_len.shape[1] for p in plans if p is not None),
                     default=1), 1)
-        v = ceil_pow2(v, 8)
+        v = ceil_pow2(v, 32)
         P_max = max(max((p.P_max for p in plans if p is not None), default=128),
                     128)
-        B = next(p.W.shape[0] for p in plans if p is not None)
+        B_true = next(p.W.shape[0] for p in plans if p is not None)
+        # batch-dim bucketing: servers see arbitrary batch sizes; padding to
+        # a pow2 (>=16) keeps the number of compiled kernel shapes small.
+        # Padded query rows have no weights/required slots -> no matches.
+        B = ceil_pow2(B_true, 16)
 
         bi = np.full((S, nb), -1, np.int32)
         so = np.zeros((S, nb, v), np.int32)
@@ -349,9 +353,9 @@ class StackedIndex:
             bi[s, :NB0] = p.block_ids
             so[s, :NB0, :V0] = p.seg_off
             sl[s, :NB0, :V0] = p.seg_len
-            W[s, :, :V0] = p.W
-            M[s, :, :V0] = p.Mreq
-            nr[s] = p.nreq
+            W[s, :B_true, :V0] = p.W
+            M[s, :B_true, :V0] = p.Mreq
+            nr[s, :B_true] = p.nreq
         bst = np.zeros((v, boosts.shape[0]), np.float32)
         bst[:] = boosts[None, :]
         F = bst.shape[1]
@@ -406,11 +410,11 @@ class StackedIndex:
                      plan_dev, fcod, skey)
 
         f32_part, i32_part = jax.device_get(out)  # ONE D2H sync
-        ts = f32_part[:, :k]
-        fcounts = f32_part[:, k:].reshape(
-            B, max(n_facets, 1), facet_codes_max).transpose(1, 0, 2)
-        gid = i32_part[:, :k]
-        cnt = i32_part[:, k]
+        ts = f32_part[:B_true, :k]
+        fcounts = f32_part[:B_true, k:].reshape(
+            B_true, max(n_facets, 1), facet_codes_max).transpose(1, 0, 2)
+        gid = i32_part[:B_true, :k]
+        cnt = i32_part[:B_true, k]
         return ts, gid, cnt, fcounts
 
 

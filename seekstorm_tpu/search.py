@@ -22,7 +22,8 @@ from .oracle import score_query, topk_from_scores, verify_phrase
 from .schema import BLOCK_SIZE
 from .ngram import NGRAM_SEP
 from .tokenizer import ParsedQuery, parse_query
-from .utils import ceil_pow2, ngram_virtual_hash, term_hash
+from .utils import (ceil_pow2, ceil_pow4, ngram_virtual_hash,
+                    term_hash)
 
 # blocks threshold under which plans always cover all candidate blocks
 FULL_PLAN_BLOCKS = 96
@@ -448,7 +449,11 @@ def _plan_shard(
                 Mreq[qi, s] = -1e4
 
     P_max = int(seg_len_arr.sum(axis=1).max()) if NB else 0
-    P_max = ceil_pow2(max(P_max, 1), 128)
+    # bucket to a 4096*2^i ladder: the window gather is cheap next to the
+    # dense 64K-domain scatter/matmul, and coarse buckets keep the number
+    # of compiled kernel shapes small (each new shape = one TPU compile;
+    # precompile_scan warms exactly this ladder)
+    P_max = ceil_pow2(max(P_max, 1), 4096)
     return _ShardPlan(
         block_ids=block_list,
         seg_off=seg_off_arr,
@@ -840,16 +845,23 @@ def _lexical_search_batch(
             codes, labels, nc = rt.codes_for(qf)
             arrs.append(codes)
             facet_specs.append((qf, labels, nc))
-        fcm = ceil_pow2(max(nc for _, _, nc in facet_specs), 2)
+        # bucket to >=16 so facet configs share compiled kernels
+        fcm = ceil_pow2(max(nc for _, _, nc in facet_specs), 16)
         fkey = ("facets", tuple(
             (qf.field,
              tuple((r[0], float(r[1])) for r in qf.ranges.ranges)
              if qf.ranges else None)
             for qf, _, _ in facet_specs
         ))
-        fcod_dev = stacked.aux_device(
-            fkey, np.int32, lambda: np.stack(arrs, axis=1)  # [S, NF, N]
-        )
+        def _build_fcod():
+            a = np.stack(arrs, axis=1)  # [S, NF, N]
+            nf_pad = ceil_pow2(a.shape[1], 1)
+            if nf_pad != a.shape[1]:
+                a = np.concatenate(
+                    [a, np.zeros((a.shape[0], nf_pad - a.shape[1],
+                                  a.shape[2]), a.dtype)], axis=1)
+            return a
+        fcod_dev = stacked.aux_device(fkey, np.int32, _build_fcod)
         need_full = True  # facet counting covers all matched docs
 
     sorting = bool(req0.result_sort)
@@ -866,7 +878,8 @@ def _lexical_search_batch(
         need_full = True  # score pruning is invalid under facet ordering
         k = ceil_pow2(max(4 * need, 64))
 
-    fc_total = np.zeros((max(len(facet_specs), 1), B, fcm), np.float64)
+    fc_total = np.zeros(
+        (ceil_pow2(max(len(facet_specs), 1), 1), B, fcm), np.float64)
 
     k_eff = k
     plans = [
@@ -937,6 +950,85 @@ def _lexical_search_batch(
                              slots, merged_scores, merged_ids, counts,
                              counts_exact, with_counts, facet_specs,
                              fc_total, sorting, sort_desc)
+
+
+def precompile_scan(
+    index: Index,
+    batch_sizes=(128,),
+    p_buckets=None,
+    v_buckets=(32, 128),
+    ks=(16, 64),
+    facet_shapes=(),          # (n_facets_padded, facet_codes_max) pairs
+    sort_modes=(False,),
+) -> int:
+    """Precompile the device scan for a grid of plan shapes.
+
+    Every distinct (NB, V, B, P_max, k, facets, sort) tuple is one XLA
+    compilation; on a cold server the first query of each shape pays it
+    (3-40 s on TPU, persisted in the on-disk compile cache afterwards).
+    Call this once at deploy time — or set SEEKSTORM_TPU_PRECOMPILE=1 on
+    the server — to take those compiles up front.  Returns the number of
+    shapes compiled."""
+    index.ensure_loaded()
+    stacked = _get_stacked(index)
+    boosts = index.boosts_or_default()
+    nb = max(max(sh.lexical.n_blocks for sh in index.shards), 1)
+    nb = ceil_pow2(nb, 1)
+    total_p = max(
+        (len(sh.lexical.pl_docid) for sh in index.shards), default=1
+    )
+    if p_buckets is None:
+        p_buckets, p = [], 4096
+        while p < total_p:
+            p_buckets.append(p)
+            p *= 2
+        p_buckets.append(p)
+    n = 0
+    for B in batch_sizes:
+        for v in v_buckets:
+            for P_max in p_buckets:
+                for k in ks:
+                    for fshape in ((0, 1), *facet_shapes):
+                        for use_sort in sort_modes:
+                            plan = _ShardPlan(
+                                block_ids=np.zeros(nb, np.int32),
+                                seg_off=np.zeros((nb, v), np.int32),
+                                seg_len=np.zeros((nb, v), np.int32),
+                                W=np.zeros((B, v), np.float32),
+                                Mreq=np.zeros((B, v), np.float32),
+                                nreq=np.zeros(B, np.int32),
+                                P_max=P_max,
+                                full=True,
+                                ub_unscored=np.zeros(B, np.float32),
+                                idf=np.zeros(v, np.float32),
+                                n_cand_blocks=np.zeros(B, np.int32),
+                            )
+                            nf, fcm = fshape
+                            fcod = None
+                            if nf:
+                                fcod = stacked.aux_device(
+                                    ("precompile_fcod", nf), np.int32,
+                                    lambda: np.zeros(
+                                        (index.shard_count, nf,
+                                         stacked.NB_pad * BLOCK_SIZE),
+                                        np.int32),
+                                )
+                            skey = None
+                            if use_sort:
+                                skey = stacked.aux_device(
+                                    ("precompile_skey",), np.float32,
+                                    lambda: np.zeros(
+                                        (index.shard_count,
+                                         stacked.NB_pad * BLOCK_SIZE),
+                                        np.float32),
+                                )
+                            stacked.run(
+                                [plan] * index.shard_count, boosts, k,
+                                True, fcod_dev=fcod, facet_codes_max=fcm,
+                                skey_dev=skey, sort_desc=True,
+                            )
+                            n += 1
+    return n
 
 
 def _get_stacked(index: Index):

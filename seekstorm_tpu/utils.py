@@ -112,3 +112,12 @@ def ngram_virtual_hash(h: int, j: int) -> int:
 _TABLE_LIST = _TABLE.tolist()
 _TABLE_MAX = int(_TABLE[-1])
 DLC_LIST = DOCUMENT_LENGTH_COMPRESSION.tolist()
+
+
+def ceil_pow4(n: int, minimum: int = 1) -> int:
+    """Round up to minimum * 4^i (coarse shape bucketing for compile reuse)."""
+    b = minimum
+    n = int(n)
+    while b < n:
+        b *= 4
+    return b
