@@ -457,7 +457,16 @@ class Index:
         # native (C++) ingest path when the shared library is available
         from . import native as native_mod
 
-        self._native = native_mod.available()
+        from .schema import TokenizerType as _TT
+
+        # ZH uses the dictionary max-probability segmenter (Python,
+        # word_segmentation.py); the C++ tokenizer only has the char-level
+        # fallback, so ZH indexes take the Python ingest path to keep
+        # native/Python tokenization identical (C++ port queued)
+        self._native = (
+            native_mod.available()
+            and meta.tokenizer != _TT.UnicodeAlphanumericZH
+        )
         self._native_cfg = None
         self._facet_tab_lock = threading.Lock()
         # Bm25f scores n-gram postings with per-constituent tfs/idfs

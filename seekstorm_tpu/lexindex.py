@@ -34,6 +34,12 @@ import numpy as np
 from .oracle import bm25_components, term_impacts
 from .schema import BLOCK_SIZE
 
+# (term, block) segments at or above this length use the dense tf-column
+# representation (u16[BLOCK_SIZE, F] per entry); below it, CSR windows.
+# Breakeven vs CSR memory (2+2F bytes/posting vs 2F*65536 bytes) sits at
+# ~32-43K postings; the kernel win applies to any length.
+DENSE_MIN = 32768
+
 
 @dataclass
 class CommittedLevel:
@@ -110,6 +116,7 @@ class TermDirectory:
     seg_offset: np.ndarray  # i64[S] offset into concatenated postings
     seg_len: np.ndarray     # i32[S]
     seg_max_impact: np.ndarray  # f32[S] (default boost profile)
+    seg_dense: np.ndarray | None = None  # i32[S] dense-store row or -1
 
     def lookup(self, h: int) -> int:
         i = int(np.searchsorted(self.hash, np.uint64(h)))
@@ -131,6 +138,12 @@ class ShardLexical:
     avg_len: float = 0.0
     doc_count: int = 0                   # committed docs in this shard
     level_post_base: np.ndarray | None = None  # i64[L+1] posting base per level
+    # dense-term store: terms with >= DENSE_MIN postings in a block keep a
+    # dense u16 tf column instead of a CSR window segment — the kernel
+    # scores them with a row gather + rank-VD matmul, no gather/scatter
+    # (the analog of the reference's roaring BITMAP posting blocks,
+    # compress_postinglist.rs — dense domains decode without pointers)
+    dense_tf: np.ndarray | None = None   # u16[ND, BLOCK_SIZE, F]
 
     @property
     def n_blocks(self) -> int:
@@ -180,6 +193,7 @@ def build_shard_lexical(
         sh.pl_impact = np.zeros(0, np.float32)
         sh.comp = np.zeros((0, F), np.float32)
         sh.level_post_base = np.zeros(1, np.int64)
+        sh.dense_tf = np.zeros((0, BLOCK_SIZE, F), np.uint16)
         return sh
 
     F = levels[0].tf.shape[1]
@@ -254,14 +268,37 @@ def build_shard_lexical(
     seg_len_sorted = all_len[order]
     df = np.add.reduceat(seg_len_sorted.astype(np.int64), first_idx)
 
+    seg_block_sorted = all_level[order]
+    seg_off_sorted = all_off[order]
+
+    # dense-term store: (term, block) segments with >= DENSE_MIN postings
+    # become dense u16 tf columns (scored by row gather + matmul in the
+    # kernel — no window gather/scatter for the most frequent terms)
+    seg_dense = np.full(len(order), -1, np.int32)
+    dense_rows = []
+    dense_sel = np.flatnonzero(seg_len_sorted >= DENSE_MIN)
+    F = sh.pl_tf.shape[1]
+    for r, e in enumerate(dense_sel):
+        a = int(seg_off_sorted[e])
+        ln = int(seg_len_sorted[e])
+        col = np.zeros((BLOCK_SIZE, F), np.uint16)
+        col[sh.pl_docid[a : a + ln].astype(np.int64)] = sh.pl_tf[a : a + ln]
+        dense_rows.append(col)
+        seg_dense[e] = r
+    sh.dense_tf = (
+        np.stack(dense_rows) if dense_rows
+        else np.zeros((0, BLOCK_SIZE, F), np.uint16)
+    )
+
     sh.directory = TermDirectory(
         hash=uniq_hash,
         df=df,
         seg_start=seg_start,
-        seg_block=all_level[order],
-        seg_offset=all_off[order],
+        seg_block=seg_block_sorted,
+        seg_offset=seg_off_sorted,
         seg_len=seg_len_sorted,
         seg_max_impact=all_max[order],
+        seg_dense=seg_dense,
     )
     return sh
 

@@ -58,8 +58,16 @@ def _block_step(
     seg_off,       # i32[V]         posting offset per slot (-len 0 if absent)
     seg_len,       # i32[V]
     P_max: int,
+    dense_tf=None,     # u16[ND, BLOCK_SIZE, F] dense-term store (optional)
+    dense_ids=None,    # i32[VD] dense rows for this block (-1 pad)
+    dense_slots=None,  # i32[VD] W/Mreq column per dense entry
 ):
     """Decode + score one block for the whole query batch.
+
+    Dense-term entries (>= lexindex.DENSE_MIN postings in the block) skip
+    the window gather/scatter: their u16 tf columns row-gather from HBM and
+    contribute to S/C via a rank-VD matmul — the kernel-side analog of the
+    reference's roaring bitmap posting blocks.
 
     Returns (scores f32[B, BLOCK_SIZE] masked with -inf, matched bool[B, BLOCK_SIZE]).
     """
@@ -110,6 +118,24 @@ def _block_step(
         S = W @ D                                      # [B, BLOCK_SIZE] MXU
         pres = (D > 0).astype(jnp.float32)
         C = Mreq @ pres                                # [B, BLOCK_SIZE] MXU
+
+    if dense_tf is not None and dense_ids is not None \
+            and dense_ids.shape[0] > 0 and dense_tf.shape[0] > 0:
+        ok = dense_ids >= 0
+        did = jnp.maximum(dense_ids, 0)
+        slc = jnp.maximum(dense_slots, 0)
+        dtf = jnp.take(dense_tf, did, axis=0).astype(jnp.float32)  # [VD,BLK,F]
+        compb = jax.lax.dynamic_slice(
+            comp, (bid * BLOCK_SIZE, 0), (BLOCK_SIZE, comp.shape[1])
+        )                                                          # [BLK, F]
+        dsat = dtf * (BM25_K + 1.0) / (dtf + compb[None])          # 0 at tf=0
+        dbst = jnp.take(boosts, slc, axis=0)                       # [VD, F]
+        dimp = jnp.sum(dsat * dbst[:, None, :], axis=2)            # [VD, BLK]
+        dimp = jnp.where(ok[:, None], dimp, 0.0)
+        Wd = jnp.where(ok[None, :], jnp.take(W, slc, axis=1), 0.0)
+        Md = jnp.where(ok[None, :], jnp.take(Mreq, slc, axis=1), 0.0)
+        S = S + Wd @ dimp
+        C = C + Md @ (dimp > 0).astype(jnp.float32)
 
     del_block = jax.lax.dynamic_slice(deleted, (bid * BLOCK_SIZE,), (BLOCK_SIZE,))
     matched = (S > 0) & (C >= nreq[:, None].astype(jnp.float32)) & ~del_block[None, :]
@@ -193,6 +219,9 @@ def lexical_scan(
     W, Mreq, nreq, boosts,
     facet_codes,   # i32[n_facets, NBtot*BLOCK] (dummy [1, 1] if n_facets == 0)
     sort_key,      # f32[NBtot*BLOCK]           (dummy [1] if not use_sort_key)
+    dense_tf,      # u16[ND, BLOCK, F] dense-term store ([0, BLOCK, F] if none)
+    dense_ids,     # i32[NB, VD] dense rows per block (VD may be 0)
+    dense_slots,   # i32[NB, VD]
     *,
     P_max: int,
     k: int,
@@ -219,13 +248,15 @@ def lexical_scan(
 
     def step(carry, xs):
         ts, ti, cnt, fc = carry
-        bid, off, ln = xs
+        bid, off, ln, did, dsl = xs
         pad = bid < 0
         bid_c = jnp.maximum(bid, 0)
         ln = jnp.where(pad, 0, ln)
+        did = jnp.where(pad, -1, did)
         scores, matched = _block_step(
             pl_docid, pl_tf, comp, deleted, boosts, W, Mreq, nreq,
             bid_c, off, ln, P_max,
+            dense_tf=dense_tf, dense_ids=did, dense_slots=dsl,
         )
         if with_counts:
             cnt = cnt + jnp.sum(matched, axis=1, dtype=jnp.int32)
@@ -268,7 +299,7 @@ def lexical_scan(
         jnp.zeros((max(n_facets, 1), B, facet_codes_max), jnp.float32),
     )
     (ts, ti, cnt, fc), _ = jax.lax.scan(
-        step, init, (block_ids, seg_off, seg_len)
+        step, init, (block_ids, seg_off, seg_len, dense_ids, dense_slots)
     )
     return ts, ti, cnt, fc
 

@@ -81,7 +81,7 @@ def score_shards_stacked(
     return mts, mgid, counts
 
 
-def _pack_plan(bi, so, sl, W, M, nr, bst):
+def _pack_plan(bi, so, sl, W, M, nr, bst, dids, dsl):
     """Pack the per-batch plan into ONE [S, L] i32 buffer (row per shard):
     per-transfer latency through the TPU tunnel dominates, so the whole
     plan ships as a single host->device upload, and the per-shard rows
@@ -97,13 +97,16 @@ def _pack_plan(bi, so, sl, W, M, nr, bst):
             M[s].reshape(-1).view(np.int32),
             nr[s].reshape(-1),
             bst.reshape(-1).view(np.int32),
+            dids[s].reshape(-1),
+            dsl[s].reshape(-1),
         ]))
     return np.stack(rows)
 
 
-def _unpack_plan(row, NB, V, B, F):
+def _unpack_plan(row, NB, V, B, F, VD=0):
     """Device-side unpack of one shard's plan row (inside jit)."""
-    sizes = [NB, NB * V, NB * V, B * V, B * V, B, V * F]
+    sizes = [NB, NB * V, NB * V, B * V, B * V, B, V * F,
+             NB * VD, NB * VD]
     offs = np.cumsum([0] + sizes)
     bi = row[offs[0]:offs[1]]
     so = row[offs[1]:offs[2]].reshape(NB, V)
@@ -115,7 +118,9 @@ def _unpack_plan(row, NB, V, B, F):
     nr = row[offs[5]:offs[6]]
     bst = jax.lax.bitcast_convert_type(
         row[offs[6]:offs[7]], jnp.float32).reshape(V, F)
-    return bi, so, sl, W, M, nr, bst
+    did = row[offs[7]:offs[8]].reshape(NB, VD)
+    dsl = row[offs[8]:offs[9]].reshape(NB, VD)
+    return bi, so, sl, W, M, nr, bst, did, dsl
 
 
 def _pack_result(ts, gid, cnt, fc):
@@ -135,16 +140,16 @@ _SCAN_STATICS = dict()
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "shard_id", "NB", "V", "B", "F",
+        "S", "shard_id", "NB", "V", "B", "F", "VD",
         "P_max", "k", "with_counts", "n_facets", "facet_codes_max",
         "use_sort_key", "sort_desc",
     ),
 )
 def scan_one_shard(
     pl_docid, pl_tf, comp, deleted,
-    plan_buf, facet_codes, sort_key,
+    plan_buf, facet_codes, sort_key, dense_tf,
     *,
-    S: int, shard_id: int, NB: int, V: int, B: int, F: int,
+    S: int, shard_id: int, NB: int, V: int, B: int, F: int, VD: int,
     P_max: int, k: int, with_counts: bool, n_facets: int,
     facet_codes_max: int, use_sort_key: bool, sort_desc: bool,
 ):
@@ -152,11 +157,12 @@ def scan_one_shard(
     catastrophically on TPU). Returns (ts, gid, cnt, fc) device arrays."""
     from ..ops.lexical import lexical_scan
 
-    bi, so, sl, W, M, nr, bst = _unpack_plan(plan_buf, NB, V, B, F)
+    bi, so, sl, W, M, nr, bst, did, dsl = _unpack_plan(
+        plan_buf, NB, V, B, F, VD)
     ts, ti, cnt, fc = lexical_scan(
         pl_docid, pl_tf, comp, deleted,
         bi, so, sl, W, M, nr, bst,
-        facet_codes, sort_key,
+        facet_codes, sort_key, dense_tf, did, dsl,
         P_max=P_max, k=k, with_counts=with_counts, n_facets=n_facets,
         facet_codes_max=facet_codes_max, use_sort_key=use_sort_key,
         sort_desc=sort_desc,
@@ -187,15 +193,16 @@ def make_sharded_scan(mesh, statics):
 
     S = statics["S"]
 
-    def body(pl_docid, pl_tf, comp, deleted, plan_buf, facet_codes, sort_key):
+    def body(pl_docid, pl_tf, comp, deleted, plan_buf, facet_codes, sort_key,
+             dense_tf):
         # per-device slices carry a leading axis of size 1 — squeeze it
-        bi, so, sl, W, M, nr, bst = _unpack_plan(
+        bi, so, sl, W, M, nr, bst, did, dsl = _unpack_plan(
             plan_buf[0], statics["NB"], statics["V"], statics["B"],
-            statics["F"])
+            statics["F"], statics["VD"])
         ts, ti, cnt, fc = lexical_scan(
             pl_docid[0], pl_tf[0], comp[0], deleted[0],
             bi, so, sl, W, M, nr, bst,
-            facet_codes[0], sort_key[0],
+            facet_codes[0], sort_key[0], dense_tf[0], did, dsl,
             P_max=statics["P_max"], k=statics["k"],
             with_counts=statics["with_counts"], n_facets=statics["n_facets"],
             facet_codes_max=statics["facet_codes_max"],
@@ -221,7 +228,7 @@ def make_sharded_scan(mesh, statics):
     P_ = P
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P_("shards"),) * 7,
+        in_specs=(P_("shards"),) * 8,
         out_specs=(P_("shards"), P_("shards")),
         check_rep=False,
     )
@@ -287,33 +294,42 @@ class StackedIndex:
                 ids = np.fromiter(sh.deleted, dtype=np.int64)
                 ids = ids[ids < N]
                 dl[ids] = True
-            return pd, pt, cp, dl
+            dt = lex.dense_tf
+            if dt is None or len(dt) == 0:
+                dt = np.zeros((1, BLOCK_SIZE, F), np.uint16)
+            return pd, pt, cp, dl, dt
 
         if self.mesh is None:
             self.per_shard = []
             for sh in idx.shards:
-                pd, pt, cp, dl = shard_arrays(sh)
-                self.per_shard.append(tuple(jnp.asarray(x)
-                                            for x in (pd, pt, cp, dl)))
+                arrs = shard_arrays(sh)
+                self.per_shard.append(tuple(jnp.asarray(x) for x in arrs))
         else:
             P_pad = max(
                 ceil_pow2(max(len(sh.lexical.pl_docid), 1), 128)
                 for sh in idx.shards
             )
+            ND_pad = max(
+                max((len(sh.lexical.dense_tf)
+                     if sh.lexical.dense_tf is not None else 0)
+                    for sh in idx.shards), 1)
             pl_docid = np.zeros((S, P_pad), np.uint16)
             pl_tf = np.zeros((S, P_pad, F), np.uint16)
             comp = np.ones((S, N, F), np.float32)
             deleted = np.zeros((S, N), bool)
+            dense = np.zeros((S, ND_pad, BLOCK_SIZE, F), np.uint16)
             for s, sh in enumerate(idx.shards):
-                pd, pt, cp, dl = shard_arrays(sh)
+                pd, pt, cp, dl, dt = shard_arrays(sh)
                 pl_docid[s, : len(pd)] = pd
                 pl_tf[s, : len(pt)] = pt
                 comp[s] = cp
                 deleted[s] = dl
+                dense[s, : len(dt)] = dt
             self.pl_docid = self._put_row(pl_docid)
             self.pl_tf = self._put_row(pl_tf)
             self.comp = self._put_row(comp)
             self.deleted = self._put_row(deleted)
+            self.dense_tf = self._put_row(dense)
 
     def run(self, plans, boosts, k: int, with_counts: bool,
             fcod_dev=None, facet_codes_max: int = 1,
@@ -340,12 +356,17 @@ class StackedIndex:
         # Padded query rows have no weights/required slots -> no matches.
         B = ceil_pow2(B_true, 16)
 
+        VD = max((p.dense_ids.shape[1] for p in plans
+                  if p is not None and p.dense_ids is not None), default=0)
+
         bi = np.full((S, nb), -1, np.int32)
         so = np.zeros((S, nb, v), np.int32)
         sl = np.zeros((S, nb, v), np.int32)
         W = np.zeros((S, B, v), np.float32)
         M = np.zeros((S, B, v), np.float32)
         nr = np.zeros((S, B), np.int32)
+        dids = np.full((S, nb, VD), -1, np.int32)
+        dsl = np.zeros((S, nb, VD), np.int32)
         for s, p in enumerate(plans):
             if p is None:
                 continue
@@ -356,18 +377,22 @@ class StackedIndex:
             W[s, :B_true, :V0] = p.W
             M[s, :B_true, :V0] = p.Mreq
             nr[s, :B_true] = p.nreq
+            if VD and p.dense_ids is not None:
+                vd0 = p.dense_ids.shape[1]
+                dids[s, :NB0, :vd0] = p.dense_ids
+                dsl[s, :NB0, :vd0] = p.dense_slots
         bst = np.zeros((v, boosts.shape[0]), np.float32)
         bst[:] = boosts[None, :]
         F = bst.shape[1]
         n_facets = int(fcod_dev.shape[1]) if fcod_dev is not None else 0
         use_sort = skey_dev is not None
-        plan_rows = _pack_plan(bi, so, sl, W, M, nr, bst)
+        plan_rows = _pack_plan(bi, so, sl, W, M, nr, bst, dids, dsl)
 
         if self.mesh is None:
             plan_dev = jnp.asarray(plan_rows)  # ONE upload
             results = []
             for s in range(S):
-                pd, pt, cp, dl = self.per_shard[s]
+                pd, pt, cp, dl, dt = self.per_shard[s]
                 if allowed_dev is not None:
                     dl = _merge_deleted(dl, allowed_dev[s])
                 fcod = (fcod_dev[s] if fcod_dev is not None
@@ -375,8 +400,8 @@ class StackedIndex:
                 skey = (skey_dev[s] if use_sort
                         else jnp.zeros((1,), jnp.float32))
                 results.append(scan_one_shard(
-                    pd, pt, cp, dl, plan_dev[s], fcod, skey,
-                    S=S, shard_id=s, NB=nb, V=v, B=B, F=F,
+                    pd, pt, cp, dl, plan_dev[s], fcod, skey, dt,
+                    S=S, shard_id=s, NB=nb, V=v, B=B, F=F, VD=VD,
                     P_max=P_max, k=k, with_counts=with_counts,
                     n_facets=n_facets, facet_codes_max=facet_codes_max,
                     use_sort_key=use_sort, sort_desc=sort_desc,
@@ -388,7 +413,7 @@ class StackedIndex:
             out = merge_shard_results(ts_all, gid_all, cnt_all, fc_all, k=k)
         else:
             statics = dict(
-                S=S, NB=nb, V=v, B=B, F=F, P_max=P_max, k=k,
+                S=S, NB=nb, V=v, B=B, F=F, VD=VD, P_max=P_max, k=k,
                 with_counts=with_counts, n_facets=n_facets,
                 facet_codes_max=facet_codes_max, use_sort_key=use_sort,
                 sort_desc=sort_desc,
@@ -407,7 +432,7 @@ class StackedIndex:
                     else self._put_row(np.zeros((S, 1), np.float32)))
             plan_dev = self._put_row(plan_rows)
             out = fn(self.pl_docid, self.pl_tf, self.comp, deleted,
-                     plan_dev, fcod, skey)
+                     plan_dev, fcod, skey, self.dense_tf)
 
         f32_part, i32_part = jax.device_get(out)  # ONE D2H sync
         ts = f32_part[:B_true, :k]

@@ -307,6 +307,8 @@ class _ShardPlan:
     ub_unscored: np.ndarray     # f32[B] max UB over blocks not in plan
     idf: np.ndarray             # f32[n_slots] per-shard idf
     n_cand_blocks: np.ndarray   # i32[B]
+    dense_ids: np.ndarray | None = None    # i32[NB, VD] dense rows (-1 pad)
+    dense_slots: np.ndarray | None = None  # i32[NB, VD]
 
 
 def _plan_shard(
@@ -330,6 +332,7 @@ def _plan_shard(
     seg_offs: list[np.ndarray] = []
     seg_lens: list[np.ndarray] = []
     seg_maxs: list[np.ndarray] = []
+    seg_dense: list[np.ndarray] = []
     df = np.zeros(V, dtype=np.int64)
     for v, sl in enumerate(slots):
         ti = d.lookup(sl.hash)
@@ -338,12 +341,17 @@ def _plan_shard(
             seg_offs.append(np.zeros(0, np.int64))
             seg_lens.append(np.zeros(0, np.int32))
             seg_maxs.append(np.zeros(0, np.float32))
+            seg_dense.append(np.zeros(0, np.int32))
             continue
         a, b = int(d.seg_start[ti]), int(d.seg_start[ti + 1])
         seg_blocks.append(d.seg_block[a:b])
         seg_offs.append(d.seg_offset[a:b])
         seg_lens.append(d.seg_len[a:b])
         seg_maxs.append(d.seg_max_impact[a:b])
+        seg_dense.append(
+            d.seg_dense[a:b] if d.seg_dense is not None
+            else np.full(b - a, -1, np.int32)
+        )
         if sl.idf_hash is not None:
             # n-gram constituent idf (reference posting_count_ngram_N,
             # search.rs:3235-3260) — df of the constituent term itself
@@ -424,15 +432,32 @@ def _plan_shard(
 
     seg_off_arr = np.zeros((NB, V), dtype=np.int32)
     seg_len_arr = np.zeros((NB, V), dtype=np.int32)
+    dense_lists: list[list] = [[] for _ in range(NB)]
     # any slot that appears in ANY query using a block gets decoded for that
-    # block; extra decode only adds exactness
+    # block; extra decode only adds exactness.  Dense segments leave the
+    # window entirely and ride the dense row-gather path in the kernel.
     for v in range(V):
         if len(seg_blocks[v]) == 0:
             continue
         pos = np.searchsorted(block_list, seg_blocks[v])
         hit = (pos < NB) & (block_list[np.minimum(pos, NB - 1)] == seg_blocks[v])
-        seg_off_arr[pos[hit], v] = seg_offs[v][hit].astype(np.int32)
-        seg_len_arr[pos[hit], v] = seg_lens[v][hit]
+        dense_v = seg_dense[v]
+        sparse = hit & (dense_v < 0)
+        seg_off_arr[pos[sparse], v] = seg_offs[v][sparse].astype(np.int32)
+        seg_len_arr[pos[sparse], v] = seg_lens[v][sparse]
+        for e in np.flatnonzero(hit & (dense_v >= 0)):
+            dense_lists[int(pos[e])].append((int(dense_v[e]), v))
+
+    VD = max((len(x) for x in dense_lists), default=0)
+    dense_ids = dense_slots = None
+    if VD:
+        VD = ceil_pow2(VD, 4)
+        dense_ids = np.full((NB, VD), -1, np.int32)
+        dense_slots = np.zeros((NB, VD), np.int32)
+        for bi_, lst in enumerate(dense_lists):
+            for j, (r, v) in enumerate(lst):
+                dense_ids[bi_, j] = r
+                dense_slots[bi_, j] = v
 
     W = np.zeros((B, V), dtype=np.float32)
     Mreq = np.zeros((B, V), dtype=np.float32)
@@ -466,6 +491,8 @@ def _plan_shard(
         ub_unscored=ub_unscored,
         idf=idf,
         n_cand_blocks=n_cand,
+        dense_ids=dense_ids,
+        dense_slots=dense_slots,
     )
 
 

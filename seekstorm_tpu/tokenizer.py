@@ -84,21 +84,36 @@ def _is_cjk(cp: int) -> bool:
     return any(a <= cp <= b for a, b in _CJK_RANGES)
 
 
-def _split_cjk_chars(tokens: list[str]) -> list[str]:
-    """Character-level CJK fallback segmentation: CJK runs emit one token
-    per character (until the dictionary-based Triangular-Matrix segmenter
-    lands, reference word_segmentation.rs:23)."""
+def _split_cjk_chars(tokens: list[str], segmenter=None) -> list[str]:
+    """CJK segmentation of mixed tokens: continuous CJK runs go through the
+    dictionary max-probability segmenter when one is available (reference
+    word_segmentation.rs:95 WordSegmentationTM, invoked tokenizer.rs:306);
+    without a dictionary each CJK char is its own token (the reference's
+    behavior for dictionary misses)."""
     out: list[str] = []
     for tok in tokens:
         cur = ""
+        run = ""
+
+        def flush_run():
+            nonlocal run
+            if run:
+                if segmenter is not None:
+                    out.extend(segmenter.segment(run))
+                else:
+                    out.extend(run)
+                run = ""
+
         for ch in tok:
             if _is_cjk(ord(ch)):
                 if cur:
                     out.append(cur)
                     cur = ""
-                out.append(ch)
+                run += ch
             else:
+                flush_run()
                 cur += ch
+        flush_run()
         if cur:
             out.append(cur)
     return out
@@ -118,7 +133,9 @@ def tokenize_text(text: str, ttype: TokenizerType) -> list[str]:
         return [m.group(0).lower() for m in _RE_UNICODE_ALNUM.finditer(folded)]
     toks = [m.group(0).lower() for m in _RE_UNICODE_ALNUM.finditer(text)]
     if ttype == TokenizerType.UnicodeAlphanumericZH:
-        toks = _split_cjk_chars(toks)
+        from .word_segmentation import get_segmenter
+
+        toks = _split_cjk_chars(toks, get_segmenter())
     return toks
 
 

@@ -351,3 +351,45 @@ def test_warmup_cache(tmp_index_dir, rng):
     idx.index_documents(make_docs(rng, 10))
     rs2 = idx.search(st.SearchRequest(query="w000", realtime=True))
     assert rs2.result_count_total >= rs.result_count_total
+
+
+def test_dense_term_representation(tmp_path, monkeypatch):
+    """Terms above DENSE_MIN postings per block take the dense tf-column
+    path (row gather + matmul, no window scatter) — scores/counts must be
+    identical to the CSR path."""
+    import seekstorm_tpu.lexindex as lexindex_mod
+
+    rng = np.random.default_rng(77)
+    docs = []
+    for i in range(400):
+        words = ["common"] * int(rng.integers(1, 4))   # df 400 >> DENSE_MIN
+        words += [f"rare{int(rng.integers(0, 40))}" for _ in range(6)]
+        rng.shuffle(words)
+        docs.append({"t": " ".join(words)})
+
+    schema = [st.SchemaField("t", st.FieldType.Text, stored=True, indexed=True)]
+    ix_csr = st.create_index(tmp_path / "csr", schema)
+    ix_csr.index_documents(docs)
+    ix_csr.commit()
+    assert len(ix_csr.shards[0].lexical.dense_tf) == 0  # all sparse
+
+    monkeypatch.setattr(lexindex_mod, "DENSE_MIN", 64)
+    ix_d = st.create_index(tmp_path / "dense", schema)
+    ix_d.index_documents(docs)
+    ix_d.commit()
+    lex = ix_d.shards[0].lexical
+    assert len(lex.dense_tf) >= 1, "dense store not built"
+    assert (lex.directory.seg_dense >= 0).sum() >= 1
+
+    for q in ["common", "common rare3", "+common +rare5", "common -rare7",
+              '"common rare1"', "rare2 rare9"]:
+        a = ix_csr.search(st.SearchRequest(
+            query=q, result_type=st.ResultType.TopkCount, length=50,
+            realtime=False))
+        b = ix_d.search(st.SearchRequest(
+            query=q, result_type=st.ResultType.TopkCount, length=50,
+            realtime=False))
+        assert a.result_count_total == b.result_count_total, q
+        sa = {r.doc_id: round(r.score, 4) for r in a.results}
+        sb = {r.doc_id: round(r.score, 4) for r in b.results}
+        assert sa == sb, (q, sa, sb)

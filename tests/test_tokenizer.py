@@ -96,7 +96,28 @@ def test_term_hash_stability():
     assert term_hash("hello") != term_hash("world")
 
 
-def test_zh_character_fallback():
+def test_zh_dictionary_segmentation():
+    """CJK runs segment by max word probability (seed lexicon); unknown
+    runs fall back to single characters; Latin passes through."""
     toks = tokenize_text("中文测试 english 日本語text",
                          TokenizerType.UnicodeAlphanumericZH)
-    assert toks == ["中", "文", "测", "试", "english", "日", "本", "語", "text"]
+    # "中" and "文" are seed words; the unknown chars split singly
+    assert "english" in toks and "text" in toks
+    assert "".join(t for t in toks if t not in ("english", "text")) == \
+        "中文测试日本語"
+
+    toks2 = tokenize_text("我们喜欢搜索引擎",
+                          TokenizerType.UnicodeAlphanumericZH)
+    assert toks2 == ["我们", "喜欢", "搜索引擎"]
+
+
+def test_zh_segmenter_direct():
+    from seekstorm_tpu.word_segmentation import WordSegmenter
+
+    seg = WordSegmenter()
+    seg.load_pairs([("天气", 100), ("天", 50), ("气", 40), ("很", 60),
+                    ("好", 70)])
+    assert seg.segment("天气很好") == ["天气", "很", "好"]
+    # unknown chars become singles
+    assert seg.segment("天气仌") == ["天气", "仌"]
+    assert seg.segment("") == []
