@@ -327,38 +327,43 @@ def _plan_shard(
     if V == 0 or lex.doc_count == 0:
         return None
 
-    # per-slot segment views + dfs
-    seg_blocks: list[np.ndarray] = []
-    seg_offs: list[np.ndarray] = []
-    seg_lens: list[np.ndarray] = []
-    seg_maxs: list[np.ndarray] = []
-    seg_dense: list[np.ndarray] = []
-    df = np.zeros(V, dtype=np.int64)
-    for v, sl in enumerate(slots):
-        ti = d.lookup(sl.hash)
-        if ti < 0:
-            seg_blocks.append(np.zeros(0, np.int32))
-            seg_offs.append(np.zeros(0, np.int64))
-            seg_lens.append(np.zeros(0, np.int32))
-            seg_maxs.append(np.zeros(0, np.float32))
-            seg_dense.append(np.zeros(0, np.int32))
-            continue
-        a, b = int(d.seg_start[ti]), int(d.seg_start[ti + 1])
-        seg_blocks.append(d.seg_block[a:b])
-        seg_offs.append(d.seg_offset[a:b])
-        seg_lens.append(d.seg_len[a:b])
-        seg_maxs.append(d.seg_max_impact[a:b])
-        seg_dense.append(
-            d.seg_dense[a:b] if d.seg_dense is not None
-            else np.full(b - a, -1, np.int32)
-        )
-        if sl.idf_hash is not None:
-            # n-gram constituent idf (reference posting_count_ngram_N,
-            # search.rs:3235-3260) — df of the constituent term itself
-            ci = d.lookup(sl.idf_hash)
-            df[v] = d.df[ci] if ci >= 0 else d.df[ti]
-        else:
-            df[v] = d.df[ti]
+    # per-slot segment ranges, fully vectorized (this was a V-iteration
+    # python loop and a measurable share of per-batch host planning)
+    hs = np.array([sl.hash for sl in slots], dtype=np.uint64)
+    T = len(d.hash)
+    ti_all = np.searchsorted(d.hash, hs)
+    found = (ti_all < T)
+    ti_c = np.minimum(ti_all, max(T - 1, 0))
+    found &= (d.hash[ti_c] == hs) if T else False
+    seg_a = np.where(found, d.seg_start[ti_c], 0).astype(np.int64)
+    seg_b = np.where(found, d.seg_start[np.minimum(ti_c + 1, T)], 0).astype(
+        np.int64)
+    seg_n = seg_b - seg_a
+
+    # flat (slot, segment) view: ragged ranges -> one index vector
+    total_segs = int(seg_n.sum())
+    rows = np.repeat(np.arange(V, dtype=np.int32), seg_n)       # slot per seg
+    shift = np.repeat(np.cumsum(seg_n) - seg_n - seg_a, seg_n)
+    flat = np.arange(total_segs, dtype=np.int64) - shift        # dir indices
+    fb = d.seg_block[flat]          # block id per (slot, segment)
+    fo = d.seg_offset[flat]
+    fl = d.seg_len[flat]
+    fm = d.seg_max_impact[flat]
+    fd = (d.seg_dense[flat] if d.seg_dense is not None
+          else np.full(total_segs, -1, np.int32))
+
+    # idf df: n-gram slots redirect to their constituent's df (reference
+    # posting_count_ngram_N, search.rs:3235-3260)
+    df = np.where(found, d.df[ti_c], 0)
+    idf_hs = np.array(
+        [sl.idf_hash if sl.idf_hash is not None else sl.hash
+         for sl in slots], dtype=np.uint64)
+    if not np.array_equal(idf_hs, hs):
+        ci_all = np.searchsorted(d.hash, idf_hs)
+        cfound = (ci_all < T)
+        ci_c = np.minimum(ci_all, max(T - 1, 0))
+        cfound &= (d.hash[ci_c] == idf_hs) if T else False
+        df = np.where(cfound, d.df[ci_c], df)
 
     # doc counts / dfs incl. realtime tail for idf
     n_docs = lex.doc_count
@@ -378,35 +383,40 @@ def _plan_shard(
                 tp = l0.terms.get(h)
                 if tp is not None:
                     df_total[v] += int(np.sum(np.asarray(tp.docids) >= start))
-    idf = np.array(
-        [idf_fn(n_docs, int(df_total[v])) if df_total[v] else 0.0 for v in range(V)],
-        dtype=np.float32,
-    )
+    idf = np.where(
+        df_total > 0,
+        np.log1p((n_docs - df_total + 0.5) / (df_total + 0.5)),
+        0.0,
+    ).astype(np.float32)
 
-    # candidate blocks + UBs per query
+    # per-query masks over slots, built once (the per-query python loops
+    # here were the serving bottleneck: host planning ran ~16 ms per
+    # 128-query batch, longer than the warm device scan)
     n_blocks = lex.n_blocks
-    ub = np.zeros((B, n_blocks), dtype=np.float32)
-    cand = np.zeros((B, n_blocks), dtype=bool)
+    POS = np.zeros((B, V), dtype=np.float32)      # weighted (scoring) slots
+    REQ = np.zeros((B, V), dtype=np.float32)      # required slots
+    NEG = np.zeros((B, V), dtype=bool)
     for qi, spec in enumerate(specs):
-        pos_slots = [s for s in spec.weights]
-        if not pos_slots:
-            continue
-        req_slots = [s for s in pos_slots if spec.required.get(s)]
-        c = np.zeros(n_blocks, dtype=bool)
-        if req_slots:
-            c[:] = True
-            for s in req_slots:
-                m = np.zeros(n_blocks, dtype=bool)
-                m[seg_blocks[s]] = True
-                c &= m
-        else:
-            for s in pos_slots:
-                c[seg_blocks[s]] = True
-        for s in pos_slots:
-            u = np.zeros(n_blocks, dtype=np.float32)
-            u[seg_blocks[s]] = seg_maxs[s] * idf[s]
-            ub[qi] += u
-        cand[qi] = c
+        ws = list(spec.weights)
+        POS[qi, ws] = 1.0
+        REQ[qi, [s for s in ws if spec.required.get(s)]] = 1.0
+        NEG[qi, [s for s, n_ in spec.negated.items() if n_]] = True
+
+    # slot -> block matrices (presence + max-impact upper bound); one
+    # segment per (term, block), so direct assignment is collision-free
+    present = np.zeros((V, n_blocks), dtype=np.float32)
+    slot_ub = np.zeros((V, n_blocks), dtype=np.float32)
+    present[rows, fb] = 1.0
+    slot_ub[rows, fb] = fm * idf[rows]
+
+    # candidate blocks: AND of required presences when any, else OR of
+    # positives; ub = sum of per-slot block UBs over scoring slots
+    has_req = REQ.sum(axis=1) > 0
+    miss_req = REQ @ (1.0 - present)              # [B, n_blocks]
+    any_pos = (POS @ present) > 0
+    cand = np.where(has_req[:, None], miss_req == 0, any_pos)
+    cand &= POS.sum(axis=1)[:, None] > 0
+    ub = POS @ slot_ub
     ub = np.where(cand, ub, 0.0)
     n_cand = cand.sum(axis=1).astype(np.int32)
 
@@ -436,17 +446,13 @@ def _plan_shard(
     # any slot that appears in ANY query using a block gets decoded for that
     # block; extra decode only adds exactness.  Dense segments leave the
     # window entirely and ride the dense row-gather path in the kernel.
-    for v in range(V):
-        if len(seg_blocks[v]) == 0:
-            continue
-        pos = np.searchsorted(block_list, seg_blocks[v])
-        hit = (pos < NB) & (block_list[np.minimum(pos, NB - 1)] == seg_blocks[v])
-        dense_v = seg_dense[v]
-        sparse = hit & (dense_v < 0)
-        seg_off_arr[pos[sparse], v] = seg_offs[v][sparse].astype(np.int32)
-        seg_len_arr[pos[sparse], v] = seg_lens[v][sparse]
-        for e in np.flatnonzero(hit & (dense_v >= 0)):
-            dense_lists[int(pos[e])].append((int(dense_v[e]), v))
+    pos = np.searchsorted(block_list, fb)
+    hit = (pos < NB) & (block_list[np.minimum(pos, max(NB - 1, 0))] == fb)
+    sparse = hit & (fd < 0)
+    seg_off_arr[pos[sparse], rows[sparse]] = fo[sparse].astype(np.int32)
+    seg_len_arr[pos[sparse], rows[sparse]] = fl[sparse]
+    for e in np.flatnonzero(hit & (fd >= 0)):
+        dense_lists[int(pos[e])].append((int(fd[e]), int(rows[e])))
 
     VD = max((len(x) for x in dense_lists), default=0)
     dense_ids = dense_slots = None
@@ -459,19 +465,9 @@ def _plan_shard(
                 dense_ids[bi_, j] = r
                 dense_slots[bi_, j] = v
 
-    W = np.zeros((B, V), dtype=np.float32)
-    Mreq = np.zeros((B, V), dtype=np.float32)
-    nreq = np.zeros(B, dtype=np.int32)
-    for qi, spec in enumerate(specs):
-        for s in spec.weights:
-            W[qi, s] = idf[s]
-        for s, is_req in spec.required.items():
-            if is_req and not spec.negated.get(s):
-                Mreq[qi, s] = 1.0
-                nreq[qi] += 1
-        for s, is_neg in spec.negated.items():
-            if is_neg:
-                Mreq[qi, s] = -1e4
+    W = POS * idf[None, :]
+    Mreq = np.where(NEG, np.float32(-1e4), REQ * ~NEG)
+    nreq = (REQ * ~NEG).sum(axis=1).astype(np.int32)
 
     P_max = int(seg_len_arr.sum(axis=1).max()) if NB else 0
     # bucket to a 4096*2^i ladder: the window gather is cheap next to the
