@@ -354,13 +354,33 @@ class ParsedQuery:
 _RE_QUERY_PART = re.compile(r'([+-]?)"([^"]*)"|([+-]?)(\S+)')
 
 
+_PARSE_CACHE_MAX = 65_536
+
+
 def parse_query(query: str, analyzer: Analyzer) -> ParsedQuery:
-    """Parse query operators then analyze each part.
+    """Parse query operators then analyze each part (bounded cache per
+    analyzer: query streams are zipfian, so repeated strings dominate
+    serving and the parse is pure given the analyzer config; the result
+    is treated as immutable by all consumers).
 
     Semantics (reference tokenizer.rs query-operator parsing): '+term' makes
     the term required, '-term' negates it, '"a b"' requires the exact phrase.
     Remaining terms follow the request's default query type.
     """
+    cache = getattr(analyzer, "_parse_cache", None)
+    if cache is None:
+        cache = analyzer._parse_cache = {}
+    hit = cache.get(query)
+    if hit is not None:
+        return hit
+    pq = _parse_query_uncached(query, analyzer)
+    if len(cache) >= _PARSE_CACHE_MAX:
+        cache.clear()
+    cache[query] = pq
+    return pq
+
+
+def _parse_query_uncached(query: str, analyzer: Analyzer) -> ParsedQuery:
     pq = ParsedQuery()
     for m in _RE_QUERY_PART.finditer(query):
         if m.group(2) is not None:  # quoted phrase
