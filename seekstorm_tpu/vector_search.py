@@ -174,16 +174,14 @@ def vector_search_batch(index: Index, requests) -> list:
 
             ts, rows, cnt = jax.device_get((ts, rows, cnt))
             counts += cnt
-            h_doc, h_f, h_c = dev["h_docid"], dev["h_fieldid"], dev["h_chunkid"]
+            h_doc = dev["h_docid"]
+            gids_all = (h_doc[rows].astype(np.int64) * index.shard_count
+                        + shard.shard_id)                     # [B, k]
+            finite = np.isfinite(ts)
             for qi in range(B):
-                for s, rrow in zip(ts[qi], rows[qi]):
-                    if not np.isfinite(s):
-                        break
-                    did = int(h_doc[rrow])
-                    cand[qi].append(
-                        (float(s), did * index.shard_count + shard.shard_id,
-                         int(h_f[rrow]), int(h_c[rrow]), shard.shard_id)
-                    )
+                m = finite[qi]
+                if m.any():
+                    cand[qi].append((ts[qi][m], gids_all[qi][m]))
 
         # realtime tail (exact f32 scan)
         if req0.realtime:
@@ -211,34 +209,44 @@ def vector_search_batch(index: Index, requests) -> list:
                 ok = sc >= score_min[:, None]
                 sc = np.where(ok, sc, -np.inf)
                 counts += ok.sum(axis=1)
+                tgids = (docid.astype(np.int64) * index.shard_count
+                         + shard.shard_id)
                 for qi in range(B):
                     order = np.argsort(-sc[qi])[:k]
-                    for r in order:
-                        if not np.isfinite(sc[qi][r]):
-                            break
-                        cand[qi].append(
-                            (float(sc[qi][r]),
-                             int(docid[r]) * index.shard_count + shard.shard_id,
-                             int(fieldid[r]), int(chunkid[r]), shard.shard_id)
-                        )
+                    m = np.isfinite(sc[qi][order])
+                    sel = order[m]
+                    if len(sel):
+                        cand[qi].append((sc[qi][sel].astype(np.float32),
+                                         tgids[sel]))
 
     out = []
     for qi, r in enumerate(requests):
         rs = ResultSet()
-        best: dict[int, tuple] = {}
-        for s, gid, f, c, sid in cand[qi]:
-            if gid not in best or s > best[gid][0]:
-                best[gid] = (s, f, c, sid)
-        ranked = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[0]))
-        page = ranked[r.offset : r.offset + r.length]
-        rs.results = [
-            ResultObject(
-                doc_id=gid, score=float(score_to_user(s, vc.similarity))
-            )
-            for gid, (s, f, c, sid) in page
-        ]
+        if cand[qi]:
+            s = np.concatenate([c[0] for c in cand[qi]])
+            g = np.concatenate([c[1] for c in cand[qi]])
+            # dedupe multi-vector docs to their best score: sort by
+            # (gid asc, score desc), keep each gid's first row, then rank
+            # by (score desc, gid asc)
+            order = np.lexsort((-s, g))
+            gs, ss = g[order], s[order]
+            uniq_g, first = np.unique(gs, return_index=True)
+            us = ss[first]
+            rank = np.lexsort((uniq_g, -us))
+            n_ranked = len(rank)
+            page = rank[r.offset : r.offset + r.length]
+            rs.results = [
+                ResultObject(
+                    doc_id=int(uniq_g[i]),
+                    score=float(score_to_user(us[i], vc.similarity)),
+                )
+                for i in page
+            ]
+        else:
+            n_ranked = 0
+            rs.results = []
         rs.result_count = len(rs.results)
-        rs.result_count_total = int(counts[qi]) if with_counts else len(ranked)
+        rs.result_count_total = int(counts[qi]) if with_counts else n_ranked
         from .search import _attach_docs
 
         _attach_docs(index, r, rs)
