@@ -43,3 +43,42 @@ def test_mesh_uneven_devices(tmp_index_dir, rng):
     assert idx._mesh.devices.size in (1, 2, 3, 6)
     bf = BruteForce(idx, docs)
     assert_parity(idx, bf, "w000 w001", "Union")
+
+
+def test_mesh_dense_term_path(tmp_index_dir, rng, monkeypatch):
+    """The shard_map program must score dense-term entries (row-gather +
+    matmul path) identically to the single-device path."""
+    import seekstorm_tpu.lexindex as lexindex_mod
+
+    monkeypatch.setattr(lexindex_mod, "DENSE_MIN", 16)
+    docs = []
+    for i in range(400):
+        w = ["common"] * int(rng.integers(1, 3))
+        w += [f"rare{int(rng.integers(0, 30))}" for _ in range(5)]
+        rng.shuffle(w)
+        docs.append({"t": " ".join(w)})
+    idx = st.create_index(
+        tmp_index_dir,
+        [st.SchemaField("t", st.FieldType.Text, stored=True, indexed=True)],
+        shard_count=8,
+    )
+    idx.index_documents(docs)
+    idx.commit()
+    assert any(len(sh.lexical.dense_tf) for sh in idx.shards), \
+        "no dense entries built"
+
+    def run_all():
+        out = {}
+        for q in ["common", "common rare3", "+common +rare5",
+                  "common -rare7"]:
+            r = idx.search(st.SearchRequest(
+                query=q, result_type=st.ResultType.TopkCount, length=50,
+                realtime=False))
+            out[q] = (r.result_count_total,
+                      [(x.doc_id, round(x.score, 4)) for x in r.results])
+        return out
+
+    plain = run_all()
+    idx.attach_mesh()
+    mesh = run_all()
+    assert plain == mesh
