@@ -660,17 +660,19 @@ int64_t st_accum_completions_blob(StAccum* a, uint8_t* blob, int64_t cap) {
 void st_accum_load(StAccum* a, const uint64_t* hashes,
                    const int64_t* offsets, const uint16_t* docids,
                    const uint16_t* tfs, const uint16_t* positions,
-                   const uint8_t* terms_blob, int64_t n_terms,
-                   int32_t doc_count) {
+                   const uint8_t* terms_blob, int64_t terms_blob_len,
+                   int64_t n_terms, int32_t doc_count) {
     int F = a->n_fields;
     int64_t blob_off = 0;
     int64_t pos_off = 0;
     for (int64_t t = 0; t < n_terms; t++) {
+        // bounded scan: a truncated/corrupt terms.txt (fewer newlines than
+        // n_terms) must not read out of bounds — end-of-blob terminates
         int64_t e = blob_off;
-        while (terms_blob[e] != '\n') e++;
+        while (e < terms_blob_len && terms_blob[e] != '\n') e++;
         TermP& tp = a->terms[hashes[t]];
         tp.term.assign((const char*)terms_blob + blob_off, e - blob_off);
-        blob_off = e + 1;
+        blob_off = (e < terms_blob_len) ? e + 1 : e;
         int64_t p0 = offsets[t], p1 = offsets[t + 1];
         tp.docids.assign(docids + p0, docids + p1);
         tp.tfs.assign(tfs + p0 * F, tfs + p1 * F);

@@ -69,12 +69,44 @@ def _parse_search_mode(v) -> tuple[SearchMode, str, int, float | None]:
     return SearchMode.Lexical, "All", 0, None
 
 
+_RANGES_VARIANTS = {
+    "U8", "U16", "U32", "U64", "I8", "I16", "I32", "I64",
+    "Timestamp", "F32", "F64", "Point",
+}
+
+
 def _parse_facet(d: dict) -> QueryFacet:
+    """Accepts both the reference's externally-tagged Ranges enum wire form
+    (reference search.rs:390-420, serde external tagging):
+        {"F64": ["CountAboveRange", [["label", 0.0], ...]]}
+        {"Point": [rt, [["label", 0.0], ...], [lat, lon], "Kilometers"]}
+    and the flattened forms {"ranges": {"ranges": [...]}} / bare list."""
     ranges = None
-    if d.get("ranges"):
-        r = d["ranges"]
+    r = d.get("ranges")
+    if r:
         if isinstance(r, dict):
-            ranges = Ranges(field=d["field"], ranges=[tuple(x) for x in r["ranges"]])
+            variant = next(iter(r))
+            if variant in _RANGES_VARIANTS and isinstance(r[variant], (list, tuple)):
+                payload = r[variant]
+                range_type = str(payload[0])
+                buckets = [tuple(x) for x in payload[1]]
+                base = unit = None
+                if variant == "Point" and len(payload) >= 4:
+                    base = tuple(payload[2])
+                    unit = str(payload[3])
+                ranges = Ranges(
+                    field=d["field"], ranges=buckets, range_type=range_type,
+                    base=base, unit=unit or "Kilometers",
+                )
+            else:
+                ranges = Ranges(
+                    field=d["field"],
+                    ranges=[tuple(x) for x in r["ranges"]],
+                    range_type=str(r.get("range_type", "CountWithinRange")),
+                    base=(tuple(r["base"]) if r.get("base") is not None
+                          else None),
+                    unit=str(r.get("unit", "Kilometers")),
+                )
         else:
             ranges = Ranges(field=d["field"], ranges=[tuple(x) for x in r])
     return QueryFacet(

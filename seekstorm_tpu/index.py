@@ -538,15 +538,22 @@ class Index:
     # document CRUD (reference index.rs:5081-5299)
 
     def index_document(self, doc: dict) -> int:
+        """Thread-safe single-document ingest.
+
+        The shard is chosen round-robin, but the returned global id is
+        derived from the shard slot actually taken under the shard's ingest
+        lock — concurrent callers can interleave appends within a shard
+        without breaking the `local == global_id // shard_count` invariant
+        that get_document/delete_document rely on (reference doc-id
+        globalization, index.rs:5284-5290)."""
         from .metrics import METRICS
 
         METRICS.inc("docs_indexed_total")
         with self._lock:
-            g = self.docid_global
+            rr = self.docid_global
             self.docid_global += 1
-        shard = self.shards[g % self.shard_count]
-        self._index_document_shard(shard, doc)
-        return g
+        shard = self.shards[rr % self.shard_count]
+        return self._index_document_shard(shard, doc)
 
     def index_documents(self, docs: list[dict]) -> list[int]:
         """Batch ingest; shard-parallel on the native path (reference
@@ -565,9 +572,12 @@ class Index:
         with self._lock:
             g0 = self.docid_global
             self.docid_global += len(docs)
-        per_shard: list[list[dict]] = [[] for _ in range(self.shard_count)]
+        per_shard: list[list[tuple[int, dict]]] = [
+            [] for _ in range(self.shard_count)
+        ]
         for i, d in enumerate(docs):
-            per_shard[(g0 + i) % self.shard_count].append(d)
+            per_shard[(g0 + i) % self.shard_count].append((i, d))
+        ids = [0] * len(docs)
 
         import concurrent.futures as cf
 
@@ -582,16 +592,20 @@ class Index:
                 chunk = ds[i : i + room]
                 texts: list[bytes] = []
                 fvals, blobs = [], []
-                for d in chunk:
+                for _, d in chunk:
                     texts.extend(self._native_field_texts(d))
                     fvals.append(self._doc_facet_vals(d))
                     blobs.append(self._doc_blob(d))
                 with sh.ingest_lock:
+                    base = sh.full_levels * BLOCK_SIZE
                     first = sh.level0.add_documents_native(
                         cfg, texts, fvals, blobs
                     )
-                    if self.vectors is not None:
-                        for j, d in enumerate(chunk):
+                    # global ids from the slots actually taken (safe under
+                    # concurrent per-shard interleaving)
+                    for j, (oi, d) in enumerate(chunk):
+                        ids[oi] = (base + first + j) * self.shard_count + si
+                        if self.vectors is not None:
                             self.vectors.ingest(sh.shard_id, first + j, d)
                     self._device_dirty = True
                     if sh.level0.doc_count >= BLOCK_SIZE:
@@ -602,7 +616,7 @@ class Index:
         workers = min(self.shard_count, os.cpu_count() or 8)
         with cf.ThreadPoolExecutor(max_workers=workers) as ex:
             list(ex.map(worker, range(self.shard_count)))
-        return list(range(g0, g0 + len(docs)))
+        return ids
 
     def _native_field_texts(self, doc: dict) -> list[bytes]:
         field_texts = []
@@ -632,16 +646,18 @@ class Index:
         }
         return compress_doc(stored, self.meta.doc_compression)
 
-    def _index_document_shard_native(self, shard: Shard, doc: dict) -> None:
+    def _index_document_shard_native(self, shard: Shard, doc: dict) -> int:
         """C++ fast path: tokenize + accumulate postings natively."""
         field_texts = self._native_field_texts(doc)
         facet_vals = self._doc_facet_vals(doc)
         blob = self._doc_blob(doc)
 
         with shard.ingest_lock:
+            base = shard.full_levels * BLOCK_SIZE
             local = shard.level0.add_document_native(
                 self._get_native_cfg(), field_texts, facet_vals, blob
             )
+            gid = (base + local) * self.shard_count + shard.shard_id
             if self.vectors is not None:
                 self.vectors.ingest(shard.shard_id, local, doc)
             self._device_dirty = True
@@ -653,8 +669,9 @@ class Index:
                 # lock is RLock and commit never takes other shard locks)
                 with self._lock:
                     self._commit_shard(shard, reload=False)
+        return gid
 
-    def _index_document_shard(self, shard: Shard, doc: dict) -> None:
+    def _index_document_shard(self, shard: Shard, doc: dict) -> int:
         if self._native and isinstance(shard.level0, NativeLevel0):
             return self._index_document_shard_native(shard, doc)
         term_fields: dict[str, list[list[int]]] = {}
@@ -748,14 +765,17 @@ class Index:
         blob = compress_doc(stored, self.meta.doc_compression)
 
         with self._lock:
+            base = shard.full_levels * BLOCK_SIZE
             local = shard.level0.add_document(
                 term_fields, field_lengths, facet_vals, blob
             )
+            gid = (base + local) * self.shard_count + shard.shard_id
             if self.vectors is not None:
                 self.vectors.ingest(shard.shard_id, local, doc)
             self._device_dirty = True
             if shard.level0.doc_count >= BLOCK_SIZE:
                 self._commit_shard(shard, reload=False)
+        return gid
 
     # string facet ordinals (per facet field string table)
     def _facet_ordinal(self, sf: SchemaField, value) -> int:
@@ -806,6 +826,10 @@ class Index:
 
     def get_document(self, global_id: int) -> dict | None:
         shard = self.shards[global_id % self.shard_count]
+        if getattr(shard, "_needs_reload", False):
+            # deferred-reload bulk ingest leaves docstores stale until the
+            # next ensure_loaded (search_batch does this; doc fetch must too)
+            self.ensure_loaded()
         local = global_id // self.shard_count
         if local >= shard.doc_count:
             return None
@@ -1130,6 +1154,7 @@ class Index:
 
         Returns a list of doc ids, or (doc_id, doc) pairs when
         include_document is set."""
+        self.ensure_loaded()
 
         def _valid(g: int) -> bool:
             shard = self.shards[g % self.shard_count]

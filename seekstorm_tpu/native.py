@@ -34,6 +34,17 @@ def _find_lib() -> Path | None:
         return Path(env)
     here = Path(__file__).resolve().parent.parent / "native"
     p = here / "libseekstorm_native.so"
+    if not p.exists() and (here / "seekstorm_native.cpp").exists():
+        # build on first use (the binary is not checked in)
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", str(here)], check=True,
+                capture_output=True, timeout=300,
+            )
+        except Exception:
+            return None
     return p if p.exists() else None
 
 
@@ -83,7 +94,7 @@ def load() -> C.CDLL | None:
     lib.st_accum_completions_blob.argtypes = [C.c_void_p, u8p, C.c_int64]
     lib.st_accum_clear_counts.argtypes = [C.c_void_p]
     lib.st_accum_load.argtypes = [C.c_void_p, u64p, i64p, u16p, u16p, u16p,
-                                  u8p, C.c_int64, C.c_int32]
+                                  u8p, C.c_int64, C.c_int64, C.c_int32]
     lib.st_accum_term_postings.restype = C.c_int64
     lib.st_accum_term_postings.argtypes = [C.c_void_p, C.c_uint64, u16p,
                                            u16p, C.c_int64]
@@ -277,8 +288,8 @@ class NativeAccumulator:
         self.lib.st_accum_load(
             self.ptr, _arr(hashes, C.c_uint64), _arr(offsets, C.c_int64),
             _arr(docids, C.c_uint16), _arr(tfs, C.c_uint16),
-            _arr(positions, C.c_uint16), _u8(terms_blob), len(hashes),
-            doc_count,
+            _arr(positions, C.c_uint16), _u8(terms_blob), len(terms_blob),
+            len(hashes), doc_count,
         )
 
     def term_postings(self, h: int):

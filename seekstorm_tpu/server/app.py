@@ -53,6 +53,17 @@ class SearchServer:
         self.host = host
         self.port = port
         secret = os.environ.get("MASTER_KEY_SECRET", DEFAULT_MASTER_SECRET)
+        if secret == DEFAULT_MASTER_SECRET and host not in (
+            "127.0.0.1", "localhost", "::1",
+        ):
+            import sys
+
+            print(
+                "WARNING: MASTER_KEY_SECRET is unset — the master API key is "
+                "predictable. Set MASTER_KEY_SECRET before binding "
+                f"non-loopback addresses ({host}).",
+                file=sys.stderr,
+            )
         self.master_key = master_apikey(secret)
         self.master_hash = hash_apikey(self.master_key)
         self.apikeys = load_apikeys(self.root)
@@ -91,8 +102,11 @@ class SearchServer:
         return self.apikeys.get(h)
 
     def is_master(self, headers) -> bool:
+        import hmac
+
         key = headers.get("apikey")
-        return bool(key) and key == self.master_key
+        # constant-time compare (timing side channel hardening)
+        return bool(key) and hmac.compare_digest(key, self.master_key)
 
 
 class _Handler(BaseHTTPRequestHandler):
