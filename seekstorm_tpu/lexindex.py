@@ -117,6 +117,10 @@ class TermDirectory:
     seg_len: np.ndarray     # i32[S]
     seg_max_impact: np.ndarray  # f32[S] (default boost profile)
     seg_dense: np.ndarray | None = None  # i32[S] dense-store row or -1
+    # offset into the COMPACTED device CSR (dense segments excluded, -1);
+    # the impact-path kernel reads only the compacted store, so dense-term
+    # postings are never stored twice in HBM
+    seg_dev_offset: np.ndarray | None = None  # i64[S]
 
     def lookup(self, h: int) -> int:
         i = int(np.searchsorted(self.hash, np.uint64(h)))
@@ -144,6 +148,11 @@ class ShardLexical:
     # (the analog of the reference's roaring BITMAP posting blocks,
     # compress_postinglist.rs — dense domains decode without pointers)
     dense_tf: np.ndarray | None = None   # u16[ND, BLOCK_SIZE, F]
+    dense_imp: np.ndarray | None = None  # f32[ND, BLOCK_SIZE] default-boost
+    # compacted device CSR for the impact fast path (sparse segments only,
+    # concatenated in directory order)
+    dev_docid: np.ndarray | None = None  # u16[Pc]
+    dev_imp: np.ndarray | None = None    # f32[Pc]
 
     @property
     def n_blocks(self) -> int:
@@ -194,6 +203,10 @@ def build_shard_lexical(
         sh.comp = np.zeros((0, F), np.float32)
         sh.level_post_base = np.zeros(1, np.int64)
         sh.dense_tf = np.zeros((0, BLOCK_SIZE, F), np.uint16)
+        sh.dense_imp = np.zeros((0, BLOCK_SIZE), np.float32)
+        sh.dev_docid = np.zeros(0, np.uint16)
+        sh.dev_imp = np.zeros(0, np.float32)
+        sh.directory.seg_dev_offset = np.zeros(0, np.int64)
         return sh
 
     F = levels[0].tf.shape[1]
@@ -276,19 +289,49 @@ def build_shard_lexical(
     # kernel — no window gather/scatter for the most frequent terms)
     seg_dense = np.full(len(order), -1, np.int32)
     dense_rows = []
+    dense_imp_rows = []
     dense_sel = np.flatnonzero(seg_len_sorted >= DENSE_MIN)
     F = sh.pl_tf.shape[1]
     for r, e in enumerate(dense_sel):
         a = int(seg_off_sorted[e])
         ln = int(seg_len_sorted[e])
+        ids = sh.pl_docid[a : a + ln].astype(np.int64)
         col = np.zeros((BLOCK_SIZE, F), np.uint16)
-        col[sh.pl_docid[a : a + ln].astype(np.int64)] = sh.pl_tf[a : a + ln]
+        col[ids] = sh.pl_tf[a : a + ln]
         dense_rows.append(col)
+        colimp = np.zeros(BLOCK_SIZE, np.float32)
+        colimp[ids] = pl_impact[a : a + ln]
+        dense_imp_rows.append(colimp)
         seg_dense[e] = r
     sh.dense_tf = (
         np.stack(dense_rows) if dense_rows
         else np.zeros((0, BLOCK_SIZE, F), np.uint16)
     )
+    sh.dense_imp = (
+        np.stack(dense_imp_rows) if dense_imp_rows
+        else np.zeros((0, BLOCK_SIZE), np.float32)
+    )
+
+    # compacted device CSR: only sparse segments ship to HBM (dense-term
+    # postings live solely in dense_imp — no double storage)
+    sparse_sel = seg_dense < 0
+    sl = seg_len_sorted[sparse_sel].astype(np.int64)
+    starts = np.zeros(len(sl) + 1, np.int64)
+    np.cumsum(sl, out=starts[1:])
+    seg_dev_offset = np.full(len(order), -1, np.int64)
+    seg_dev_offset[sparse_sel] = starts[:-1]
+    Pc = int(starts[-1])
+    if Pc:
+        idx_src = (
+            np.repeat(seg_off_sorted[sparse_sel].astype(np.int64), sl)
+            + np.arange(Pc, dtype=np.int64)
+            - np.repeat(starts[:-1], sl)
+        )
+        sh.dev_docid = sh.pl_docid[idx_src]
+        sh.dev_imp = pl_impact[idx_src]
+    else:
+        sh.dev_docid = np.zeros(0, np.uint16)
+        sh.dev_imp = np.zeros(0, np.float32)
 
     sh.directory = TermDirectory(
         hash=uniq_hash,
@@ -299,6 +342,7 @@ def build_shard_lexical(
         seg_len=seg_len_sorted,
         seg_max_impact=all_max[order],
         seg_dense=seg_dense,
+        seg_dev_offset=seg_dev_offset,
     )
     return sh
 

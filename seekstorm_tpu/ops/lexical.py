@@ -37,6 +37,14 @@ import jax.numpy as jnp
 
 from ..schema import BLOCK_SIZE, BM25_K
 
+# postings per chunk == TPU lane width: the CSR arrays live in HBM as
+# [P/128, 128] 2-D tensors and chunk loads are full-row gathers, which XLA
+# lowers to contiguous 256-byte block transfers (measured 130 GB/s vs
+# ~1 GB/s for element gathers on v5e)
+CHUNK = 128
+# 2-stage exact top-k: bucket count over the 64K-doc block axis
+_TOPK_BUCKETS = 512
+
 
 def fast_mode() -> bool:
     """bf16 MXU matmuls in the scoring kernel (~0.4% score error) — the
@@ -144,69 +152,6 @@ def _block_step(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("P_max", "k", "with_counts")
-)
-def score_shard(
-    pl_docid,    # u16[P]
-    pl_tf,       # u16[P, F]
-    comp,        # f32[n_blocks*BLOCK_SIZE, F]
-    deleted,     # bool[n_blocks*BLOCK_SIZE]
-    block_ids,   # i32[NB]        (-1 = padding step)
-    seg_off,     # i32[NB, V]
-    seg_len,     # i32[NB, V]
-    W,           # f32[B, V]
-    Mreq,        # f32[B, V]
-    nreq,        # i32[B]
-    boosts,      # f32[V, F]
-    *,
-    P_max: int,
-    k: int,
-    with_counts: bool,
-):
-    """Score a plan of NB candidate blocks for a batch of B queries on one shard.
-
-    Returns (topk_scores f32[B, k], topk_ids i32[B, k] shard-local doc ids,
-    counts i32[B] — matched-doc count over the scanned blocks, meaningful when
-    the plan covers all candidate blocks).
-    """
-    B = W.shape[0]
-
-    def step(carry, xs):
-        ts, ti, cnt = carry
-        bid, off, ln = xs
-        pad = bid < 0
-        bid_c = jnp.maximum(bid, 0)
-        ln = jnp.where(pad, 0, ln)
-        scores, matched = _block_step(
-            pl_docid, pl_tf, comp, deleted, boosts, W, Mreq, nreq,
-            bid_c, off, ln, P_max,
-        )
-        if with_counts:
-            cnt = cnt + jnp.sum(matched, axis=1, dtype=jnp.int32)
-        bs, bi = jax.lax.top_k(scores, min(k, BLOCK_SIZE))
-        bi = bid_c * BLOCK_SIZE + bi
-        if k > BLOCK_SIZE:
-            fill = k - BLOCK_SIZE
-            bs = jnp.concatenate([bs, jnp.full((B, fill), -jnp.inf)], axis=1)
-            bi = jnp.concatenate([bi, jnp.zeros((B, fill), jnp.int32)], axis=1)
-        cs = jnp.concatenate([ts, bs], axis=1)
-        ci = jnp.concatenate([ti, bi], axis=1)
-        ts, sel = jax.lax.top_k(cs, k)
-        ti = jnp.take_along_axis(ci, sel, axis=1)
-        return (ts, ti, cnt), None
-
-    init = (
-        jnp.full((B, k), -jnp.inf, jnp.float32),
-        jnp.zeros((B, k), jnp.int32),
-        jnp.zeros((B,), jnp.int32),
-    )
-    (ts, ti, cnt), _ = jax.lax.scan(
-        step, init, (block_ids, seg_off, seg_len)
-    )
-    return ts, ti, cnt
-
-
-@functools.partial(
     jax.jit,
     static_argnames=(
         "P_max", "k", "with_counts", "n_facets", "facet_codes_max",
@@ -304,29 +249,230 @@ def lexical_scan(
     return ts, ti, cnt, fc
 
 
-@functools.partial(jax.jit, static_argnames=("P_max",))
-def count_shard(
-    pl_docid, pl_tf, comp, deleted,
-    block_ids, seg_off, seg_len,
-    W, Mreq, nreq, boosts,
-    *, P_max: int,
-):
-    """Count-only pass (result_type Count): matched docs per query over the
-    full candidate block set (reference union.rs:807 union_count analog)."""
+# ---------------------------------------------------------------------------
+# impact fast path: chunked row-gather + scatter-free one-hot MXU decode
+#
+# This is the default scoring path (queries with the schema's default boost
+# profile).  Per-posting BM25F impacts are precomputed at commit
+# (lexindex.build_shard_lexical), so the kernel never touches tf/comp:
+#
+#   * the CSR arrays are stored 2-D [P/128, 128]; a "chunk" is one 128-wide
+#     storage row restricted to [cs, ce) — the overlap of one (term, block)
+#     posting segment with that row.  Chunk loads are full-row gathers
+#     (contiguous 256/512-byte blocks), never element gathers.
+#   * dense decode is TWO MXU matmuls instead of a scatter: with
+#     docid = hi*256 + lo, the block's dense impact matrix per chunk is
+#       D_c = A^T @ B,  A[p, h] = impact_p * (hi_p == h),  B[p, l] = (lo_p == l)
+#     (docids are unique within a chunk, so no collisions).  XLA fuses the
+#     one-hot compares into the matmul operands.
+#   * scores come from S = (W @ OH) @ D_c and the boolean AND/NOT matrix
+#     from C = (Mreq @ OH) @ (D_c > 0), where OH is the slot->chunk one-hot
+#     (replacing the reference's intersection/union list walks,
+#     intersection.rs:112, union.rs:32).
+#   * per-block top-k is a 2-stage exact reduction: bucket-max over 512
+#     buckets, top-k buckets, then top-k over the gathered candidates —
+#     exact because fewer than k buckets can have max > the k-th score
+#     (replaces lax.top_k on [B, 64K], ~5x faster).
 
-    def step(cnt, xs):
-        bid, off, ln = xs
+
+def _topk_block(rank, k: int):
+    """Exact top-k over one 64K-doc block: (values [B, k], ids [B, k])."""
+    B = rank.shape[0]
+    if k > CHUNK:
+        ts, ti = jax.lax.top_k(rank, min(k, BLOCK_SIZE))
+        return ts, ti
+    nb = _TOPK_BUCKETS
+    sub = BLOCK_SIZE // nb                       # 128 sublanes
+    xb = rank.reshape(B, sub, nb)                # doc = i * nb + j
+    bmax = xb.max(axis=1)                        # [B, nb]
+    _, bti = jax.lax.top_k(bmax, k)              # [B, k] bucket ids
+    cand = jnp.take_along_axis(xb, bti[:, None, :], axis=2)  # [B, sub, k]
+    ts, tf_ = jax.lax.top_k(cand.reshape(B, sub * k), k)
+    i = tf_ // k
+    jj = tf_ % k
+    ti = i * nb + jnp.take_along_axis(bti, jj, axis=1)
+    return ts, ti
+
+
+def _block_step_imp(
+    pl2_docid,     # u16[R, 128]   (HBM, full shard, row-major chunks)
+    pl2_imp,       # f32[R, 128]   commit-time default-boost impacts
+    deleted,       # bool[NB_total*BLOCK_SIZE]
+    W,             # f32[B, V]
+    Mreq,          # f32[B, V]
+    nreq,          # i32[B]
+    bid,           # i32 scalar    block id for this step
+    c_row,         # i32[NC]       storage row per chunk
+    c_se,          # i32[NC]       packed slot<<16 | cs<<8 | (ce-1)
+    dense_imp=None,    # f32[ND, BLOCK_SIZE]
+    dense_ids=None,    # i32[VD]
+    dense_slots=None,  # i32[VD]
+    fast: bool = False,
+):
+    """Decode + score one block for the whole query batch (impact path).
+
+    Returns (scores f32[B, BLOCK_SIZE] masked with -inf, matched bool[B, BLOCK_SIZE]).
+    """
+    V = W.shape[1]
+    NC = c_row.shape[0]
+    exact = not fast
+
+    slot = c_se >> 16
+    cs = (c_se >> 8) & 0xFF
+    ce = ((c_se & 0xFF) + 1) & 0xFF              # padded chunks pack ce-1=255
+
+    doc = jnp.take(pl2_docid, c_row, axis=0, mode="clip").astype(jnp.int32)
+    imp = jnp.take(pl2_imp, c_row, axis=0, mode="clip")          # [NC, 128]
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+    valid = (lane >= cs[:, None]) & (lane < ce[:, None])
+    imp = jnp.where(valid, imp, 0.0)
+
+    # slot -> chunk one-hot (tiny MXU matmuls instead of a column gather)
+    oh = (slot[None, :] == jnp.arange(V, dtype=jnp.int32)[:, None])
+    hi = doc >> 8
+    lo = doc & 255
+    io = jnp.arange(256, dtype=jnp.int32)
+    if exact:
+        ohf = oh.astype(jnp.float32)
+        Wc = W @ ohf                                             # [B, NC]
+        Mc = Mreq @ ohf
+        A = imp[..., None] * (hi[..., None] == io).astype(jnp.float32)
+        Bm = (lo[..., None] == io).astype(jnp.float32)
+        Dc = jnp.einsum(
+            "nkh,nkl->nhl", A, Bm, preferred_element_type=jnp.float32
+        ).reshape(NC, BLOCK_SIZE)
+        S = Wc @ Dc                                              # [B, 64K]
+        C = Mc @ (Dc > 0).astype(jnp.float32)
+    else:
+        ohf = oh.astype(jnp.bfloat16)
+        Wc = jnp.dot(W.astype(jnp.bfloat16), ohf,
+                     preferred_element_type=jnp.float32)
+        Mc = jnp.dot(Mreq.astype(jnp.bfloat16), ohf,
+                     preferred_element_type=jnp.float32)
+        A = (imp[..., None] * (hi[..., None] == io)).astype(jnp.bfloat16)
+        Bm = (lo[..., None] == io).astype(jnp.bfloat16)
+        Dc = jnp.einsum(
+            "nkh,nkl->nhl", A, Bm, preferred_element_type=jnp.float32
+        ).reshape(NC, BLOCK_SIZE).astype(jnp.bfloat16)
+        S = jnp.dot(Wc.astype(jnp.bfloat16), Dc,
+                    preferred_element_type=jnp.float32)
+        C = jnp.dot(Mc.astype(jnp.bfloat16), (Dc > 0).astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+
+    if dense_imp is not None and dense_ids is not None \
+            and dense_ids.shape[0] > 0 and dense_imp.shape[0] > 0:
+        ok = dense_ids >= 0
+        did = jnp.maximum(dense_ids, 0)
+        slc = jnp.maximum(dense_slots, 0)
+        dimp = jnp.take(dense_imp, did, axis=0)                  # [VD, 64K]
+        dimp = jnp.where(ok[:, None], dimp, 0.0)
+        Wd = jnp.where(ok[None, :], jnp.take(W, slc, axis=1), 0.0)
+        Md = jnp.where(ok[None, :], jnp.take(Mreq, slc, axis=1), 0.0)
+        if exact:
+            S = S + Wd @ dimp
+            C = C + Md @ (dimp > 0).astype(jnp.float32)
+        else:
+            S = S + jnp.dot(Wd.astype(jnp.bfloat16),
+                            dimp.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            C = C + jnp.dot(Md.astype(jnp.bfloat16),
+                            (dimp > 0).astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+
+    del_block = jax.lax.dynamic_slice(deleted, (bid * BLOCK_SIZE,), (BLOCK_SIZE,))
+    matched = (S > 0) & (C >= nreq[:, None].astype(jnp.float32)) & ~del_block[None, :]
+    scores = jnp.where(matched, S, -jnp.inf)
+    return scores, matched
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "with_counts", "n_facets", "facet_codes_max",
+        "use_sort_key", "sort_desc", "fast",
+    ),
+)
+def lexical_scan_imp(
+    pl2_docid, pl2_imp, deleted,
+    block_ids,     # i32[NB]        (-1 = padding step)
+    c_row,         # i32[NB, NC]
+    c_se,          # i32[NB, NC]    packed slot<<16 | cs<<8 | (ce-1)
+    W, Mreq, nreq,
+    facet_codes,   # i32[n_facets, NBtot*BLOCK] (dummy [1, 1] if n_facets == 0)
+    sort_key,      # f32[NBtot*BLOCK]           (dummy [1] if not use_sort_key)
+    dense_imp,     # f32[ND, BLOCK] ([0, BLOCK] if none)
+    dense_ids,     # i32[NB, VD]
+    dense_slots,   # i32[NB, VD]
+    *,
+    k: int,
+    with_counts: bool,
+    n_facets: int,
+    facet_codes_max: int,
+    use_sort_key: bool,
+    sort_desc: bool,
+    fast: bool = False,
+):
+    """Impact-path lexical scan (see module docstring): score + top-k +
+    (optional) facet counting and facet-field result ordering.
+
+    Returns (rank f32[B,k], ids i32[B,k], counts i32[B],
+             fcounts f32[n_facets, B, facet_codes_max])."""
+    B = W.shape[0]
+
+    def step(carry, xs):
+        ts, ti, cnt, fc = carry
+        bid, row_b, se_b, did, dsl = xs
         pad = bid < 0
         bid_c = jnp.maximum(bid, 0)
-        ln = jnp.where(pad, 0, ln)
-        _, matched = _block_step(
-            pl_docid, pl_tf, comp, deleted, boosts, W, Mreq, nreq,
-            bid_c, off, ln, P_max,
+        # padded steps: force all chunks empty (packed low byte 255 decodes
+        # to ce=0 after the +1 & 0xFF wrap in _block_step_imp)
+        se_b = jnp.where(pad, jnp.int32(0xFF), se_b)
+        did = jnp.where(pad, -1, did)
+        scores, matched = _block_step_imp(
+            pl2_docid, pl2_imp, deleted, W, Mreq, nreq,
+            bid_c, row_b, se_b,
+            dense_imp=dense_imp, dense_ids=did, dense_slots=dsl, fast=fast,
         )
-        return cnt + jnp.sum(matched, axis=1, dtype=jnp.int32), None
+        if with_counts:
+            cnt = cnt + jnp.sum(matched, axis=1, dtype=jnp.int32)
+        if n_facets:
+            mf = matched.astype(jnp.float32)
+            for fi in range(n_facets):
+                codes_b = jax.lax.dynamic_slice(
+                    facet_codes[fi], (bid_c * BLOCK_SIZE,), (BLOCK_SIZE,)
+                )
+                upd = jnp.zeros((B, facet_codes_max), jnp.float32).at[
+                    :, jnp.clip(codes_b, 0, facet_codes_max - 1)
+                ].add(mf)
+                fc = fc.at[fi].add(upd)
+        if use_sort_key:
+            key_b = jax.lax.dynamic_slice(
+                sort_key, (bid_c * BLOCK_SIZE,), (BLOCK_SIZE,)
+            )
+            if not sort_desc:
+                key_b = -key_b
+            rank = jnp.where(matched, key_b[None, :], -jnp.inf)
+        else:
+            rank = scores
+        bs, bi = _topk_block(rank, min(k, BLOCK_SIZE))
+        bi = bid_c * BLOCK_SIZE + bi
+        if k > BLOCK_SIZE:
+            fill = k - BLOCK_SIZE
+            bs = jnp.concatenate([bs, jnp.full((B, fill), -jnp.inf)], axis=1)
+            bi = jnp.concatenate([bi, jnp.zeros((B, fill), jnp.int32)], axis=1)
+        cs_ = jnp.concatenate([ts, bs], axis=1)
+        ci = jnp.concatenate([ti, bi], axis=1)
+        ts, sel = jax.lax.top_k(cs_, k)
+        ti = jnp.take_along_axis(ci, sel, axis=1)
+        return (ts, ti, cnt, fc), None
 
-    B = W.shape[0]
-    cnt, _ = jax.lax.scan(
-        step, jnp.zeros((B,), jnp.int32), (block_ids, seg_off, seg_len)
+    init = (
+        jnp.full((B, k), -jnp.inf, jnp.float32),
+        jnp.zeros((B, k), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((max(n_facets, 1), B, facet_codes_max), jnp.float32),
     )
-    return cnt
+    (ts, ti, cnt, fc), _ = jax.lax.scan(
+        step, init, (block_ids, c_row, c_se, dense_ids, dense_slots)
+    )
+    return ts, ti, cnt, fc

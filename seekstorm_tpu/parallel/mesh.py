@@ -9,6 +9,14 @@ program vmaps the per-shard scoring kernel and merges the per-shard top-k —
 XLA inserts the all-gather over ICI for the final cross-shard merge, and a
 psum-equivalent reduction for counts.  Doc-id globalization matches the
 reference: global = shard_local * n_shards + shard_id (search.rs:1671).
+
+Two kernels ride this executor:
+  * the impact fast path (ops/lexical.lexical_scan_imp) — chunked row
+    gathers over the compacted [P/128, 128] CSR + one-hot MXU decode; the
+    default for queries on the schema boost profile;
+  * the tf fallback (ops/lexical.lexical_scan) — window-gather kernel that
+    recombines per-field tfs at query time, used for custom boost profiles
+    (field_filter).  Its tensors upload lazily on first use.
 """
 
 from __future__ import annotations
@@ -22,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..schema import BLOCK_SIZE
 from ..utils import ceil_pow2
+from ..ops.lexical import CHUNK
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -30,62 +39,46 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), ("shards",))
 
 
-@functools.partial(jax.jit, static_argnames=("P_max", "k", "with_counts"))
-def score_shards_stacked(
-    pl_docid,    # u16[S, P_pad]
-    pl_tf,       # u16[S, P_pad, F]
-    comp,        # f32[S, NB_pad*BLOCK, F]
-    deleted,     # bool[S, NB_pad*BLOCK]
-    block_ids,   # i32[S, NB]
-    seg_off,     # i32[S, NB, V]
-    seg_len,     # i32[S, NB, V]
-    W,           # f32[S, B, V]
-    Mreq,        # f32[S, B, V]
-    nreq,        # i32[S, B]
-    boosts,      # f32[V, F]
-    *,
-    P_max: int,
-    k: int,
-    with_counts: bool,
-):
-    """All shards scored in parallel (vmap over the sharded axis), then the
-    per-shard top-k lists merge into one global top-k per query.
-
-    Returns (scores f32[B, k], global_ids i64[B, k], counts i32[B]).
-    """
-    from ..ops.lexical import score_shard
-
-    S = pl_docid.shape[0]
-
-    def per_shard(args):
-        pd, pt, cp, dl, bi, so, sl, w, m, nr = args
-        return score_shard(
-            pd, pt, cp, dl, bi, so, sl, w, m, nr, boosts,
-            P_max=P_max, k=k, with_counts=with_counts,
-        )
-
-    ts, ti, cnt = jax.vmap(
-        lambda pd, pt, cp, dl, bi, so, sl, w, m, nr: per_shard(
-            (pd, pt, cp, dl, bi, so, sl, w, m, nr)
-        )
-    )(pl_docid, pl_tf, comp, deleted, block_ids, seg_off, seg_len, W, Mreq, nreq)
-    # ts/ti: [S, B, k]; globalize doc ids (reference search.rs:1671)
-    shard_ids = jnp.arange(S, dtype=jnp.int32)[:, None, None]
-    gid = ti * S + shard_ids
-    # cross-shard merge: [S, B, k] -> [B, S*k] -> top_k  (all-gather over ICI)
-    ts_t = jnp.transpose(ts, (1, 0, 2)).reshape(ts.shape[1], S * k)
-    gid_t = jnp.transpose(gid, (1, 0, 2)).reshape(ts.shape[1], S * k)
-    mts, sel = jax.lax.top_k(ts_t, k)
-    mgid = jnp.take_along_axis(gid_t, sel, axis=1)
-    counts = jnp.sum(cnt, axis=0, dtype=jnp.int32)
-    return mts, mgid, counts
+# ---------------------------------------------------------------------------
+# plan packing: the whole per-batch plan ships as ONE [S, L] i32 buffer
+# (per-transfer latency through the TPU tunnel dominates; the per-shard rows
+# shard cleanly over the mesh axis)
 
 
-def _pack_plan(bi, so, sl, W, M, nr, bst, dids, dsl):
-    """Pack the per-batch plan into ONE [S, L] i32 buffer (row per shard):
-    per-transfer latency through the TPU tunnel dominates, so the whole
-    plan ships as a single host->device upload, and the per-shard rows
-    shard cleanly over the mesh axis."""
+def _pack_plan_imp(bi, c_row, c_se, W, M, nr, dids, dsl):
+    S = bi.shape[0]
+    rows = []
+    for s in range(S):
+        rows.append(np.concatenate([
+            bi[s].reshape(-1),
+            c_row[s].reshape(-1),
+            c_se[s].reshape(-1),
+            W[s].reshape(-1).view(np.int32),
+            M[s].reshape(-1).view(np.int32),
+            nr[s].reshape(-1),
+            dids[s].reshape(-1),
+            dsl[s].reshape(-1),
+        ]))
+    return np.stack(rows)
+
+
+def _unpack_plan_imp(row, NB, NC, V, B, VD=0):
+    sizes = [NB, NB * NC, NB * NC, B * V, B * V, B, NB * VD, NB * VD]
+    offs = np.cumsum([0] + sizes)
+    bi = row[offs[0]:offs[1]]
+    c_row = row[offs[1]:offs[2]].reshape(NB, NC)
+    c_se = row[offs[2]:offs[3]].reshape(NB, NC)
+    W = jax.lax.bitcast_convert_type(
+        row[offs[3]:offs[4]], jnp.float32).reshape(B, V)
+    M = jax.lax.bitcast_convert_type(
+        row[offs[4]:offs[5]], jnp.float32).reshape(B, V)
+    nr = row[offs[5]:offs[6]]
+    did = row[offs[6]:offs[7]].reshape(NB, VD)
+    dsl = row[offs[7]:offs[8]].reshape(NB, VD)
+    return bi, c_row, c_se, W, M, nr, did, dsl
+
+
+def _pack_plan_tf(bi, so, sl, W, M, nr, bst, dids, dsl):
     S = bi.shape[0]
     rows = []
     for s in range(S):
@@ -103,8 +96,7 @@ def _pack_plan(bi, so, sl, W, M, nr, bst, dids, dsl):
     return np.stack(rows)
 
 
-def _unpack_plan(row, NB, V, B, F, VD=0):
-    """Device-side unpack of one shard's plan row (inside jit)."""
+def _unpack_plan_tf(row, NB, V, B, F, VD=0):
     sizes = [NB, NB * V, NB * V, B * V, B * V, B, V * F,
              NB * VD, NB * VD]
     offs = np.cumsum([0] + sizes)
@@ -134,7 +126,41 @@ def _pack_result(ts, gid, cnt, fc):
     return f32_part, i32_part
 
 
-_SCAN_STATICS = dict()
+# ---------------------------------------------------------------------------
+# single-device per-shard programs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "shard_id", "NB", "NC", "V", "B", "VD",
+        "k", "with_counts", "n_facets", "facet_codes_max",
+        "use_sort_key", "sort_desc", "fast",
+    ),
+)
+def scan_one_shard_imp(
+    dev_docid, dev_imp, deleted,
+    plan_buf, facet_codes, sort_key, dense_imp,
+    *,
+    S: int, shard_id: int, NB: int, NC: int, V: int, B: int, VD: int,
+    k: int, with_counts: bool, n_facets: int,
+    facet_codes_max: int, use_sort_key: bool, sort_desc: bool,
+    fast: bool,
+):
+    from ..ops.lexical import lexical_scan_imp
+
+    bi, c_row, c_se, W, M, nr, did, dsl = _unpack_plan_imp(
+        plan_buf, NB, NC, V, B, VD)
+    ts, ti, cnt, fc = lexical_scan_imp(
+        dev_docid, dev_imp, deleted,
+        bi, c_row, c_se, W, M, nr,
+        facet_codes, sort_key, dense_imp, did, dsl,
+        k=k, with_counts=with_counts, n_facets=n_facets,
+        facet_codes_max=facet_codes_max, use_sort_key=use_sort_key,
+        sort_desc=sort_desc, fast=fast,
+    )
+    gid = ti * S + shard_id
+    return ts, gid, cnt, fc
 
 
 @functools.partial(
@@ -145,7 +171,7 @@ _SCAN_STATICS = dict()
         "use_sort_key", "sort_desc",
     ),
 )
-def scan_one_shard(
+def scan_one_shard_tf(
     pl_docid, pl_tf, comp, deleted,
     plan_buf, facet_codes, sort_key, dense_tf,
     *,
@@ -153,11 +179,9 @@ def scan_one_shard(
     P_max: int, k: int, with_counts: bool, n_facets: int,
     facet_codes_max: int, use_sort_key: bool, sort_desc: bool,
 ):
-    """One shard's scan (no batch dims — vmap-batched gather/scatter lowers
-    catastrophically on TPU). Returns (ts, gid, cnt, fc) device arrays."""
     from ..ops.lexical import lexical_scan
 
-    bi, so, sl, W, M, nr, bst, did, dsl = _unpack_plan(
+    bi, so, sl, W, M, nr, bst, did, dsl = _unpack_plan_tf(
         plan_buf, NB, V, B, F, VD)
     ts, ti, cnt, fc = lexical_scan(
         pl_docid, pl_tf, comp, deleted,
@@ -184,10 +208,65 @@ def merge_shard_results(ts_all, gid_all, cnt_all, fc_all, *, k: int):
     return _pack_result(mts, mgid, counts, fcounts)
 
 
-def make_sharded_scan(mesh, statics):
-    """shard_map program for a mesh: each device scans its own shard with
-    NO batch dims, then merges via all_gather/psum over ICI."""
-    from jax.experimental.shard_map import shard_map
+# ---------------------------------------------------------------------------
+# mesh (shard_map) programs
+
+
+def _merge_body(ts, ti, cnt, fc, S, k):
+    sid = jax.lax.axis_index("shards")
+    gid = ti * S + sid
+    # ICI collectives: gather every shard's top-k, merge on device
+    ts_all = jax.lax.all_gather(ts, "shards")    # [S, B, k]
+    gid_all = jax.lax.all_gather(gid, "shards")
+    cnt_sum = jax.lax.psum(cnt, "shards")
+    fc_sum = jax.lax.psum(fc, "shards")
+    B = ts.shape[0]
+    ts_t = jnp.transpose(ts_all, (1, 0, 2)).reshape(B, S * k)
+    gid_t = jnp.transpose(gid_all, (1, 0, 2)).reshape(B, S * k)
+    mts, sel = jax.lax.top_k(ts_t, k)
+    mgid = jnp.take_along_axis(gid_t, sel, axis=1)
+    f32_part, i32_part = _pack_result(mts, mgid, cnt_sum, fc_sum)
+    return f32_part[None], i32_part[None]
+
+
+def make_sharded_scan_imp(mesh, statics):
+    """shard_map program (impact path): each device scans its own shard,
+    then merges via all_gather/psum over ICI."""
+    from jax import shard_map
+
+    from ..ops.lexical import lexical_scan_imp
+
+    S = statics["S"]
+
+    def body(dev_docid, dev_imp, deleted, plan_buf, facet_codes, sort_key,
+             dense_imp):
+        bi, c_row, c_se, W, M, nr, did, dsl = _unpack_plan_imp(
+            plan_buf[0], statics["NB"], statics["NC"], statics["V"],
+            statics["B"], statics["VD"])
+        ts, ti, cnt, fc = lexical_scan_imp(
+            dev_docid[0], dev_imp[0], deleted[0],
+            bi, c_row, c_se, W, M, nr,
+            facet_codes[0], sort_key[0], dense_imp[0], did, dsl,
+            k=statics["k"], with_counts=statics["with_counts"],
+            n_facets=statics["n_facets"],
+            facet_codes_max=statics["facet_codes_max"],
+            use_sort_key=statics["use_sort_key"],
+            sort_desc=statics["sort_desc"], fast=statics["fast"],
+        )
+        return _merge_body(ts, ti, cnt, fc, S, statics["k"])
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("shards"),) * 7,
+        out_specs=(P("shards"), P("shards")),
+        check_vma=False,
+    )
+    return jax.jit(lambda *a: tuple(x[0] for x in fn(*a)))
+
+
+def make_sharded_scan_tf(mesh, statics):
+    """shard_map program (tf fallback path)."""
+    from jax import shard_map
 
     from ..ops.lexical import lexical_scan
 
@@ -195,8 +274,7 @@ def make_sharded_scan(mesh, statics):
 
     def body(pl_docid, pl_tf, comp, deleted, plan_buf, facet_codes, sort_key,
              dense_tf):
-        # per-device slices carry a leading axis of size 1 — squeeze it
-        bi, so, sl, W, M, nr, bst, did, dsl = _unpack_plan(
+        bi, so, sl, W, M, nr, bst, did, dsl = _unpack_plan_tf(
             plan_buf[0], statics["NB"], statics["V"], statics["B"],
             statics["F"], statics["VD"])
         ts, ti, cnt, fc = lexical_scan(
@@ -209,28 +287,13 @@ def make_sharded_scan(mesh, statics):
             use_sort_key=statics["use_sort_key"],
             sort_desc=statics["sort_desc"],
         )
-        sid = jax.lax.axis_index("shards")
-        gid = ti * S + sid
-        # ICI collectives: gather every shard's top-k, merge on device
-        ts_all = jax.lax.all_gather(ts, "shards")    # [S, B, k]
-        gid_all = jax.lax.all_gather(gid, "shards")
-        cnt_sum = jax.lax.psum(cnt, "shards")
-        fc_sum = jax.lax.psum(fc, "shards")
-        B = ts.shape[0]
-        k = statics["k"]
-        ts_t = jnp.transpose(ts_all, (1, 0, 2)).reshape(B, S * k)
-        gid_t = jnp.transpose(gid_all, (1, 0, 2)).reshape(B, S * k)
-        mts, sel = jax.lax.top_k(ts_t, k)
-        mgid = jnp.take_along_axis(gid_t, sel, axis=1)
-        f32_part, i32_part = _pack_result(mts, mgid, cnt_sum, fc_sum)
-        return f32_part[None], i32_part[None]
+        return _merge_body(ts, ti, cnt, fc, S, statics["k"])
 
-    P_ = P
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P_("shards"),) * 8,
-        out_specs=(P_("shards"), P_("shards")),
-        check_rep=False,
+        in_specs=(P("shards"),) * 8,
+        out_specs=(P("shards"), P("shards")),
+        check_vma=False,
     )
     return jax.jit(lambda *a: tuple(x[0] for x in fn(*a)))
 
@@ -246,6 +309,10 @@ class StackedIndex:
       * mesh: arrays stacked [S, ...] and sharded over Mesh(("shards",)),
         one shard_map program per plan-shape with all_gather/psum merges
         over ICI.
+
+    The impact-path tensors (compacted 2-D CSR + dense impact rows) upload
+    at build; the tf-fallback tensors upload lazily on the first custom-
+    boost-profile query.
     """
 
     def __init__(self, index, mesh: Mesh | None = None):
@@ -253,6 +320,7 @@ class StackedIndex:
         self.mesh = mesh
         self._aux_cache: dict = {}
         self._sharded_fns: dict = {}
+        self._tf_ready = False
         self.build()
 
     def _put_row(self, x):
@@ -271,65 +339,113 @@ class StackedIndex:
         self._aux_cache[key] = dev
         return dev
 
+    # -- array builders ----------------------------------------------------
+
+    def _imp_arrays(self, sh):
+        """(docid2d u16[R,128], imp2d f32[R,128], deleted bool[N],
+        dense_imp f32[ND, BLOCK])"""
+        lex = sh.lexical
+        N = self.NB_pad * BLOCK_SIZE
+        pc = len(lex.dev_docid) if lex.dev_docid is not None else 0
+        R = max((pc + CHUNK - 1) // CHUNK, 1)
+        d2 = np.zeros((R, CHUNK), np.uint16)
+        i2 = np.zeros((R, CHUNK), np.float32)
+        if pc:
+            d2.reshape(-1)[:pc] = lex.dev_docid
+            i2.reshape(-1)[:pc] = lex.dev_imp
+        dl = np.zeros(N, bool)
+        if sh.deleted:
+            ids = np.fromiter(sh.deleted, dtype=np.int64)
+            ids = ids[ids < N]
+            dl[ids] = True
+        di = lex.dense_imp
+        if di is None or len(di) == 0:
+            di = np.zeros((1, BLOCK_SIZE), np.float32)
+        return d2, i2, dl, di
+
+    def _tf_arrays(self, sh):
+        """(pl_docid u16[P], pl_tf u16[P,F], comp f32[N,F],
+        dense_tf u16[ND, BLOCK, F]) — fallback path only."""
+        lex = sh.lexical
+        F = max(len(self.index.indexed_fields), 1)
+        N = self.NB_pad * BLOCK_SIZE
+        p = max(len(lex.pl_docid), 1)
+        pd = np.zeros(p, np.uint16)
+        pt = np.zeros((p, F), np.uint16)
+        pd[: len(lex.pl_docid)] = lex.pl_docid
+        pt[: len(lex.pl_tf)] = lex.pl_tf
+        cp = np.ones((N, F), np.float32)
+        if lex.comp is not None and len(lex.comp):
+            cp[: len(lex.comp)] = lex.comp
+        dt = lex.dense_tf
+        if dt is None or len(dt) == 0:
+            dt = np.zeros((1, BLOCK_SIZE, F), np.uint16)
+        return pd, pt, cp, dt
+
     def build(self):
         idx = self.index
         S = idx.shard_count
-        F = max(len(idx.indexed_fields), 1)
         NB_pad = max(max(sh.lexical.n_blocks for sh in idx.shards), 1)
         self.NB_pad = NB_pad
-        N = NB_pad * BLOCK_SIZE
-
-        def shard_arrays(sh):
-            lex = sh.lexical
-            p = max(len(lex.pl_docid), 1)
-            pd = np.zeros(p, np.uint16)
-            pt = np.zeros((p, F), np.uint16)
-            pd[: len(lex.pl_docid)] = lex.pl_docid
-            pt[: len(lex.pl_tf)] = lex.pl_tf
-            cp = np.ones((N, F), np.float32)
-            if lex.comp is not None and len(lex.comp):
-                cp[: len(lex.comp)] = lex.comp
-            dl = np.zeros(N, bool)
-            if sh.deleted:
-                ids = np.fromiter(sh.deleted, dtype=np.int64)
-                ids = ids[ids < N]
-                dl[ids] = True
-            dt = lex.dense_tf
-            if dt is None or len(dt) == 0:
-                dt = np.zeros((1, BLOCK_SIZE, F), np.uint16)
-            return pd, pt, cp, dl, dt
 
         if self.mesh is None:
             self.per_shard = []
             for sh in idx.shards:
-                arrs = shard_arrays(sh)
-                self.per_shard.append(tuple(jnp.asarray(x) for x in arrs))
+                self.per_shard.append(
+                    tuple(jnp.asarray(x) for x in self._imp_arrays(sh))
+                )
         else:
-            P_pad = max(
-                ceil_pow2(max(len(sh.lexical.pl_docid), 1), 128)
+            arrs = [self._imp_arrays(sh) for sh in idx.shards]
+            R_pad = max(a[0].shape[0] for a in arrs)
+            ND_pad = max(a[3].shape[0] for a in arrs)
+            N = NB_pad * BLOCK_SIZE
+            d2 = np.zeros((S, R_pad, CHUNK), np.uint16)
+            i2 = np.zeros((S, R_pad, CHUNK), np.float32)
+            dl = np.zeros((S, N), bool)
+            di = np.zeros((S, ND_pad, BLOCK_SIZE), np.float32)
+            for s, a in enumerate(arrs):
+                d2[s, : a[0].shape[0]] = a[0]
+                i2[s, : a[1].shape[0]] = a[1]
+                dl[s] = a[2]
+                di[s, : a[3].shape[0]] = a[3]
+            self.dev_docid = self._put_row(d2)
+            self.dev_imp = self._put_row(i2)
+            self.deleted = self._put_row(dl)
+            self.dense_imp = self._put_row(di)
+
+    def _ensure_tf(self):
+        """Upload the tf-fallback tensors on first use."""
+        if self._tf_ready:
+            return
+        idx = self.index
+        if self.mesh is None:
+            self.per_shard_tf = [
+                tuple(jnp.asarray(x) for x in self._tf_arrays(sh))
                 for sh in idx.shards
-            )
-            ND_pad = max(
-                max((len(sh.lexical.dense_tf)
-                     if sh.lexical.dense_tf is not None else 0)
-                    for sh in idx.shards), 1)
+            ]
+        else:
+            S = idx.shard_count
+            F = max(len(idx.indexed_fields), 1)
+            arrs = [self._tf_arrays(sh) for sh in idx.shards]
+            P_pad = max(ceil_pow2(a[0].shape[0], 128) for a in arrs)
+            ND_pad = max(a[3].shape[0] for a in arrs)
+            N = self.NB_pad * BLOCK_SIZE
             pl_docid = np.zeros((S, P_pad), np.uint16)
             pl_tf = np.zeros((S, P_pad, F), np.uint16)
             comp = np.ones((S, N, F), np.float32)
-            deleted = np.zeros((S, N), bool)
             dense = np.zeros((S, ND_pad, BLOCK_SIZE, F), np.uint16)
-            for s, sh in enumerate(idx.shards):
-                pd, pt, cp, dl, dt = shard_arrays(sh)
-                pl_docid[s, : len(pd)] = pd
-                pl_tf[s, : len(pt)] = pt
-                comp[s] = cp
-                deleted[s] = dl
-                dense[s, : len(dt)] = dt
+            for s, a in enumerate(arrs):
+                pl_docid[s, : a[0].shape[0]] = a[0]
+                pl_tf[s, : a[1].shape[0]] = a[1]
+                comp[s] = a[2]
+                dense[s, : a[3].shape[0]] = a[3]
             self.pl_docid = self._put_row(pl_docid)
             self.pl_tf = self._put_row(pl_tf)
             self.comp = self._put_row(comp)
-            self.deleted = self._put_row(deleted)
             self.dense_tf = self._put_row(dense)
+        self._tf_ready = True
+
+    # -- execution ----------------------------------------------------------
 
     def run(self, plans, boosts, k: int, with_counts: bool,
             fcod_dev=None, facet_codes_max: int = 1,
@@ -341,15 +457,14 @@ class StackedIndex:
         skey_dev:    device f32[S, N] sort-key column (optional)
         allowed_dev: device bool[S, N] facet-filter mask (optional)
         """
+        mode = next((p.mode for p in plans if p is not None), "imp")
         S = self.index.shard_count
-        nb = max(max((p.seg_len.shape[0] for p in plans if p is not None),
+        nb = max(max((p.block_ids.shape[0] for p in plans if p is not None),
                      default=1), 1)
         nb = ceil_pow2(nb, 1)
-        v = max(max((p.seg_len.shape[1] for p in plans if p is not None),
+        v = max(max((p.W.shape[1] for p in plans if p is not None),
                     default=1), 1)
         v = ceil_pow2(v, 32)
-        P_max = max(max((p.P_max for p in plans if p is not None), default=128),
-                    128)
         B_true = next(p.W.shape[0] for p in plans if p is not None)
         # batch-dim bucketing: servers see arbitrary batch sizes; padding to
         # a pow2 (>=16) keeps the number of compiled kernel shapes small.
@@ -360,8 +475,6 @@ class StackedIndex:
                   if p is not None and p.dense_ids is not None), default=0)
 
         bi = np.full((S, nb), -1, np.int32)
-        so = np.zeros((S, nb, v), np.int32)
-        sl = np.zeros((S, nb, v), np.int32)
         W = np.zeros((S, B, v), np.float32)
         M = np.zeros((S, B, v), np.float32)
         nr = np.zeros((S, B), np.int32)
@@ -370,10 +483,9 @@ class StackedIndex:
         for s, p in enumerate(plans):
             if p is None:
                 continue
-            NB0, V0 = p.seg_len.shape
+            NB0 = p.block_ids.shape[0]
+            V0 = p.W.shape[1]
             bi[s, :NB0] = p.block_ids
-            so[s, :NB0, :V0] = p.seg_off
-            sl[s, :NB0, :V0] = p.seg_len
             W[s, :B_true, :V0] = p.W
             M[s, :B_true, :V0] = p.Mreq
             nr[s, :B_true] = p.nreq
@@ -381,58 +493,50 @@ class StackedIndex:
                 vd0 = p.dense_ids.shape[1]
                 dids[s, :NB0, :vd0] = p.dense_ids
                 dsl[s, :NB0, :vd0] = p.dense_slots
-        bst = np.zeros((v, boosts.shape[0]), np.float32)
-        bst[:] = boosts[None, :]
-        F = bst.shape[1]
+
         n_facets = int(fcod_dev.shape[1]) if fcod_dev is not None else 0
         use_sort = skey_dev is not None
-        plan_rows = _pack_plan(bi, so, sl, W, M, nr, bst, dids, dsl)
 
-        if self.mesh is None:
-            plan_dev = jnp.asarray(plan_rows)  # ONE upload
-            results = []
-            for s in range(S):
-                pd, pt, cp, dl, dt = self.per_shard[s]
-                if allowed_dev is not None:
-                    dl = _merge_deleted(dl, allowed_dev[s])
-                fcod = (fcod_dev[s] if fcod_dev is not None
-                        else jnp.zeros((1, 1), jnp.int32))
-                skey = (skey_dev[s] if use_sort
-                        else jnp.zeros((1,), jnp.float32))
-                results.append(scan_one_shard(
-                    pd, pt, cp, dl, plan_dev[s], fcod, skey, dt,
-                    S=S, shard_id=s, NB=nb, V=v, B=B, F=F, VD=VD,
-                    P_max=P_max, k=k, with_counts=with_counts,
-                    n_facets=n_facets, facet_codes_max=facet_codes_max,
-                    use_sort_key=use_sort, sort_desc=sort_desc,
-                ))
-            ts_all = jnp.stack([r[0] for r in results])
-            gid_all = jnp.stack([r[1] for r in results])
-            cnt_all = jnp.stack([r[2] for r in results])
-            fc_all = jnp.stack([r[3] for r in results])
-            out = merge_shard_results(ts_all, gid_all, cnt_all, fc_all, k=k)
-        else:
-            statics = dict(
-                S=S, NB=nb, V=v, B=B, F=F, VD=VD, P_max=P_max, k=k,
-                with_counts=with_counts, n_facets=n_facets,
-                facet_codes_max=facet_codes_max, use_sort_key=use_sort,
-                sort_desc=sort_desc,
+        if mode == "imp":
+            nc = max(max((p.c_row.shape[1] for p in plans
+                          if p is not None and p.c_row is not None),
+                         default=16), 16)
+            nc = ceil_pow2(nc, 16)
+            c_row = np.zeros((S, nb, nc), np.int32)
+            c_se = np.full((S, nb, nc), 0xFF, np.int32)
+            for s, p in enumerate(plans):
+                if p is None or p.c_row is None:
+                    continue
+                NB0, NC0 = p.c_row.shape
+                c_row[s, :NB0, :NC0] = p.c_row
+                c_se[s, :NB0, :NC0] = p.c_se
+            plan_rows = _pack_plan_imp(bi, c_row, c_se, W, M, nr, dids, dsl)
+            out = self._run_imp(
+                plan_rows, S, nb, nc, v, B, VD, k, with_counts,
+                fcod_dev, facet_codes_max, skey_dev, use_sort, sort_desc,
+                allowed_dev, n_facets,
             )
-            key = tuple(sorted(statics.items()))
-            fn = self._sharded_fns.get(key)
-            if fn is None:
-                fn = make_sharded_scan(self.mesh, statics)
-                self._sharded_fns[key] = fn
-            deleted = self.deleted
-            if allowed_dev is not None:
-                deleted = _merge_deleted(self.deleted, allowed_dev)
-            fcod = (fcod_dev if fcod_dev is not None
-                    else self._put_row(np.zeros((S, 1, 1), np.int32)))
-            skey = (skey_dev if use_sort
-                    else self._put_row(np.zeros((S, 1), np.float32)))
-            plan_dev = self._put_row(plan_rows)
-            out = fn(self.pl_docid, self.pl_tf, self.comp, deleted,
-                     plan_dev, fcod, skey, self.dense_tf)
+        else:
+            self._ensure_tf()
+            P_max = max(max((p.P_max for p in plans if p is not None),
+                            default=128), 128)
+            F = max(len(self.index.indexed_fields), 1)
+            so = np.zeros((S, nb, v), np.int32)
+            sl = np.zeros((S, nb, v), np.int32)
+            for s, p in enumerate(plans):
+                if p is None:
+                    continue
+                NB0, V0 = p.seg_len.shape
+                so[s, :NB0, :V0] = p.seg_off
+                sl[s, :NB0, :V0] = p.seg_len
+            bst = np.zeros((v, boosts.shape[0]), np.float32)
+            bst[:] = boosts[None, :]
+            plan_rows = _pack_plan_tf(bi, so, sl, W, M, nr, bst, dids, dsl)
+            out = self._run_tf(
+                plan_rows, S, nb, v, B, F, VD, P_max, k, with_counts,
+                fcod_dev, facet_codes_max, skey_dev, use_sort, sort_desc,
+                allowed_dev, n_facets,
+            )
 
         f32_part, i32_part = jax.device_get(out)  # ONE D2H sync
         ts = f32_part[:B_true, :k]
@@ -441,6 +545,105 @@ class StackedIndex:
         gid = i32_part[:B_true, :k]
         cnt = i32_part[:B_true, k]
         return ts, gid, cnt, fcounts
+
+    def _run_imp(self, plan_rows, S, nb, nc, v, B, VD, k, with_counts,
+                 fcod_dev, facet_codes_max, skey_dev, use_sort, sort_desc,
+                 allowed_dev, n_facets):
+        from ..ops.lexical import fast_mode
+
+        fast = fast_mode()
+        if self.mesh is None:
+            plan_dev = jnp.asarray(plan_rows)  # ONE upload
+            results = []
+            for s in range(S):
+                d2, i2, dl, di = self.per_shard[s]
+                if allowed_dev is not None:
+                    dl = _merge_deleted(dl, allowed_dev[s])
+                fcod = (fcod_dev[s] if fcod_dev is not None
+                        else jnp.zeros((1, 1), jnp.int32))
+                skey = (skey_dev[s] if use_sort
+                        else jnp.zeros((1,), jnp.float32))
+                results.append(scan_one_shard_imp(
+                    d2, i2, dl, plan_dev[s], fcod, skey, di,
+                    S=S, shard_id=s, NB=nb, NC=nc, V=v, B=B, VD=VD,
+                    k=k, with_counts=with_counts,
+                    n_facets=n_facets, facet_codes_max=facet_codes_max,
+                    use_sort_key=use_sort, sort_desc=sort_desc, fast=fast,
+                ))
+            return self._merge(results, k)
+        statics = dict(
+            S=S, NB=nb, NC=nc, V=v, B=B, VD=VD, k=k, fast=fast,
+            with_counts=with_counts, n_facets=n_facets,
+            facet_codes_max=facet_codes_max, use_sort_key=use_sort,
+            sort_desc=sort_desc,
+        )
+        key = ("imp",) + tuple(sorted(statics.items()))
+        fn = self._sharded_fns.get(key)
+        if fn is None:
+            fn = make_sharded_scan_imp(self.mesh, statics)
+            self._sharded_fns[key] = fn
+        deleted = self.deleted
+        if allowed_dev is not None:
+            deleted = _merge_deleted(self.deleted, allowed_dev)
+        fcod = (fcod_dev if fcod_dev is not None
+                else self._put_row(np.zeros((S, 1, 1), np.int32)))
+        skey = (skey_dev if use_sort
+                else self._put_row(np.zeros((S, 1), np.float32)))
+        plan_dev = self._put_row(plan_rows)
+        return fn(self.dev_docid, self.dev_imp, deleted,
+                  plan_dev, fcod, skey, self.dense_imp)
+
+    def _run_tf(self, plan_rows, S, nb, v, B, F, VD, P_max, k, with_counts,
+                fcod_dev, facet_codes_max, skey_dev, use_sort, sort_desc,
+                allowed_dev, n_facets):
+        if self.mesh is None:
+            plan_dev = jnp.asarray(plan_rows)
+            results = []
+            for s in range(S):
+                pd, pt, cp, dt = self.per_shard_tf[s]
+                dl = self.per_shard[s][2]
+                if allowed_dev is not None:
+                    dl = _merge_deleted(dl, allowed_dev[s])
+                fcod = (fcod_dev[s] if fcod_dev is not None
+                        else jnp.zeros((1, 1), jnp.int32))
+                skey = (skey_dev[s] if use_sort
+                        else jnp.zeros((1,), jnp.float32))
+                results.append(scan_one_shard_tf(
+                    pd, pt, cp, dl, plan_dev[s], fcod, skey, dt,
+                    S=S, shard_id=s, NB=nb, V=v, B=B, F=F, VD=VD,
+                    P_max=P_max, k=k, with_counts=with_counts,
+                    n_facets=n_facets, facet_codes_max=facet_codes_max,
+                    use_sort_key=use_sort, sort_desc=sort_desc,
+                ))
+            return self._merge(results, k)
+        statics = dict(
+            S=S, NB=nb, V=v, B=B, F=F, VD=VD, P_max=P_max, k=k,
+            with_counts=with_counts, n_facets=n_facets,
+            facet_codes_max=facet_codes_max, use_sort_key=use_sort,
+            sort_desc=sort_desc,
+        )
+        key = ("tf",) + tuple(sorted(statics.items()))
+        fn = self._sharded_fns.get(key)
+        if fn is None:
+            fn = make_sharded_scan_tf(self.mesh, statics)
+            self._sharded_fns[key] = fn
+        deleted = self.deleted
+        if allowed_dev is not None:
+            deleted = _merge_deleted(self.deleted, allowed_dev)
+        fcod = (fcod_dev if fcod_dev is not None
+                else self._put_row(np.zeros((S, 1, 1), np.int32)))
+        skey = (skey_dev if use_sort
+                else self._put_row(np.zeros((S, 1), np.float32)))
+        plan_dev = self._put_row(plan_rows)
+        return fn(self.pl_docid, self.pl_tf, self.comp, deleted,
+                  plan_dev, fcod, skey, self.dense_tf)
+
+    def _merge(self, results, k):
+        ts_all = jnp.stack([r[0] for r in results])
+        gid_all = jnp.stack([r[1] for r in results])
+        cnt_all = jnp.stack([r[2] for r in results])
+        fc_all = jnp.stack([r[3] for r in results])
+        return merge_shard_results(ts_all, gid_all, cnt_all, fc_all, k=k)
 
 
 @jax.jit

@@ -297,8 +297,8 @@ def _build_specs(
 @dataclass
 class _ShardPlan:
     block_ids: np.ndarray       # i32[NB]
-    seg_off: np.ndarray         # i32[NB, V]
-    seg_len: np.ndarray         # i32[NB, V]
+    seg_off: np.ndarray         # i32[NB, V]   (tf mode)
+    seg_len: np.ndarray         # i32[NB, V]   (tf mode)
     W: np.ndarray               # f32[B, V]
     Mreq: np.ndarray            # f32[B, V]
     nreq: np.ndarray            # i32[B]
@@ -309,6 +309,9 @@ class _ShardPlan:
     n_cand_blocks: np.ndarray   # i32[B]
     dense_ids: np.ndarray | None = None    # i32[NB, VD] dense rows (-1 pad)
     dense_slots: np.ndarray | None = None  # i32[NB, VD]
+    mode: str = "imp"           # "imp" (chunked impact path) | "tf"
+    c_row: np.ndarray | None = None  # i32[NB, NC] storage rows (imp mode)
+    c_se: np.ndarray | None = None   # i32[NB, NC] slot<<16|cs<<8|(ce-1)
 
 
 def _plan_shard(
@@ -319,6 +322,7 @@ def _plan_shard(
     realtime: bool,
     need_full: bool,
     prune_budget: int,
+    mode: str = "imp",
 ) -> _ShardPlan | None:
     lex = shard.lexical
     d = lex.directory
@@ -448,9 +452,59 @@ def _plan_shard(
     # window entirely and ride the dense row-gather path in the kernel.
     pos = np.searchsorted(block_list, fb)
     hit = (pos < NB) & (block_list[np.minimum(pos, max(NB - 1, 0))] == fb)
-    sparse = hit & (fd < 0)
-    seg_off_arr[pos[sparse], rows[sparse]] = fo[sparse].astype(np.int32)
-    seg_len_arr[pos[sparse], rows[sparse]] = fl[sparse]
+    # segment-level pruning: decode segment (slot, block) only if some query
+    # that uses the slot has the block in its candidate set — a block
+    # selected for other queries must not pay this slot's postings
+    # (fine-grained analog of the reference's per-term blocked skipping,
+    # intersection.rs:2058-2222)
+    USE = (POS > 0) | (REQ > 0) | NEG                  # [B, V]
+    needed = (USE.astype(np.float32).T @ cand) > 0     # [V, n_blocks]
+    hit &= needed[rows, fb]
+    sparse = hit & (fd < 0) & (fl > 0)
+    c_row = c_se = None
+    if mode == "imp":
+        # chunk table: every (segment x 128-wide storage row) overlap is one
+        # chunk (ops/lexical.py CHUNK); chunks pack per plan-block row
+        from .ops.lexical import CHUNK
+
+        fdev = (d.seg_dev_offset[flat] if d.seg_dev_offset is not None
+                else fo)
+        sel = np.flatnonzero(sparse)
+        off = fdev[sel].astype(np.int64)
+        ln = fl[sel].astype(np.int64)
+        first_row = off // CHUNK
+        nrows = ((off + ln - 1) // CHUNK - first_row + 1)
+        total = int(nrows.sum())
+        if total:
+            eidx = np.repeat(np.arange(len(sel), dtype=np.int64), nrows)
+            within = (np.arange(total, dtype=np.int64)
+                      - np.repeat(np.cumsum(nrows) - nrows, nrows))
+            rowi = first_row[eidx] + within
+            row_start = rowi * CHUNK
+            cstart = np.clip(off[eidx] - row_start, 0, CHUNK)
+            cend = np.clip(off[eidx] + ln[eidx] - row_start, 0, CHUNK)
+            slotc = rows[sel][eidx].astype(np.int64)
+            blkc = pos[sel][eidx]
+            order_c = np.argsort(blkc, kind="stable")
+            cnt_b = np.bincount(blkc, minlength=NB)
+            NC = ceil_pow2(max(int(cnt_b.max()), 1), 16)
+            bstart = np.zeros(NB + 1, np.int64)
+            np.cumsum(cnt_b, out=bstart[1:])
+            blk_s = blkc[order_c]
+            colpos = np.arange(total, dtype=np.int64) - bstart[blk_s]
+            c_row = np.zeros((NB, NC), np.int32)
+            c_se = np.full((NB, NC), 0xFF, np.int32)  # empty chunks
+            c_row[blk_s, colpos] = rowi[order_c].astype(np.int32)
+            c_se[blk_s, colpos] = (
+                (slotc[order_c] << 16) | (cstart[order_c] << 8)
+                | (cend[order_c] - 1)
+            ).astype(np.int32)
+        else:
+            c_row = np.zeros((NB, 16), np.int32)
+            c_se = np.full((NB, 16), 0xFF, np.int32)
+    else:
+        seg_off_arr[pos[sparse], rows[sparse]] = fo[sparse].astype(np.int32)
+        seg_len_arr[pos[sparse], rows[sparse]] = fl[sparse]
     for e in np.flatnonzero(hit & (fd >= 0)):
         dense_lists[int(pos[e])].append((int(fd[e]), int(rows[e])))
 
@@ -469,12 +523,14 @@ def _plan_shard(
     Mreq = np.where(NEG, np.float32(-1e4), REQ * ~NEG)
     nreq = (REQ * ~NEG).sum(axis=1).astype(np.int32)
 
-    P_max = int(seg_len_arr.sum(axis=1).max()) if NB else 0
-    # bucket to a 4096*2^i ladder: the window gather is cheap next to the
-    # dense 64K-domain scatter/matmul, and coarse buckets keep the number
-    # of compiled kernel shapes small (each new shape = one TPU compile;
-    # precompile_scan warms exactly this ladder)
-    P_max = ceil_pow2(max(P_max, 1), 4096)
+    if mode == "imp":
+        P_max = 0
+    else:
+        P_max = int(seg_len_arr.sum(axis=1).max()) if NB else 0
+        # bucket to a 4096*2^i ladder: coarse buckets keep the number of
+        # compiled kernel shapes small (each new shape = one TPU compile;
+        # precompile_scan warms exactly this ladder)
+        P_max = ceil_pow2(max(P_max, 1), 4096)
     return _ShardPlan(
         block_ids=block_list,
         seg_off=seg_off_arr,
@@ -489,6 +545,9 @@ def _plan_shard(
         n_cand_blocks=n_cand,
         dense_ids=dense_ids,
         dense_slots=dense_slots,
+        mode=mode,
+        c_row=c_row,
+        c_se=c_se,
     )
 
 
@@ -497,7 +556,9 @@ def _plan_shard(
 
 
 def _device_arrays(index: Index, shard: Shard):
-    """Per-shard HBM tensors, cached on the shard object."""
+    """Per-shard deleted-mask HBM tensor, cached on the shard object (the
+    lexical posting tensors live in the stacked executor; only the vector
+    path needs the standalone deleted mask)."""
     import jax.numpy as jnp
 
     cache = getattr(shard, "_dev", None)
@@ -510,18 +571,7 @@ def _device_arrays(index: Index, shard: Shard):
         ids = np.fromiter(shard.deleted, dtype=np.int64)
         ids = ids[ids < n]
         deleted[ids] = True
-    F = shard.n_fields
-    comp = lex.comp
-    if comp is None or len(comp) == 0:
-        comp = np.ones((BLOCK_SIZE, F), np.float32)
-    pl_docid = lex.pl_docid if len(lex.pl_docid) else np.zeros(1, np.uint16)
-    pl_tf = lex.pl_tf if len(lex.pl_tf) else np.zeros((1, F), np.uint16)
-    cache = {
-        "pl_docid": jnp.asarray(pl_docid),
-        "pl_tf": jnp.asarray(pl_tf),
-        "comp": jnp.asarray(comp),
-        "deleted": jnp.asarray(deleted),
-    }
+    cache = {"deleted": jnp.asarray(deleted)}
     shard._dev = cache
     return cache
 
@@ -823,13 +873,19 @@ def _lexical_search_batch(
     if has_phrase:
         k = ceil_pow2(max(4 * need + 64, 128))
 
-    # boost profile (field_filter zeroes non-selected fields)
+    # boost profile (field_filter zeroes non-selected fields).  Queries on
+    # the schema's default profile ride the impact fast path (commit-time
+    # precomputed per-posting impacts); custom profiles (field_filter) fall
+    # back to the tf kernel, which recombines fields at query time.
     boosts = index.boosts_or_default().copy()
+    mode = "imp"
     if req0.field_filter:
         keep = {f for f in req0.field_filter}
         for sf in index.indexed_fields:
             if sf.field not in keep:
                 boosts[sf.indexed_field_id] = 0.0
+        if not np.array_equal(boosts, index.boosts_or_default()):
+            mode = "tf"
 
     B = len(live)
     merged_scores = [np.zeros(0, np.float32) for _ in range(B)]
@@ -907,7 +963,7 @@ def _lexical_search_batch(
     k_eff = k
     plans = [
         _plan_shard(index, sh, slots, live_specs, req0.realtime,
-                    need_full, PRUNE_BLOCKS)
+                    need_full, PRUNE_BLOCKS, mode=mode)
         for sh in index.shards
     ]
     if has_phrase and with_counts:
@@ -939,7 +995,7 @@ def _lexical_search_batch(
                 METRICS.inc("device_dispatch_total")
                 plans = [
                     _plan_shard(index, sh, slots, live_specs,
-                                req0.realtime, True, PRUNE_BLOCKS)
+                                req0.realtime, True, PRUNE_BLOCKS, mode=mode)
                     for sh in index.shards
                 ]
                 ts, gid, cnt, fcounts = stacked.run(
@@ -978,7 +1034,7 @@ def _lexical_search_batch(
 def precompile_scan(
     index: Index,
     batch_sizes=(128,),
-    p_buckets=None,
+    nc_buckets=None,
     v_buckets=(32, 128),
     ks=(16, 64),
     facet_shapes=(),          # (n_facets_padded, facet_codes_max) pairs
@@ -986,30 +1042,34 @@ def precompile_scan(
 ) -> int:
     """Precompile the device scan for a grid of plan shapes.
 
-    Every distinct (NB, V, B, P_max, k, facets, sort) tuple is one XLA
+    Every distinct (NB, NC, V, B, k, facets, sort) tuple is one XLA
     compilation; on a cold server the first query of each shape pays it
     (3-40 s on TPU, persisted in the on-disk compile cache afterwards).
     Call this once at deploy time — or set SEEKSTORM_TPU_PRECOMPILE=1 on
     the server — to take those compiles up front.  Returns the number of
     shapes compiled."""
+    from .ops.lexical import CHUNK
+
     index.ensure_loaded()
     stacked = _get_stacked(index)
     boosts = index.boosts_or_default()
     nb = max(max(sh.lexical.n_blocks for sh in index.shards), 1)
     nb = ceil_pow2(nb, 1)
-    total_p = max(
-        (len(sh.lexical.pl_docid) for sh in index.shards), default=1
+    max_rows = max(
+        ((len(sh.lexical.dev_docid) + CHUNK - 1) // CHUNK
+         for sh in index.shards if sh.lexical.dev_docid is not None),
+        default=1,
     )
-    if p_buckets is None:
-        p_buckets, p = [], 4096
-        while p < total_p:
-            p_buckets.append(p)
-            p *= 2
-        p_buckets.append(p)
+    if nc_buckets is None:
+        nc_buckets, nc = [], 16
+        while nc < max_rows:
+            nc_buckets.append(nc)
+            nc *= 2
+        nc_buckets.append(nc)
     n = 0
     for B in batch_sizes:
         for v in v_buckets:
-            for P_max in p_buckets:
+            for NC in nc_buckets:
                 for k in ks:
                     for fshape in ((0, 1), *facet_shapes):
                         for use_sort in sort_modes:
@@ -1020,11 +1080,14 @@ def precompile_scan(
                                 W=np.zeros((B, v), np.float32),
                                 Mreq=np.zeros((B, v), np.float32),
                                 nreq=np.zeros(B, np.int32),
-                                P_max=P_max,
+                                P_max=0,
                                 full=True,
                                 ub_unscored=np.zeros(B, np.float32),
                                 idf=np.zeros(v, np.float32),
                                 n_cand_blocks=np.zeros(B, np.int32),
+                                mode="imp",
+                                c_row=np.zeros((nb, NC), np.int32),
+                                c_se=np.full((nb, NC), 0xFF, np.int32),
                             )
                             nf, fcm = fshape
                             fcod = None
