@@ -1,12 +1,28 @@
-"""Benchmark: batched BM25 top-10 QPS on the device lexical engine.
+"""Benchmark: batched BM25 top-10 QPS on the device lexical engine at
+reference scale.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline: the reference engine's published 305 µs average BM25 top-10
-latency on English Wikipedia (BASELINE.md row 3) => ~3,279 QPS equivalent
-for a single node.  Round-1 corpus is synthetic (zipf vocabulary); later
-rounds switch to the search-benchmark-game Wikipedia corpus.
+latency on English Wikipedia 5M docs (BASELINE.md row 3, reference
+README.md:268-274) => ~3,279 QPS equivalent for a single node.
 
-Usage: python bench.py [--docs 100000] [--batch 64] [--iters 20]
+The corpus is synthetic (zipf rank-frequency vocabulary, Wikipedia-like
+title/body length statistics) because this environment has no egress to
+fetch the real Wikipedia dump; the DEFAULT SIZE matches the reference's
+benchmark corpus (5,032,105 docs) so per-query work is comparable.  The
+query mix mirrors the search-benchmark-game workload: 2-term unions /
+intersections over mid-frequency terms + single terms.
+
+Honest-reporting rules (round-1 verdict):
+  * default --docs is reference scale (5M), not 100K;
+  * per-pass throughput is reported for every pass plus the mean — not
+    best-of-N;
+  * realtime=True (the engine's default serving mode);
+  * latency percentiles (p50/p99 per batch) and a host/device time
+    breakdown (plan / device / fetch) from the engine's metrics registry;
+  * analytic device-FLOP estimate per batch -> achieved TFLOP/s + MFU.
+
+Usage: python bench.py [--docs 5000000] [--batch 128] [--iters 10]
 """
 
 from __future__ import annotations
@@ -19,6 +35,8 @@ import time
 import numpy as np
 
 BASELINE_QPS = 1e6 / 305.0  # reference: 305 us avg BM25 top-10 (README.md:268)
+# v5e peak MXU throughput (per chip): ~197 TFLOP/s bf16, ~49 TFLOP/s f32
+PEAK_FLOPS = {"bf16": 197e12, "f32": 49e12}
 
 
 def make_corpus(n_docs: int, vocab: int, rng) -> list[dict]:
@@ -31,16 +49,17 @@ def make_corpus(n_docs: int, vocab: int, rng) -> list[dict]:
     body_len = rng.integers(20, 60, size=n_docs)
     total = int(title_len.sum() + body_len.sum())
     stream = rng.choice(vocab, size=total, p=probs)
+    toks = words[stream]
     docs = []
     pos = 0
     for i in range(n_docs):
-        t = stream[pos : pos + title_len[i]]
-        pos += title_len[i]
-        b = stream[pos : pos + body_len[i]]
-        pos += body_len[i]
-        docs.append(
-            {"title": " ".join(words[t]), "body": " ".join(words[b])}
-        )
+        tl = title_len[i]
+        bl = body_len[i]
+        docs.append({
+            "title": " ".join(toks[pos : pos + tl]),
+            "body": " ".join(toks[pos + tl : pos + tl + bl]),
+        })
+        pos += tl + bl
     return docs
 
 
@@ -63,7 +82,7 @@ def make_queries(n: int, rng) -> list[tuple[str, str]]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--docs", type=int, default=5_000_000)
     ap.add_argument("--vocab", type=int, default=30_000)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
@@ -73,6 +92,8 @@ def main() -> None:
     args = ap.parse_args()
 
     import seekstorm_tpu as st
+    from seekstorm_tpu.metrics import METRICS
+    from seekstorm_tpu.ops.lexical import fast_mode
 
     rng = np.random.default_rng(7)
     t0 = time.time()
@@ -92,6 +113,7 @@ def main() -> None:
         t0 = time.time()
         idx.index_documents(docs)
         index_s = time.time() - t0
+        del docs
         t0 = time.time()
         idx.commit()
         commit_s = time.time() - t0
@@ -106,7 +128,7 @@ def main() -> None:
             req_sets.append([
                 st.SearchRequest(
                     query=q, length=10, result_type=st.ResultType.Topk,
-                    realtime=False, query_type_default=st.QueryType(ty),
+                    realtime=True, query_type_default=st.QueryType(ty),
                 )
                 for q, ty in qs
             ])
@@ -116,14 +138,20 @@ def main() -> None:
         for r in req_sets[1:]:
             st.search_batch(idx, r)
 
+        batch_lat_us: list[float] = []
+        lat_lock = threading.Lock()
+
         def worker(reqs):
             for _ in range(args.iters):
+                b0 = time.perf_counter()
                 st.search_batch(idx, reqs)
+                dt_us = (time.perf_counter() - b0) * 1e6
+                with lat_lock:
+                    batch_lat_us.append(dt_us)
 
-        # best-of-N passes: the TPU tunnel's round-trip latency varies
-        # 0.05-25 ms with congestion, swinging a single pass by ±30%;
-        # the best pass reports achievable engine throughput
-        best_dt = None
+        METRICS.reset()
+        pass_qps = []
+        t_all0 = time.time()
         for _pass in range(args.passes):
             t0 = time.time()
             threads = [threading.Thread(target=worker, args=(r,))
@@ -133,25 +161,68 @@ def main() -> None:
             for th in threads:
                 th.join()
             dt = time.time() - t0
-            best_dt = dt if best_dt is None else min(best_dt, dt)
-        dt = best_dt
-        qps = args.threads * args.batch * args.iters / dt
-        lat_ms = dt / (args.iters * args.threads) * 1e3
+            pass_qps.append(args.threads * args.batch * args.iters / dt)
+        wall_s = time.time() - t_all0
+        qps = float(np.mean(pass_qps))
+
+        lat = np.array(batch_lat_us)
+        n_queries = args.threads * args.batch * args.iters * args.passes
+
+        # engine-side breakdown + analytic device FLOPs (see search.py /
+        # parallel/mesh.py instrumentation).  With pipelined worker threads
+        # the per-thread device waits overlap, so device_s can exceed wall
+        # time; the MFU estimate is therefore conservative.
+        tm = METRICS.snapshot()
+        escalations = int(tm.get("plan_escalations_total", 0))
+        dispatches = int(tm.get("device_dispatch_total", 0))
+        plan_s = tm.get("lex_plan_seconds_total", 0.0)
+        dev_s = tm.get("lex_device_seconds_total", 0.0)
+        fetch_s = 0.0  # folded into device_s (one D2H sync fetches results)
+        flops = tm.get("device_flops", 0.0)
+        prec = "bf16" if fast_mode() else "f32"
+        tflops = flops / max(dev_s, 1e-9) / 1e12
+        mfu = flops / max(dev_s, 1e-9) / PEAK_FLOPS[prec]
 
         print(
             f"# corpus={args.docs} docs gen={gen_s:.1f}s "
             f"index={index_s:.1f}s ({args.docs/max(index_s,1e-9):.0f} docs/s) "
             f"commit={commit_s:.1f}s batch={args.batch} "
-            f"batch_latency={lat_ms:.2f}ms",
+            f"passes_qps={[round(q,1) for q in pass_qps]} "
+            f"batch_lat p50={np.percentile(lat,50)/1e3:.2f}ms "
+            f"p99={np.percentile(lat,99)/1e3:.2f}ms "
+            f"breakdown plan={plan_s:.1f}s device={dev_s:.1f}s "
+            f"fetch={fetch_s:.1f}s wall={wall_s:.1f}s "
+            f"device={tflops:.2f}TFLOP/s ({prec}) mfu={mfu*100:.1f}%",
             file=sys.stderr,
         )
         print(
             json.dumps(
                 {
-                    "metric": "bm25_top10_qps",
+                    "metric": "bm25_top10_qps_5m" if args.docs >= 5_000_000
+                    else f"bm25_top10_qps_{args.docs}",
                     "value": round(qps, 1),
                     "unit": "qps",
                     "vs_baseline": round(qps / BASELINE_QPS, 2),
+                    "docs": args.docs,
+                    "mean_batch_latency_us": round(float(lat.mean()), 1),
+                    "p50_batch_latency_us": round(float(np.percentile(lat, 50)), 1),
+                    "p99_batch_latency_us": round(float(np.percentile(lat, 99)), 1),
+                    "per_query_latency_us": round(float(lat.mean()) / args.batch, 1),
+                    "pass_qps": [round(q, 1) for q in pass_qps],
+                    "n_queries": n_queries,
+                    "precision": prec,
+                    "device_tflops": round(tflops, 2),
+                    "mfu": round(mfu, 4),
+                    "breakdown_s": {
+                        "plan": round(plan_s, 2),
+                        "device": round(dev_s, 2),
+                        "fetch": round(fetch_s, 2),
+                    },
+                    "index_docs_per_s": round(args.docs / max(index_s, 1e-9), 0),
+                    "commit_s": round(commit_s, 1),
+                    "realtime": True,
+                    "plan_escalations": escalations,
+                    "device_dispatches": dispatches,
                 }
             )
         )

@@ -53,6 +53,13 @@ def fast_mode() -> bool:
     return bool(os.environ.get("SEEKSTORM_TPU_FAST"))
 
 
+def _qsel_mask(qw, B: int):
+    """Unpack a per-block query-selection bitmask word row -> bool[B]."""
+    idx = jnp.arange(B, dtype=jnp.int32)
+    words = qw.astype(jnp.uint32)
+    return ((words[idx // 32] >> (idx % 32).astype(jnp.uint32)) & 1) > 0
+
+
 def _block_step(
     pl_docid,      # u16[P]         (HBM, full shard)
     pl_tf,         # u16[P, F]
@@ -65,6 +72,7 @@ def _block_step(
     bid,           # i32 scalar     block id for this step
     seg_off,       # i32[V]         posting offset per slot (-len 0 if absent)
     seg_len,       # i32[V]
+    qw,            # i32[ceil(B/32)] per-query selection bits for this block
     P_max: int,
     dense_tf=None,     # u16[ND, BLOCK_SIZE, F] dense-term store (optional)
     dense_ids=None,    # i32[VD] dense rows for this block (-1 pad)
@@ -146,7 +154,9 @@ def _block_step(
         C = C + Md @ (dimp > 0).astype(jnp.float32)
 
     del_block = jax.lax.dynamic_slice(deleted, (bid * BLOCK_SIZE,), (BLOCK_SIZE,))
-    matched = (S > 0) & (C >= nreq[:, None].astype(jnp.float32)) & ~del_block[None, :]
+    sel = _qsel_mask(qw, W.shape[0])
+    matched = (S > 0) & (C >= nreq[:, None].astype(jnp.float32)) \
+        & ~del_block[None, :] & sel[:, None]
     scores = jnp.where(matched, S, -jnp.inf)
     return scores, matched
 
@@ -160,7 +170,7 @@ def _block_step(
 )
 def lexical_scan(
     pl_docid, pl_tf, comp, deleted,
-    block_ids, seg_off, seg_len,
+    block_ids, seg_off, seg_len, qsel_w,
     W, Mreq, nreq, boosts,
     facet_codes,   # i32[n_facets, NBtot*BLOCK] (dummy [1, 1] if n_facets == 0)
     sort_key,      # f32[NBtot*BLOCK]           (dummy [1] if not use_sort_key)
@@ -193,14 +203,15 @@ def lexical_scan(
 
     def step(carry, xs):
         ts, ti, cnt, fc = carry
-        bid, off, ln, did, dsl = xs
+        bid, off, ln, qw, did, dsl = xs
         pad = bid < 0
         bid_c = jnp.maximum(bid, 0)
         ln = jnp.where(pad, 0, ln)
+        qw = jnp.where(pad, 0, qw)
         did = jnp.where(pad, -1, did)
         scores, matched = _block_step(
             pl_docid, pl_tf, comp, deleted, boosts, W, Mreq, nreq,
-            bid_c, off, ln, P_max,
+            bid_c, off, ln, qw, P_max,
             dense_tf=dense_tf, dense_ids=did, dense_slots=dsl,
         )
         if with_counts:
@@ -244,7 +255,8 @@ def lexical_scan(
         jnp.zeros((max(n_facets, 1), B, facet_codes_max), jnp.float32),
     )
     (ts, ti, cnt, fc), _ = jax.lax.scan(
-        step, init, (block_ids, seg_off, seg_len, dense_ids, dense_slots)
+        step, init, (block_ids, seg_off, seg_len, qsel_w, dense_ids,
+                     dense_slots)
     )
     return ts, ti, cnt, fc
 
@@ -304,6 +316,7 @@ def _block_step_imp(
     bid,           # i32 scalar    block id for this step
     c_row,         # i32[NC]       storage row per chunk
     c_se,          # i32[NC]       packed slot<<16 | cs<<8 | (ce-1)
+    qw,            # i32[ceil(B/32)] per-query selection bits for this block
     dense_imp=None,    # f32[ND, BLOCK_SIZE]
     dense_ids=None,    # i32[VD]
     dense_slots=None,  # i32[VD]
@@ -380,7 +393,9 @@ def _block_step_imp(
                             preferred_element_type=jnp.float32)
 
     del_block = jax.lax.dynamic_slice(deleted, (bid * BLOCK_SIZE,), (BLOCK_SIZE,))
-    matched = (S > 0) & (C >= nreq[:, None].astype(jnp.float32)) & ~del_block[None, :]
+    sel = _qsel_mask(qw, W.shape[0])
+    matched = (S > 0) & (C >= nreq[:, None].astype(jnp.float32)) \
+        & ~del_block[None, :] & sel[:, None]
     scores = jnp.where(matched, S, -jnp.inf)
     return scores, matched
 
@@ -397,6 +412,7 @@ def lexical_scan_imp(
     block_ids,     # i32[NB]        (-1 = padding step)
     c_row,         # i32[NB, NC]
     c_se,          # i32[NB, NC]    packed slot<<16 | cs<<8 | (ce-1)
+    qsel_w,        # i32[NB, ceil(B/32)] per-query block-selection bits
     W, Mreq, nreq,
     facet_codes,   # i32[n_facets, NBtot*BLOCK] (dummy [1, 1] if n_facets == 0)
     sort_key,      # f32[NBtot*BLOCK]           (dummy [1] if not use_sort_key)
@@ -421,16 +437,17 @@ def lexical_scan_imp(
 
     def step(carry, xs):
         ts, ti, cnt, fc = carry
-        bid, row_b, se_b, did, dsl = xs
+        bid, row_b, se_b, qw, did, dsl = xs
         pad = bid < 0
         bid_c = jnp.maximum(bid, 0)
         # padded steps: force all chunks empty (packed low byte 255 decodes
         # to ce=0 after the +1 & 0xFF wrap in _block_step_imp)
         se_b = jnp.where(pad, jnp.int32(0xFF), se_b)
+        qw = jnp.where(pad, 0, qw)
         did = jnp.where(pad, -1, did)
         scores, matched = _block_step_imp(
             pl2_docid, pl2_imp, deleted, W, Mreq, nreq,
-            bid_c, row_b, se_b,
+            bid_c, row_b, se_b, qw,
             dense_imp=dense_imp, dense_ids=did, dense_slots=dsl, fast=fast,
         )
         if with_counts:
@@ -473,6 +490,6 @@ def lexical_scan_imp(
         jnp.zeros((max(n_facets, 1), B, facet_codes_max), jnp.float32),
     )
     (ts, ti, cnt, fc), _ = jax.lax.scan(
-        step, init, (block_ids, c_row, c_se, dense_ids, dense_slots)
+        step, init, (block_ids, c_row, c_se, qsel_w, dense_ids, dense_slots)
     )
     return ts, ti, cnt, fc

@@ -45,7 +45,20 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 # shard cleanly over the mesh axis)
 
 
-def _pack_plan_imp(bi, c_row, c_se, W, M, nr, dids, dsl):
+def _qsel_words(qsel_bool, NB, B):
+    """bool[NB0, B0] per-query block-selection -> packed i32[NB, ceil(B/32)]
+    bitmask words (bit q of word q//32 = query q selected the block)."""
+    BW = (B + 31) // 32
+    bits = np.zeros((NB, BW * 32), np.uint8)
+    if qsel_bool is not None and qsel_bool.size:
+        nb0, b0 = qsel_bool.shape
+        bits[:nb0, :b0] = qsel_bool
+    w = (bits.reshape(NB, BW, 32).astype(np.uint32)
+         << np.arange(32, dtype=np.uint32))
+    return np.ascontiguousarray(w.sum(axis=2, dtype=np.uint32)).view(np.int32)
+
+
+def _pack_plan_imp(bi, c_row, c_se, qw, W, M, nr, dids, dsl):
     S = bi.shape[0]
     rows = []
     for s in range(S):
@@ -53,6 +66,7 @@ def _pack_plan_imp(bi, c_row, c_se, W, M, nr, dids, dsl):
             bi[s].reshape(-1),
             c_row[s].reshape(-1),
             c_se[s].reshape(-1),
+            qw[s].reshape(-1),
             W[s].reshape(-1).view(np.int32),
             M[s].reshape(-1).view(np.int32),
             nr[s].reshape(-1),
@@ -63,22 +77,25 @@ def _pack_plan_imp(bi, c_row, c_se, W, M, nr, dids, dsl):
 
 
 def _unpack_plan_imp(row, NB, NC, V, B, VD=0):
-    sizes = [NB, NB * NC, NB * NC, B * V, B * V, B, NB * VD, NB * VD]
+    BW = (B + 31) // 32
+    sizes = [NB, NB * NC, NB * NC, NB * BW, B * V, B * V, B,
+             NB * VD, NB * VD]
     offs = np.cumsum([0] + sizes)
     bi = row[offs[0]:offs[1]]
     c_row = row[offs[1]:offs[2]].reshape(NB, NC)
     c_se = row[offs[2]:offs[3]].reshape(NB, NC)
+    qw = row[offs[3]:offs[4]].reshape(NB, BW)
     W = jax.lax.bitcast_convert_type(
-        row[offs[3]:offs[4]], jnp.float32).reshape(B, V)
-    M = jax.lax.bitcast_convert_type(
         row[offs[4]:offs[5]], jnp.float32).reshape(B, V)
-    nr = row[offs[5]:offs[6]]
-    did = row[offs[6]:offs[7]].reshape(NB, VD)
-    dsl = row[offs[7]:offs[8]].reshape(NB, VD)
-    return bi, c_row, c_se, W, M, nr, did, dsl
+    M = jax.lax.bitcast_convert_type(
+        row[offs[5]:offs[6]], jnp.float32).reshape(B, V)
+    nr = row[offs[6]:offs[7]]
+    did = row[offs[7]:offs[8]].reshape(NB, VD)
+    dsl = row[offs[8]:offs[9]].reshape(NB, VD)
+    return bi, c_row, c_se, qw, W, M, nr, did, dsl
 
 
-def _pack_plan_tf(bi, so, sl, W, M, nr, bst, dids, dsl):
+def _pack_plan_tf(bi, so, sl, qw, W, M, nr, bst, dids, dsl):
     S = bi.shape[0]
     rows = []
     for s in range(S):
@@ -86,6 +103,7 @@ def _pack_plan_tf(bi, so, sl, W, M, nr, bst, dids, dsl):
             bi[s].reshape(-1),
             so[s].reshape(-1),
             sl[s].reshape(-1),
+            qw[s].reshape(-1),
             W[s].reshape(-1).view(np.int32),
             M[s].reshape(-1).view(np.int32),
             nr[s].reshape(-1),
@@ -97,22 +115,24 @@ def _pack_plan_tf(bi, so, sl, W, M, nr, bst, dids, dsl):
 
 
 def _unpack_plan_tf(row, NB, V, B, F, VD=0):
-    sizes = [NB, NB * V, NB * V, B * V, B * V, B, V * F,
+    BW = (B + 31) // 32
+    sizes = [NB, NB * V, NB * V, NB * BW, B * V, B * V, B, V * F,
              NB * VD, NB * VD]
     offs = np.cumsum([0] + sizes)
     bi = row[offs[0]:offs[1]]
     so = row[offs[1]:offs[2]].reshape(NB, V)
     sl = row[offs[2]:offs[3]].reshape(NB, V)
+    qw = row[offs[3]:offs[4]].reshape(NB, BW)
     W = jax.lax.bitcast_convert_type(
-        row[offs[3]:offs[4]], jnp.float32).reshape(B, V)
-    M = jax.lax.bitcast_convert_type(
         row[offs[4]:offs[5]], jnp.float32).reshape(B, V)
-    nr = row[offs[5]:offs[6]]
+    M = jax.lax.bitcast_convert_type(
+        row[offs[5]:offs[6]], jnp.float32).reshape(B, V)
+    nr = row[offs[6]:offs[7]]
     bst = jax.lax.bitcast_convert_type(
-        row[offs[6]:offs[7]], jnp.float32).reshape(V, F)
-    did = row[offs[7]:offs[8]].reshape(NB, VD)
-    dsl = row[offs[8]:offs[9]].reshape(NB, VD)
-    return bi, so, sl, W, M, nr, bst, did, dsl
+        row[offs[7]:offs[8]], jnp.float32).reshape(V, F)
+    did = row[offs[8]:offs[9]].reshape(NB, VD)
+    dsl = row[offs[9]:offs[10]].reshape(NB, VD)
+    return bi, so, sl, qw, W, M, nr, bst, did, dsl
 
 
 def _pack_result(ts, gid, cnt, fc):
@@ -149,11 +169,11 @@ def scan_one_shard_imp(
 ):
     from ..ops.lexical import lexical_scan_imp
 
-    bi, c_row, c_se, W, M, nr, did, dsl = _unpack_plan_imp(
+    bi, c_row, c_se, qw, W, M, nr, did, dsl = _unpack_plan_imp(
         plan_buf, NB, NC, V, B, VD)
     ts, ti, cnt, fc = lexical_scan_imp(
         dev_docid, dev_imp, deleted,
-        bi, c_row, c_se, W, M, nr,
+        bi, c_row, c_se, qw, W, M, nr,
         facet_codes, sort_key, dense_imp, did, dsl,
         k=k, with_counts=with_counts, n_facets=n_facets,
         facet_codes_max=facet_codes_max, use_sort_key=use_sort_key,
@@ -181,11 +201,11 @@ def scan_one_shard_tf(
 ):
     from ..ops.lexical import lexical_scan
 
-    bi, so, sl, W, M, nr, bst, did, dsl = _unpack_plan_tf(
+    bi, so, sl, qw, W, M, nr, bst, did, dsl = _unpack_plan_tf(
         plan_buf, NB, V, B, F, VD)
     ts, ti, cnt, fc = lexical_scan(
         pl_docid, pl_tf, comp, deleted,
-        bi, so, sl, W, M, nr, bst,
+        bi, so, sl, qw, W, M, nr, bst,
         facet_codes, sort_key, dense_tf, did, dsl,
         P_max=P_max, k=k, with_counts=with_counts, n_facets=n_facets,
         facet_codes_max=facet_codes_max, use_sort_key=use_sort_key,
@@ -240,12 +260,12 @@ def make_sharded_scan_imp(mesh, statics):
 
     def body(dev_docid, dev_imp, deleted, plan_buf, facet_codes, sort_key,
              dense_imp):
-        bi, c_row, c_se, W, M, nr, did, dsl = _unpack_plan_imp(
+        bi, c_row, c_se, qw, W, M, nr, did, dsl = _unpack_plan_imp(
             plan_buf[0], statics["NB"], statics["NC"], statics["V"],
             statics["B"], statics["VD"])
         ts, ti, cnt, fc = lexical_scan_imp(
             dev_docid[0], dev_imp[0], deleted[0],
-            bi, c_row, c_se, W, M, nr,
+            bi, c_row, c_se, qw, W, M, nr,
             facet_codes[0], sort_key[0], dense_imp[0], did, dsl,
             k=statics["k"], with_counts=statics["with_counts"],
             n_facets=statics["n_facets"],
@@ -274,12 +294,12 @@ def make_sharded_scan_tf(mesh, statics):
 
     def body(pl_docid, pl_tf, comp, deleted, plan_buf, facet_codes, sort_key,
              dense_tf):
-        bi, so, sl, W, M, nr, bst, did, dsl = _unpack_plan_tf(
+        bi, so, sl, qw, W, M, nr, bst, did, dsl = _unpack_plan_tf(
             plan_buf[0], statics["NB"], statics["V"], statics["B"],
             statics["F"], statics["VD"])
         ts, ti, cnt, fc = lexical_scan(
             pl_docid[0], pl_tf[0], comp[0], deleted[0],
-            bi, so, sl, W, M, nr, bst,
+            bi, so, sl, qw, W, M, nr, bst,
             facet_codes[0], sort_key[0], dense_tf[0], did, dsl,
             P_max=statics["P_max"], k=statics["k"],
             with_counts=statics["with_counts"], n_facets=statics["n_facets"],
@@ -474,7 +494,9 @@ class StackedIndex:
         VD = max((p.dense_ids.shape[1] for p in plans
                   if p is not None and p.dense_ids is not None), default=0)
 
+        BW = (B + 31) // 32
         bi = np.full((S, nb), -1, np.int32)
+        qw = np.zeros((S, nb, BW), np.int32)
         W = np.zeros((S, B, v), np.float32)
         M = np.zeros((S, B, v), np.float32)
         nr = np.zeros((S, B), np.int32)
@@ -486,6 +508,10 @@ class StackedIndex:
             NB0 = p.block_ids.shape[0]
             V0 = p.W.shape[1]
             bi[s, :NB0] = p.block_ids
+            if p.qsel is not None:
+                qw[s] = _qsel_words(p.qsel, nb, B)
+            else:
+                qw[s, :NB0] = -1  # no per-query selection: all queries
             W[s, :B_true, :V0] = p.W
             M[s, :B_true, :V0] = p.Mreq
             nr[s, :B_true] = p.nreq
@@ -510,7 +536,8 @@ class StackedIndex:
                 NB0, NC0 = p.c_row.shape
                 c_row[s, :NB0, :NC0] = p.c_row
                 c_se[s, :NB0, :NC0] = p.c_se
-            plan_rows = _pack_plan_imp(bi, c_row, c_se, W, M, nr, dids, dsl)
+            plan_rows = _pack_plan_imp(bi, c_row, c_se, qw, W, M, nr,
+                                       dids, dsl)
             out = self._run_imp(
                 plan_rows, S, nb, nc, v, B, VD, k, with_counts,
                 fcod_dev, facet_codes_max, skey_dev, use_sort, sort_desc,
@@ -531,14 +558,29 @@ class StackedIndex:
                 sl[s, :NB0, :V0] = p.seg_len
             bst = np.zeros((v, boosts.shape[0]), np.float32)
             bst[:] = boosts[None, :]
-            plan_rows = _pack_plan_tf(bi, so, sl, W, M, nr, bst, dids, dsl)
+            plan_rows = _pack_plan_tf(bi, so, sl, qw, W, M, nr, bst,
+                                      dids, dsl)
             out = self._run_tf(
                 plan_rows, S, nb, v, B, F, VD, P_max, k, with_counts,
                 fcod_dev, facet_codes_max, skey_dev, use_sort, sort_desc,
                 allowed_dev, n_facets,
             )
 
-        f32_part, i32_part = jax.device_get(out)  # ONE D2H sync
+        # analytic MXU-FLOP estimate for the impact-path scan (decode einsum
+        # + S/C score matmuls + dense rows) — feeds the bench's MFU metric
+        from ..metrics import METRICS
+
+        if mode == "imp":
+            nc_f = c_row.shape[2]
+            flops = S * nb * (
+                nc_f * (2 * 128 * 256 * 256)          # one-hot decode einsum
+                + 4 * B * nc_f * BLOCK_SIZE           # S and C matmuls
+                + 4 * B * VD * BLOCK_SIZE             # dense-row matmuls
+            )
+            METRICS.inc("device_flops", float(flops))
+
+        with METRICS.timer("lex_device"):
+            f32_part, i32_part = jax.device_get(out)  # ONE D2H sync
         ts = f32_part[:B_true, :k]
         fcounts = f32_part[:B_true, k:].reshape(
             B_true, max(n_facets, 1), facet_codes_max).transpose(1, 0, 2)

@@ -304,7 +304,7 @@ class _ShardPlan:
     nreq: np.ndarray            # i32[B]
     P_max: int
     full: bool                  # covers all candidate blocks (counts valid)
-    ub_unscored: np.ndarray     # f32[B] max UB over blocks not in plan
+    ub_unscored: np.ndarray     # f32[B] max UB over blocks not selected per query
     idf: np.ndarray             # f32[n_slots] per-shard idf
     n_cand_blocks: np.ndarray   # i32[B]
     dense_ids: np.ndarray | None = None    # i32[NB, VD] dense rows (-1 pad)
@@ -312,6 +312,12 @@ class _ShardPlan:
     mode: str = "imp"           # "imp" (chunked impact path) | "tf"
     c_row: np.ndarray | None = None  # i32[NB, NC] storage rows (imp mode)
     c_se: np.ndarray | None = None   # i32[NB, NC] slot<<16|cs<<8|(ce-1)
+    # per-(plan block, query) selection mask: a block contributes to a
+    # query's results only if the query selected it.  This keeps per-query
+    # block pruning exact: every (query, block) pair is either fully scored
+    # (all the query's slots decode there) or fully masked — partial scores
+    # from slots shared with other queries can never leak into results.
+    qsel: np.ndarray | None = None   # bool[NB, B]
 
 
 def _plan_shard(
@@ -427,22 +433,26 @@ def _plan_shard(
     total_cand_blocks = int(np.any(cand, axis=0).sum())
     full = need_full or total_cand_blocks <= FULL_PLAN_BLOCKS
     if full:
-        selected = np.any(cand, axis=0)
+        selq = cand
     else:
-        selected = np.zeros(n_blocks, dtype=bool)
+        # per-query block selection: each query keeps its top-`budget`
+        # candidate blocks by upper bound (the batched analog of the
+        # reference's block-max early exit, intersection.rs:2224-2300)
+        selq = np.zeros((B, n_blocks), dtype=bool)
         budget = min(prune_budget, n_blocks)
         for qi in range(B):
             order = np.argsort(-ub[qi])[:budget]
             take = order[cand[qi][order]]
-            selected[take] = True
+            selq[qi, take] = True
         # negated-term presence only matters inside selected blocks
+    selected = np.any(selq, axis=0)
 
     block_list = np.flatnonzero(selected).astype(np.int32)
     NB = len(block_list)
     if NB == 0:
         return None
 
-    ub_unscored = np.where(selected[None, :], 0.0, ub).max(axis=1).astype(np.float32)
+    ub_unscored = np.where(selq, 0.0, ub).max(axis=1).astype(np.float32)
 
     seg_off_arr = np.zeros((NB, V), dtype=np.int32)
     seg_len_arr = np.zeros((NB, V), dtype=np.int32)
@@ -453,12 +463,13 @@ def _plan_shard(
     pos = np.searchsorted(block_list, fb)
     hit = (pos < NB) & (block_list[np.minimum(pos, max(NB - 1, 0))] == fb)
     # segment-level pruning: decode segment (slot, block) only if some query
-    # that uses the slot has the block in its candidate set — a block
-    # selected for other queries must not pay this slot's postings
-    # (fine-grained analog of the reference's per-term blocked skipping,
-    # intersection.rs:2058-2222)
+    # that uses the slot SELECTED the block — a block selected for other
+    # queries must not pay this slot's postings (fine-grained analog of the
+    # reference's per-term blocked skipping, intersection.rs:2058-2222).
+    # Exactness holds because the kernel masks each query's results to its
+    # own selected blocks (qsel below).
     USE = (POS > 0) | (REQ > 0) | NEG                  # [B, V]
-    needed = (USE.astype(np.float32).T @ cand) > 0     # [V, n_blocks]
+    needed = (USE.astype(np.float32).T @ selq) > 0     # [V, n_blocks]
     hit &= needed[rows, fb]
     sparse = hit & (fd < 0) & (fl > 0)
     c_row = c_se = None
@@ -548,6 +559,7 @@ def _plan_shard(
         mode=mode,
         c_row=c_row,
         c_se=c_se,
+        qsel=np.ascontiguousarray(selq[:, block_list].T),  # [NB, B]
     )
 
 
@@ -821,6 +833,8 @@ def _empty_query_results(index: Index, req: SearchRequest) -> ResultSet:
 def _lexical_search_batch(
     index: Index, requests: list[SearchRequest]
 ) -> list[ResultSet]:
+    from .metrics import METRICS
+
     req0 = requests[0]
     queries = [r.query for r in requests]
     slots, specs = _build_specs(index, queries, req0.query_type_default)
@@ -961,11 +975,12 @@ def _lexical_search_batch(
         (ceil_pow2(max(len(facet_specs), 1), 1), B, fcm), np.float64)
 
     k_eff = k
-    plans = [
-        _plan_shard(index, sh, slots, live_specs, req0.realtime,
-                    need_full, PRUNE_BLOCKS, mode=mode)
-        for sh in index.shards
-    ]
+    with METRICS.timer("lex_plan"):
+        plans = [
+            _plan_shard(index, sh, slots, live_specs, req0.realtime,
+                        need_full, PRUNE_BLOCKS, mode=mode)
+            for sh in index.shards
+        ]
     if has_phrase and with_counts:
         max_cand = max(
             (int(p.n_cand_blocks.max()) for p in plans if p is not None),
