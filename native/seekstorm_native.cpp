@@ -10,7 +10,9 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <unordered_map>
@@ -273,7 +275,56 @@ struct StCfg {
     std::unordered_map<std::string, std::vector<std::string>> synonyms;
     uint64_t dict_field_mask;        // symspell dictionary-source fields
     uint64_t completion_field_mask;  // completion-source fields
+    // ZH dictionary segmentation (mirror of word_segmentation.py; the
+    // reference's WordSegmentationTM, word_segmentation.rs:95-190):
+    // unigram max-probability DP over codepoint runs
+    std::unordered_map<std::u32string, double> zh_logp;
+    int zh_max_len = 1;
+    double zh_n = 0.0;
 };
+
+// best segmentation of one CJK codepoint run -> [start, end) spans
+// (exact mirror of word_segmentation.WordSegmenter.segment)
+void zh_segment(const StCfg& cfg, const std::vector<uint32_t>& run,
+                std::vector<std::pair<size_t, size_t>>& spans) {
+    spans.clear();
+    size_t n = run.size();
+    if (!n) return;
+    if (cfg.zh_logp.empty()) {
+        for (size_t i = 0; i < n; i++) spans.emplace_back(i, i + 1);
+        return;
+    }
+    const double NEG = -1e30;
+    std::vector<double> best(n + 1, NEG);
+    std::vector<size_t> back(n + 1, 0);
+    best[0] = 0.0;
+    // SymSpell naive unknown estimate: log10(10 / (N * 10^len)), len=1
+    const double unk1 = std::log10(10.0 / (cfg.zh_n * 10.0));
+    std::u32string sub;
+    for (size_t i = 1; i <= n; i++) {
+        size_t lo = i > (size_t)cfg.zh_max_len ? i - cfg.zh_max_len : 0;
+        for (size_t j = lo; j < i; j++) {
+            sub.assign(run.begin() + j, run.begin() + i);
+            auto it = cfg.zh_logp.find(sub);
+            double lp;
+            if (it == cfg.zh_logp.end()) {
+                if (i - j > 1) continue;
+                lp = unk1;
+            } else {
+                lp = it->second;
+            }
+            double cand = best[j] + lp;
+            if (cand > best[i]) { best[i] = cand; back[i] = j; }
+        }
+    }
+    size_t i = n;
+    while (i > 0) {
+        size_t j = back[i];
+        spans.emplace_back(j, i);
+        i = j;
+    }
+    std::reverse(spans.begin(), spans.end());
+}
 
 void split_blob(const uint8_t* blob, int64_t len,
                 std::unordered_set<std::string>& out) {
@@ -312,6 +363,23 @@ void tokenize(const StCfg& cfg, const uint8_t* text, int64_t len,
         out.push_back(tok);
         tok.clear(); cps.clear();
     };
+    // ZH: continuous CJK runs buffer here and segment by dictionary
+    // max-probability DP (char-level fallback without a dictionary),
+    // mirroring tokenizer._split_cjk_chars + word_segmentation.py
+    std::vector<uint32_t> zh_run;
+    std::vector<std::pair<size_t, size_t>> zh_spans;
+    auto flush_zh = [&]() {
+        if (zh_run.empty()) return;
+        zh_segment(cfg, zh_run, zh_spans);
+        for (auto& sp : zh_spans) {
+            for (size_t k2 = sp.first; k2 < sp.second; k2++) {
+                utf8_append(tok, zh_run[k2]);
+                cps.push_back(zh_run[k2]);
+            }
+            flush();
+        }
+        zh_run.clear();
+    };
     while (i < len) {
         uint32_t cp = utf8_next(text, len, i);
         if (ws_mode) {
@@ -343,12 +411,11 @@ void tokenize(const StCfg& cfg, const uint8_t* text, int64_t len,
                 continue;  // apostrophe strip (tokenizer.py _strip_apostrophes)
             if (is_alnum(c2) && c2 != '_') {
                 if (zh && is_cjk(c2)) {
-                    // character-level CJK fallback segmentation
-                    flush();
-                    utf8_append(tok, c2); cps.push_back(c2);
-                    flush();
+                    flush();              // end any pending non-CJK token
+                    zh_run.push_back(c2); // buffer the CJK run
                     continue;
                 }
+                if (zh) flush_zh();       // CJK run ends at a non-CJK char
                 uint32_t low[3];
                 int nl = folded ? (low[0] = c2, 1) : to_lower(c2, low);
                 // folded table already lowercases
@@ -356,10 +423,12 @@ void tokenize(const StCfg& cfg, const uint8_t* text, int64_t len,
                     utf8_append(tok, low[k2]); cps.push_back(low[k2]);
                 }
             } else {
+                if (zh) flush_zh();
                 flush();
             }
         }
     }
+    if (zh) flush_zh();
     flush();
     if ((int64_t)out.size() > 65535) out.resize(65535);
 }
@@ -439,6 +508,58 @@ void st_cfg_set_synonyms(StCfg* c, const uint8_t* blob, int64_t len) {
             start = i + 1;
         }
     }
+}
+
+// ZH frequency dictionary blob: one entry per line, "word count [...]"
+// whitespace-separated; pure-ASCII words are skipped (mirror of
+// word_segmentation.WordSegmenter.load_file).  Returns entries loaded.
+int64_t st_cfg_set_zh_dict(StCfg* c, const uint8_t* blob, int64_t len) {
+    std::unordered_map<std::u32string, double> counts;
+    double total = 0.0;
+    int max_len = 1;
+    int64_t start = 0;
+    for (int64_t i = 0; i <= len; i++) {
+        if (i != len && blob[i] != '\n') continue;
+        int64_t a = start, b = i;
+        start = i + 1;
+        // word = first whitespace-separated field
+        while (a < b && (blob[a] == ' ' || blob[a] == '\t' || blob[a] == '\r'))
+            a++;
+        int64_t we = a;
+        while (we < b && blob[we] != ' ' && blob[we] != '\t' &&
+               blob[we] != '\r')
+            we++;
+        if (we <= a) continue;
+        // count = second field, must parse fully as an integer
+        int64_t ca = we;
+        while (ca < b && (blob[ca] == ' ' || blob[ca] == '\t')) ca++;
+        int64_t ce = ca;
+        while (ce < b && blob[ce] >= '0' && blob[ce] <= '9') ce++;
+        if (ce <= ca) continue;
+        if (ce < b && blob[ce] != ' ' && blob[ce] != '\t' &&
+            blob[ce] != '\r')
+            continue;
+        double cnt = 0.0;
+        for (int64_t k = ca; k < ce; k++) cnt = cnt * 10.0 + (blob[k] - '0');
+        // decode word; skip pure-ASCII entries
+        std::u32string w;
+        bool ascii = true;
+        int64_t p = a;
+        while (p < we) {
+            uint32_t cp = utf8_next(blob, we, p);
+            if (cp >= 0x80) ascii = false;
+            w.push_back((char32_t)cp);
+        }
+        if (ascii || w.empty()) continue;
+        counts[w] += cnt;
+        total += cnt;
+        if ((int)w.size() > max_len) max_len = (int)w.size();
+    }
+    c->zh_logp.clear();
+    c->zh_n = total > 1.0 ? total : 1.0;
+    for (auto& kv : counts) c->zh_logp[kv.first] = std::log10(kv.second / c->zh_n);
+    c->zh_max_len = max_len;
+    return (int64_t)c->zh_logp.size();
 }
 
 void st_cfg_free(StCfg* c) { delete c; }

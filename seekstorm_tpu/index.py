@@ -459,13 +459,23 @@ class Index:
 
         from .schema import TokenizerType as _TT
 
-        # ZH uses the dictionary max-probability segmenter (Python,
-        # word_segmentation.py); the C++ tokenizer only has the char-level
-        # fallback, so ZH indexes take the Python ingest path to keep
-        # native/Python tokenization identical (C++ port queued)
+        # The C++ tokenizer implements None/English(Porter) stemming only —
+        # other stemmer languages (stemmers.py) take the Python ingest path.
+        # ZH dictionary segmentation IS ported to C++ (zh_segment in
+        # seekstorm_native.cpp, the same DP as word_segmentation.py); ZH
+        # falls back to Python only when no dictionary file resolves (the
+        # Python seed lexicon differs from the C++ char-level fallback).
+        from .schema import StemmerType as _ST
+
+        zh_ok = True
+        if meta.tokenizer == _TT.UnicodeAlphanumericZH:
+            from .word_segmentation import resolve_dict_path
+
+            zh_ok = resolve_dict_path() is not None
         self._native = (
             native_mod.available()
-            and meta.tokenizer != _TT.UnicodeAlphanumericZH
+            and zh_ok
+            and meta.stemmer in (_ST.Null, _ST.English, _ST.Porter)
         )
         self._native_cfg = None
         self._facet_tab_lock = threading.Lock()

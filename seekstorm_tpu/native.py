@@ -25,7 +25,10 @@ _TOKENIZER_IDS = {
     "WhitespaceLowercase": 4,
     "UnicodeAlphanumericZH": 5,
 }
-_STEMMER_IDS = {"None": 0, "English": 1}
+# C++ tokenizer stemmer support: None + English/Porter.  Other languages
+# (schema.StemmerType / stemmers.py) run the Python ingest path — index.py
+# gates _native on this set.
+_STEMMER_IDS = {"None": 0, "English": 1, "Porter": 1}
 
 
 def _find_lib() -> Path | None:
@@ -105,6 +108,8 @@ def load() -> C.CDLL | None:
     lib.st_tokenize_text.restype = C.c_int64
     lib.st_tokenize_text.argtypes = [C.c_void_p, u8p, C.c_int64, u8p,
                                      C.c_int64]
+    lib.st_cfg_set_zh_dict.restype = C.c_int64
+    lib.st_cfg_set_zh_dict.argtypes = [C.c_void_p, u8p, C.c_int64]
     _LIB = lib
     return lib
 
@@ -150,6 +155,15 @@ class NativeConfig:
             dict_mask, comp_mask,
         )
         self.set_synonyms(index._synonym_map)
+        if meta.tokenizer.value == "UnicodeAlphanumericZH":
+            # load the SAME frequency dictionary the query-time Python
+            # analyzer resolves, so ingest and query tokenization agree
+            from .word_segmentation import resolve_dict_path
+
+            p = resolve_dict_path()
+            if p is not None:
+                blob = p.read_bytes()
+                lib.st_cfg_set_zh_dict(self.ptr, _u8(blob), len(blob))
 
     def set_synonyms(self, syn_map: dict[str, set]) -> None:
         lib = self._lib

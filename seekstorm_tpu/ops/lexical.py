@@ -493,3 +493,104 @@ def lexical_scan_imp(
         step, init, (block_ids, c_row, c_se, qsel_w, dense_ids, dense_slots)
     )
     return ts, ti, cnt, fc
+
+
+# ---------------------------------------------------------------------------
+# query-tiled pruned scan: one step = (block, <=QT selecting queries)
+#
+# The full-batch scan above scores every scanned block against the whole
+# query batch — [B, 64K] score/presence traffic per block — even though a
+# pruned plan selects only ~PRUNE_BLOCKS blocks per query.  At reference
+# scale (5M docs = 77 blocks) that makes per-batch work NB x B instead of
+# sum(|selected_q|): ~5x waste.  This variant restates the scan over
+# (block, query-tile) pairs: each step decodes one block's chunks for a
+# tile of <= QT queries that actually selected it, scores [QT, 64K], and
+# merges that tile's top-k into the per-query running top-k with a
+# gather/scatter on the carry (row B of the carry is a write-off dummy for
+# padding).  The per-step decode/score shapes shrink with tile occupancy,
+# so batch work tracks the pruned plan, not the batch size.
+#
+# Used for Topk-only pruned plans (counts/facets/sort force full coverage
+# and ride the full-batch kernels above).
+
+QT = 32  # queries per tile == one selection-bitmask word
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "fast"),
+)
+def lexical_scan_qt(
+    pl2_docid, pl2_imp, deleted,
+    block_ids,     # i32[T]        (-1 = padding step)
+    c_row,         # i32[T, NC]
+    c_se,          # i32[T, NC]    packed slot<<16 | cs<<8 | (ce-1)
+    qids,          # i32[T, QT]    batch rows of this tile (-1 pad)
+    W, Mreq, nreq,
+    dense_imp,     # f32[ND, BLOCK] ([0, BLOCK] if none)
+    dense_ids,     # i32[T, VD]
+    dense_slots,   # i32[T, VD]
+    *,
+    k: int,
+    fast: bool = False,
+):
+    """Query-tiled pruned lexical scan.  Returns (rank f32[B,k],
+    ids i32[B,k]) — counts/facets are not produced (pruned plans never
+    carry them)."""
+    B = W.shape[0]
+    qt = qids.shape[1]
+
+    def step(carry, xs):
+        ts, ti = carry
+        bid, row_b, se_b, qid, did, dsl = xs
+        pad = bid < 0
+        bid_c = jnp.maximum(bid, 0)
+        se_b = jnp.where(pad, jnp.int32(0xFF), se_b)
+        did = jnp.where(pad, -1, did)
+        qid = jnp.where(pad, -1, qid)
+
+        ok = qid >= 0
+        qc = jnp.maximum(qid, 0)
+        Wg = jnp.where(ok[:, None], jnp.take(W, qc, axis=0), 0.0)
+        Mg = jnp.where(ok[:, None], jnp.take(Mreq, qc, axis=0), 0.0)
+        ng = jnp.take(nreq, qc)
+        # tile-local selection bitmask: pad rows masked out
+        bits = jnp.where(
+            ok, jnp.uint32(1) << jnp.arange(qt, dtype=jnp.uint32),
+            jnp.uint32(0),
+        )
+        qw = jax.lax.bitcast_convert_type(
+            jnp.sum(bits, dtype=jnp.uint32)[None], jnp.int32)
+
+        scores, _ = _block_step_imp(
+            pl2_docid, pl2_imp, deleted, Wg, Mg, ng,
+            bid_c, row_b, se_b, qw,
+            dense_imp=dense_imp, dense_ids=did, dense_slots=dsl, fast=fast,
+        )
+        kk = min(k, BLOCK_SIZE)
+        bs, bi = _topk_block(scores, kk)
+        bi = bid_c * BLOCK_SIZE + bi
+        if k > BLOCK_SIZE:
+            fill = k - BLOCK_SIZE
+            bs = jnp.concatenate([bs, jnp.full((qt, fill), -jnp.inf)], axis=1)
+            bi = jnp.concatenate([bi, jnp.zeros((qt, fill), jnp.int32)], axis=1)
+        # merge this tile's top-k into the carry rows it owns (dummy row B
+        # absorbs padding writes; qids are unique within a step)
+        qrow = jnp.where(ok, qid, B)
+        cur_s = jnp.take(ts, qrow, axis=0)
+        cur_i = jnp.take(ti, qrow, axis=0)
+        cs_ = jnp.concatenate([cur_s, bs], axis=1)
+        ci = jnp.concatenate([cur_i, bi], axis=1)
+        ms, sel = jax.lax.top_k(cs_, k)
+        mi = jnp.take_along_axis(ci, sel, axis=1)
+        ts = ts.at[qrow].set(ms)
+        ti = ti.at[qrow].set(mi)
+        return (ts, ti), None
+
+    init = (
+        jnp.full((B + 1, k), -jnp.inf, jnp.float32),
+        jnp.zeros((B + 1, k), jnp.int32),
+    )
+    (ts, ti), _ = jax.lax.scan(
+        step, init, (block_ids, c_row, c_se, qids, dense_ids, dense_slots)
+    )
+    return ts[:B], ti[:B]

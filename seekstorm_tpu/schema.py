@@ -103,10 +103,51 @@ class TokenizerType(str, enum.Enum):
 
 
 class StemmerType(str, enum.Enum):
-    """Stemmer selection (subset in round 1; reference supports 38 Snowball languages)."""
+    """Stemmer selection — all 38 languages of the reference
+    (reference index.rs:642-721 StemmerType).  Implementations live in
+    stemmers.py: exact Snowball (NLTK) for the major languages, published
+    light-stemmer rule sets for the rest; English/Porter use the in-repo
+    Porter implementation mirrored in the C++ tokenizer."""
 
     Null = "None"
+    Arabic = "Arabic"
+    Armenian = "Armenian"
+    Basque = "Basque"
+    Catalan = "Catalan"
+    Czech = "Czech"
+    Danish = "Danish"
+    Dutch = "Dutch"
+    DutchPorter = "DutchPorter"
     English = "English"
+    Esperanto = "Esperanto"
+    Estonian = "Estonian"
+    Finnish = "Finnish"
+    French = "French"
+    German = "German"
+    Greek = "Greek"
+    Hindi = "Hindi"
+    Hungarian = "Hungarian"
+    Indonesian = "Indonesian"
+    Irish = "Irish"
+    Italian = "Italian"
+    Lithuanian = "Lithuanian"
+    Lovins = "Lovins"
+    Nepali = "Nepali"
+    Norwegian = "Norwegian"
+    Persian = "Persian"
+    Polish = "Polish"
+    Porter = "Porter"
+    Portuguese = "Portuguese"
+    Romanian = "Romanian"
+    Russian = "Russian"
+    Serbian = "Serbian"
+    Sesotho = "Sesotho"
+    Spanish = "Spanish"
+    Swedish = "Swedish"
+    Tamil = "Tamil"
+    Turkish = "Turkish"
+    Ukrainian = "Ukrainian"
+    Yiddish = "Yiddish"
 
 
 class StopwordType(str, enum.Enum):

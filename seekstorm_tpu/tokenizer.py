@@ -288,9 +288,12 @@ def porter_stem(w: str) -> str:
 
 
 def stem_token(token: str, stemmer: StemmerType) -> str:
-    if stemmer == StemmerType.English:
+    if stemmer in (StemmerType.English, StemmerType.Porter):
         return porter_stem(token)
-    return token
+    from .stemmers import get_stem_fn
+
+    fn = get_stem_fn(stemmer)
+    return fn(token) if fn is not None else token
 
 
 # --------------------------------------------------------------------------
@@ -309,6 +312,12 @@ class Analyzer:
         self.tokenizer = tokenizer
         self.stemmer = stemmer
         self.stopwords = stopword_set(stopwords, custom_stopwords)
+        if stemmer == StemmerType.Null:
+            self._stem_fn = None
+        else:
+            from .stemmers import get_stem_fn
+
+            self._stem_fn = get_stem_fn(stemmer)
 
     def analyze(self, text: str) -> list[str]:
         """Field text -> final token stream (stopwords removed, stemmed).
@@ -319,8 +328,9 @@ class Analyzer:
         toks = tokenize_text(text, self.tokenizer)
         if self.stopwords:
             toks = [t for t in toks if t not in self.stopwords]
-        if self.stemmer != StemmerType.Null:
-            toks = [stem_token(t, self.stemmer) for t in toks]
+        if self._stem_fn is not None:
+            fn = self._stem_fn
+            toks = [fn(t) for t in toks]
         return toks
 
     def term_positions(self, text: str) -> dict[str, list[int]]:

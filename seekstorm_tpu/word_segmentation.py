@@ -156,17 +156,47 @@ class WordSegmenter:
 _CACHED: dict[str, WordSegmenter | None] = {}
 
 
+def full_dictionary_path() -> Path | None:
+    """Path of the full 349K-entry zh_CN frequency dictionary, if present.
+
+    The jieba package (MIT, baked into this environment) ships dict.txt —
+    the same public frequency list the reference's embedded
+    frequency_dictionary_zh_cn_349_045.txt asset derives from (reference
+    word_segmentation.rs:9-10)."""
+    try:
+        import jieba
+
+        p = Path(jieba.__file__).parent / "dict.txt"
+        return p if p.exists() else None
+    except ImportError:
+        return None
+
+
+def resolve_dict_path(index_path=None) -> Path | None:
+    """The dictionary FILE an index resolves, in priority order:
+    env `SEEKSTORM_TPU_ZH_DICT` > `<index>/zh_dict.txt` > full public
+    zh_CN list.  The native (C++) tokenizer loads the same file so ingest
+    and query tokenization agree byte-for-byte."""
+    env = os.environ.get("SEEKSTORM_TPU_ZH_DICT")
+    if env and Path(env).exists():
+        return Path(env)
+    if index_path is not None:
+        p = Path(index_path) / "zh_dict.txt"
+        if p.exists():
+            return p
+    return full_dictionary_path()
+
+
 def get_segmenter(index_path=None) -> WordSegmenter:
-    """Segmenter for an index: env dict > index-local dict > seed lexicon."""
+    """Segmenter for an index: env dict > index-local dict > full public
+    zh_CN frequency dictionary (349K entries) > seed lexicon."""
     key = str(index_path or "")
     hit = _CACHED.get(key)
     if hit is not None:
         return hit
     seg = WordSegmenter()
-    env = os.environ.get("SEEKSTORM_TPU_ZH_DICT")
-    loaded = bool(env) and seg.load_file(env)
-    if not loaded and index_path is not None:
-        loaded = seg.load_file(Path(index_path) / "zh_dict.txt")
+    p = resolve_dict_path(index_path)
+    loaded = p is not None and seg.load_file(p)
     if not loaded:
         seg.load_pairs(_SEED)
     _CACHED[key] = seg

@@ -138,3 +138,46 @@ def test_native_synonyms_and_ngrams(tmp_path):
     assert [x.doc_id for x in r.results] == [0]
     r = idx.search(st.SearchRequest(query='"car of the year"'))
     assert [x.doc_id for x in r.results] == [0]
+
+
+def test_native_zh_segmentation_parity_and_ingest(tmp_path):
+    """The C++ ZH segmenter (zh_segment, seekstorm_native.cpp) matches the
+    Python DP byte-for-byte and serves the native ingest path end-to-end
+    (reference word_segmentation.rs:95-190 + tokenizer.rs:306)."""
+    import seekstorm_tpu as st
+    from seekstorm_tpu.schema import StemmerType, TokenizerType
+    from seekstorm_tpu.tokenizer import Analyzer
+    from seekstorm_tpu.word_segmentation import resolve_dict_path
+
+    if resolve_dict_path() is None:
+        import pytest
+
+        pytest.skip("no zh dictionary available")
+
+    schema = [st.SchemaField("body", st.FieldType.Text, stored=True,
+                             indexed=True)]
+    meta = st.IndexMeta(tokenizer=TokenizerType.UnicodeAlphanumericZH)
+    idx = st.create_index(tmp_path / "ix", schema, meta=meta, shard_count=1)
+    assert idx._native, "ZH should ride the native path with a dictionary"
+
+    # tokenizer parity: native vs Python analyzer
+    a = Analyzer(TokenizerType.UnicodeAlphanumericZH, StemmerType.Null)
+    cfg = idx._get_native_cfg()
+    for t in ["研究生命的起源", "互联网搜索引擎abc技术的发展",
+              "今天天气真好123我们去公园散步"]:
+        assert cfg.tokenize(t) == a.analyze(t)
+
+    idx.index_documents([
+        {"body": "互联网搜索引擎技术的发展"},
+        {"body": "今天天气真好我们去公园散步"},
+        {"body": "研究生命的起源"},
+    ])
+    idx.commit()
+    rs = idx.search(st.SearchRequest(query="搜索引擎"))
+    assert rs.result_count == 1
+    rs = idx.search(st.SearchRequest(query="生命 起源",
+                                     query_type_default=st.QueryType.Intersection))
+    assert rs.result_count == 1
+    # multi-word query segments the same way at query time
+    rs = idx.search(st.SearchRequest(query="公园散步"))
+    assert rs.result_count == 1

@@ -121,3 +121,21 @@ def test_zh_segmenter_direct():
     # unknown chars become singles
     assert seg.segment("天气仌") == ["天气", "仌"]
     assert seg.segment("") == []
+
+
+def test_zh_full_dictionary_segmentation():
+    """The full 349K-entry public zh_CN frequency dictionary loads and
+    produces known-good splits (reference embeds the same-derivation list,
+    word_segmentation.rs:9-10)."""
+    from seekstorm_tpu.word_segmentation import (full_dictionary_path,
+                                                 get_segmenter)
+
+    assert full_dictionary_path() is not None, "full zh dictionary missing"
+    seg = get_segmenter()
+    assert len(seg.logp) > 300_000
+    # classic segmentation-ambiguity cases
+    assert seg.segment("研究生命的起源") == ["研究", "生命", "的", "起源"]
+    assert seg.segment("互联网搜索引擎技术的发展") == [
+        "互联网", "搜索引擎", "技术", "的", "发展"]
+    assert seg.segment("中华人民共和国成立于一九四九年") == [
+        "中华人民共和国", "成立", "于", "一九四九年"]
