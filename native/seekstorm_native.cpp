@@ -467,6 +467,153 @@ void add_term_positions(StAccum* a, uint64_t h, const std::string& term,
 
 }  // namespace
 
+// ---------------------------------------------------------------- lz4 block
+// LZ4 block format codec (doc store; reference doc_store.rs:80-103 uses
+// lz4_flex).  Greedy single-pass compressor with a 16-bit hash table;
+// format-conformant so blobs interchange with any LZ4 block decoder.
+namespace lz4 {
+
+constexpr int MINMATCH = 4;
+constexpr int HASH_BITS = 14;
+
+inline uint32_t read32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+inline uint32_t hash4(uint32_t v) {
+    return (v * 2654435761u) >> (32 - HASH_BITS);
+}
+
+int64_t compress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap) {
+    const uint8_t* ip = src;
+    const uint8_t* iend = src + n;
+    const uint8_t* mflimit = iend - 12;   // no match may start after this
+    const uint8_t* anchor = src;
+    uint8_t* op = dst;
+    uint8_t* oend = dst + cap;
+    int32_t table[1 << HASH_BITS];
+    std::fill(table, table + (1 << HASH_BITS), -1);
+
+    auto emit = [&](const uint8_t* lit, int64_t litlen, int64_t mlen,
+                    int64_t off) -> bool {
+        int64_t need = 1 + litlen + litlen / 255 + 2 + mlen / 255 + 1 + 16;
+        if (op + need > oend) return false;
+        uint8_t* tok = op++;
+        int64_t l = litlen;
+        *tok = (l >= 15 ? 15 : (uint8_t)l) << 4;
+        if (l >= 15) {
+            l -= 15;
+            while (l >= 255) { *op++ = 255; l -= 255; }
+            *op++ = (uint8_t)l;
+        }
+        std::memcpy(op, lit, litlen);
+        op += litlen;
+        if (mlen > 0) {
+            *op++ = (uint8_t)(off & 0xFF);
+            *op++ = (uint8_t)(off >> 8);
+            int64_t m = mlen - MINMATCH;
+            *tok |= (m >= 15 ? 15 : (uint8_t)m);
+            if (m >= 15) {
+                m -= 15;
+                while (m >= 255) { *op++ = 255; m -= 255; }
+                *op++ = (uint8_t)m;
+            }
+        }
+        return true;
+    };
+
+    if (n >= 13) {
+        while (ip < mflimit) {
+            uint32_t h = hash4(read32(ip));
+            int32_t ref = table[h];
+            table[h] = (int32_t)(ip - src);
+            if (ref >= 0 && (ip - src) - ref <= 0xFFFF &&
+                read32(src + ref) == read32(ip)) {
+                // extend match
+                const uint8_t* m = src + ref;
+                const uint8_t* p = ip + MINMATCH;
+                const uint8_t* q = m + MINMATCH;
+                // matches may run into the last 5 bytes but not past n-5
+                const uint8_t* matchlimit = iend - 5;
+                while (p < matchlimit && *p == *q) { p++; q++; }
+                int64_t mlen = p - ip;
+                if (!emit(anchor, ip - anchor, mlen, ip - (src + ref)))
+                    return -1;
+                ip = p;
+                anchor = ip;
+            } else {
+                ip++;
+            }
+        }
+    }
+    // final literals
+    if (!emit(anchor, iend - anchor, 0, 0)) return -1;
+    return op - dst;
+}
+
+int64_t decompress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap) {
+    const uint8_t* ip = src;
+    const uint8_t* iend = src + n;
+    uint8_t* op = dst;
+    uint8_t* oend = dst + cap;
+    while (ip < iend) {
+        uint8_t tok = *ip++;
+        int64_t lit = tok >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                lit += b;
+            } while (b == 255);
+        }
+        if (ip + lit > iend || op + lit > oend) return -1;
+        std::memcpy(op, ip, lit);
+        ip += lit;
+        op += lit;
+        if (ip >= iend) break;  // last sequence has no match
+        if (ip + 2 > iend) return -1;
+        int64_t off = ip[0] | (ip[1] << 8);
+        ip += 2;
+        if (off == 0 || off > op - dst) return -1;
+        int64_t mlen = (tok & 15);
+        if (mlen == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                mlen += b;
+            } while (b == 255);
+        }
+        mlen += MINMATCH;
+        if (op + mlen > oend) return -1;
+        const uint8_t* m = op - off;
+        for (int64_t i = 0; i < mlen; i++) op[i] = m[i];  // may overlap
+        op += mlen;
+    }
+    return op - dst;
+}
+
+}  // namespace lz4
+
+extern "C" {
+
+int64_t st_lz4_compress_bound(int64_t n) { return n + n / 255 + 32; }
+
+int64_t st_lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst,
+                        int64_t cap) {
+    return lz4::compress(src, n, dst, cap);
+}
+
+int64_t st_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
+                          int64_t cap) {
+    return lz4::decompress(src, n, dst, cap);
+}
+
+}  // extern "C"
+
 extern "C" {
 
 StCfg* st_cfg_new(int tokenizer, int stemmer, int ngram_flags,

@@ -75,6 +75,17 @@ class RestClient:
     def index_documents(self, index_id: int, docs: list):
         return self._call("POST", f"/api/v1/index/{index_id}/doc", docs)
 
+    def index_pdf_bytes(self, index_id: int, data: bytes):
+        """Upload a PDF; the server extracts text + title/date and indexes
+        it (reference RestClient index_pdf_file, api_endpoints.rs)."""
+        raw = self._call("POST", f"/api/v1/index/{index_id}/file",
+                         body=bytes(data), binary=True)
+        return json.loads(raw) if raw else None
+
+    def index_pdf_file(self, index_id: int, path):
+        with open(path, "rb") as f:
+            return self.index_pdf_bytes(index_id, f.read())
+
     def get_document(self, index_id: int, doc_id: int):
         return self._call("GET", f"/api/v1/index/{index_id}/doc/{doc_id}")
 

@@ -31,10 +31,21 @@ except Exception:  # pragma: no cover
     _snappy = None
 
 
+def _native_lz4_ok() -> bool:
+    from . import native as _native
+
+    return _native.load() is not None
+
+
 def resolve_codec(codec: DocumentCompression) -> DocumentCompression:
+    """LZ4 is always real: the in-repo C++ block codec
+    (native/seekstorm_native.cpp st_lz4_*, format-compatible with the
+    reference's lz4_flex framing) serves it when the python lz4 module is
+    absent.  Zstd/Snappy degrade to Zlib when their modules are missing."""
     if codec == DocumentCompression.Zstd and _zstd is None:
         return DocumentCompression.Zlib
-    if codec == DocumentCompression.Lz4 and _lz4 is None:
+    if codec == DocumentCompression.Lz4 and _lz4 is None \
+            and not _native_lz4_ok():
         return DocumentCompression.Zlib
     if codec == DocumentCompression.Snappy and _snappy is None:
         return DocumentCompression.Zlib
@@ -51,6 +62,11 @@ def compress_doc(doc: dict, codec: DocumentCompression) -> bytes:
     if codec == DocumentCompression.Zstd:
         return _zstd.ZstdCompressor(level=1).compress(raw)
     if codec == DocumentCompression.Lz4:
+        from . import native as _native
+
+        out = _native.lz4_compress(raw)
+        if out is not None:
+            return out
         return _lz4.compress(raw)
     if codec == DocumentCompression.Snappy:
         return _snappy.compress(raw)
@@ -66,7 +82,11 @@ def decompress_doc(blob: bytes, codec: DocumentCompression) -> dict:
     elif codec == DocumentCompression.Zstd:
         raw = _zstd.ZstdDecompressor().decompress(blob)
     elif codec == DocumentCompression.Lz4:
-        raw = _lz4.decompress(blob)
+        from . import native as _native
+
+        raw = _native.lz4_decompress(blob)
+        if raw is None:
+            raw = _lz4.decompress(blob)
     elif codec == DocumentCompression.Snappy:
         raw = _snappy.decompress(blob)
     else:

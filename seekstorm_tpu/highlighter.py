@@ -18,7 +18,17 @@ def _query_term_set(index, req) -> set[str]:
     from .tokenizer import parse_query
 
     pq = parse_query(req.query, index.analyzer)
-    return {t.term for t in pq.terms if not t.negated}
+    terms = {t.term for t in pq.terms if not t.negated}
+    # synonym-aware highlighting (reference highlighter.rs:71-103 builds its
+    # Aho-Corasick matcher over the synonym-expanded term set): a document
+    # indexed under a synonym of a query term matched through that synonym,
+    # so the synonym's surface form must highlight too.  _synonym_map maps
+    # doc-term -> indexed-under synonyms, so expand query terms with every
+    # doc-term whose synonym set intersects them.
+    syn = getattr(index, "_synonym_map", None)
+    if syn and terms:
+        terms |= {w for w, ss in syn.items() if ss & terms}
+    return terms
 
 
 def highlight_field(

@@ -104,19 +104,30 @@ def ingest_file(index, path, batch_size: int = 1024) -> int:
 
 
 def ingest_pdf(index, path) -> int:
-    """PDF ingestion (reference IndexPdfFile ingest.rs:79). Requires pypdf."""
-    try:
-        from pypdf import PdfReader  # type: ignore
-    except ImportError as e:
-        raise RuntimeError(
-            "PDF ingestion requires the 'pypdf' package (not installed in "
-            "this environment); the reference uses pdfium"
-        ) from e
-    reader = PdfReader(str(path))
-    text = "\n".join(page.extract_text() or "" for page in reader.pages)
-    title = (reader.metadata.title if reader.metadata else None) or Path(path).name
-    index.index_document({"title": title, "body": text, "file": str(path)})
+    """PDF ingestion (reference IndexPdfFile ingest.rs:79-156) via the
+    in-repo extractor (pdftext.py; the reference uses pdfium)."""
+    from .pdftext import extract_text
+
+    data = Path(path).read_bytes()
+    text, meta = extract_text(data)
+    title = meta.get("title") or Path(path).name
+    doc = {"title": title, "body": text, "file": str(path)}
+    if meta.get("creation_date"):
+        doc["date"] = meta["creation_date"]
+    index.index_document(doc)
     return 1
+
+
+def ingest_pdf_dir(index, root) -> int:
+    """Recursive PDF directory ingestion (reference IngestPdf
+    ingest.rs:459, path_recurse :430)."""
+    n = 0
+    for p in sorted(Path(root).rglob("*.pdf")):
+        try:
+            n += ingest_pdf(index, p)
+        except Exception:
+            continue
+    return n
 
 
 # ---------------------------------------------------------------------------

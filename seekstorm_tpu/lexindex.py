@@ -37,8 +37,22 @@ from .schema import BLOCK_SIZE
 # (term, block) segments at or above this length use the dense tf-column
 # representation (u16[BLOCK_SIZE, F] per entry); below it, CSR windows.
 # Breakeven vs CSR memory (2+2F bytes/posting vs 2F*65536 bytes) sits at
-# ~32-43K postings; the kernel win applies to any length.
+# ~32-43K postings; the kernel win applies to any length.  (tf-fallback
+# path only — the impact path uses presence bitmaps below.)
 DENSE_MIN = 32768
+
+# Impact fast path: a (term, block) segment whose "plain" postings (tf == 1
+# in the primary field, 0 elsewhere) number at least BITMAP_MIN stores them
+# as a 64K-bit presence BITMAP (u32[2048], 8 KB) instead of CSR entries —
+# the same threshold at which the reference's roaring blocks switch to the
+# bitmap form (compress_postinglist.rs:240-330: >= 4096 postings -> 8 KB
+# bitmap).  Plain postings all share the same per-doc impact
+#   sat1(d) = boost_primary * (K+1) / (1 + comp_primary(d))
+# so the kernel scores a bitmap slot with ONE slot-level matmul row times
+# the per-doc sat1 vector — no per-posting decode at all.  The segment's
+# irregular remainder (secondary-field hits, tf >= 2) stays in the CSR
+# with exact precomputed impacts.
+BITMAP_MIN = 4096
 
 
 @dataclass

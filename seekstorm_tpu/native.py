@@ -110,8 +110,47 @@ def load() -> C.CDLL | None:
                                      C.c_int64]
     lib.st_cfg_set_zh_dict.restype = C.c_int64
     lib.st_cfg_set_zh_dict.argtypes = [C.c_void_p, u8p, C.c_int64]
+    lib.st_lz4_compress_bound.restype = C.c_int64
+    lib.st_lz4_compress_bound.argtypes = [C.c_int64]
+    lib.st_lz4_compress.restype = C.c_int64
+    lib.st_lz4_compress.argtypes = [u8p, C.c_int64, u8p, C.c_int64]
+    lib.st_lz4_decompress.restype = C.c_int64
+    lib.st_lz4_decompress.argtypes = [u8p, C.c_int64, u8p, C.c_int64]
     _LIB = lib
     return lib
+
+
+def lz4_compress(raw: bytes) -> bytes | None:
+    """LZ4 block compress with a u32-LE uncompressed-size prefix (the
+    reference's lz4_flex compress_prepend_size framing)."""
+    lib = load()
+    if lib is None:
+        return None
+    import struct
+
+    n = len(raw)
+    cap = int(lib.st_lz4_compress_bound(n))
+    dst = C.create_string_buffer(cap)
+    m = lib.st_lz4_compress(
+        _u8(raw), n, C.cast(dst, C.POINTER(C.c_uint8)), cap)
+    if m < 0:
+        return None
+    return struct.pack("<I", n) + dst.raw[:m]
+
+
+def lz4_decompress(blob: bytes) -> bytes | None:
+    lib = load()
+    if lib is None or len(blob) < 4:
+        return None
+    import struct
+
+    n = struct.unpack("<I", blob[:4])[0]
+    dst = C.create_string_buffer(max(n, 1))
+    m = lib.st_lz4_decompress(
+        _u8(blob[4:]), len(blob) - 4, C.cast(dst, C.POINTER(C.c_uint8)), n)
+    if m != n:
+        return None
+    return dst.raw[:n]
 
 
 def available() -> bool:

@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..schema import BLOCK_SIZE
-from ..utils import ceil_pow2
+from ..utils import ceil_ladder, ceil_pow2
 from ..ops.lexical import CHUNK
 
 
@@ -135,6 +135,42 @@ def _unpack_plan_tf(row, NB, V, B, F, VD=0):
     return bi, so, sl, qw, W, M, nr, bst, did, dsl
 
 
+def _pack_plan_qt(bi, c_row, c_se, qid, W, M, nr, dids, dsl):
+    S = bi.shape[0]
+    rows = []
+    for s in range(S):
+        rows.append(np.concatenate([
+            bi[s].reshape(-1),
+            c_row[s].reshape(-1),
+            c_se[s].reshape(-1),
+            qid[s].reshape(-1),
+            W[s].reshape(-1).view(np.int32),
+            M[s].reshape(-1).view(np.int32),
+            nr[s].reshape(-1),
+            dids[s].reshape(-1),
+            dsl[s].reshape(-1),
+        ]))
+    return np.stack(rows)
+
+
+def _unpack_plan_qt(row, T, NC, QTn, V, B, VD=0):
+    sizes = [T, T * NC, T * NC, T * QTn, B * V, B * V, B,
+             T * VD, T * VD]
+    offs = np.cumsum([0] + sizes)
+    bi = row[offs[0]:offs[1]]
+    c_row = row[offs[1]:offs[2]].reshape(T, NC)
+    c_se = row[offs[2]:offs[3]].reshape(T, NC)
+    qid = row[offs[3]:offs[4]].reshape(T, QTn)
+    W = jax.lax.bitcast_convert_type(
+        row[offs[4]:offs[5]], jnp.float32).reshape(B, V)
+    M = jax.lax.bitcast_convert_type(
+        row[offs[5]:offs[6]], jnp.float32).reshape(B, V)
+    nr = row[offs[6]:offs[7]]
+    did = row[offs[7]:offs[8]].reshape(T, VD)
+    dsl = row[offs[8]:offs[9]].reshape(T, VD)
+    return bi, c_row, c_se, qid, W, M, nr, did, dsl
+
+
 def _pack_result(ts, gid, cnt, fc):
     """Two result buffers (f32: scores|facets, i32: gids|counts) — a single
     device_get sync fetches both.  (Bitcasting small ints through f32 is
@@ -181,6 +217,65 @@ def scan_one_shard_imp(
     )
     gid = ti * S + shard_id
     return ts, gid, cnt, fc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "shard_id", "T", "NC", "QTn", "V", "B", "VD", "k", "fast",
+    ),
+)
+def scan_one_shard_qt(
+    dev_docid, dev_imp, deleted, plan_buf, dense_imp,
+    *,
+    S: int, shard_id: int, T: int, NC: int, QTn: int, V: int, B: int,
+    VD: int, k: int, fast: bool,
+):
+    from ..ops.lexical import lexical_scan_qt
+
+    bi, c_row, c_se, qid, W, M, nr, did, dsl = _unpack_plan_qt(
+        plan_buf, T, NC, QTn, V, B, VD)
+    ts, ti = lexical_scan_qt(
+        dev_docid, dev_imp, deleted,
+        bi, c_row, c_se, qid, W, M, nr,
+        dense_imp, did, dsl, k=k, fast=fast,
+    )
+    gid = ti * S + shard_id
+    cnt = jnp.zeros((B,), jnp.int32)
+    fc = jnp.zeros((1, B, 1), jnp.float32)
+    return ts, gid, cnt, fc
+
+
+def make_sharded_scan_qt(mesh, statics):
+    """shard_map program (query-tiled pruned path)."""
+    from jax import shard_map
+
+    from ..ops.lexical import lexical_scan_qt
+
+    S = statics["S"]
+
+    def body(dev_docid, dev_imp, deleted, plan_buf, dense_imp):
+        bi, c_row, c_se, qid, W, M, nr, did, dsl = _unpack_plan_qt(
+            plan_buf[0], statics["T"], statics["NC"], statics["QTn"],
+            statics["V"], statics["B"], statics["VD"])
+        ts, ti = lexical_scan_qt(
+            dev_docid[0], dev_imp[0], deleted[0],
+            bi, c_row, c_se, qid, W, M, nr,
+            dense_imp[0], did, dsl,
+            k=statics["k"], fast=statics["fast"],
+        )
+        B = ts.shape[0]
+        cnt = jnp.zeros((B,), jnp.int32)
+        fc = jnp.zeros((1, B, 1), jnp.float32)
+        return _merge_body(ts, ti, cnt, fc, S, statics["k"])
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("shards"),) * 5,
+        out_specs=(P("shards"), P("shards")),
+        check_vma=False,
+    )
+    return jax.jit(lambda *a: tuple(x[0] for x in fn(*a)))
 
 
 @functools.partial(
@@ -478,10 +573,12 @@ class StackedIndex:
         allowed_dev: device bool[S, N] facet-filter mask (optional)
         """
         mode = next((p.mode for p in plans if p is not None), "imp")
+        if mode == "qt":
+            return self._run_qt_mode(plans, k)
         S = self.index.shard_count
         nb = max(max((p.block_ids.shape[0] for p in plans if p is not None),
                      default=1), 1)
-        nb = ceil_pow2(nb, 1)
+        nb = ceil_ladder(nb, 4)
         v = max(max((p.W.shape[1] for p in plans if p is not None),
                     default=1), 1)
         v = ceil_pow2(v, 32)
@@ -586,6 +683,92 @@ class StackedIndex:
             B_true, max(n_facets, 1), facet_codes_max).transpose(1, 0, 2)
         gid = i32_part[:B_true, :k]
         cnt = i32_part[:B_true, k]
+        return ts, gid, cnt, fcounts
+
+    def _run_qt_mode(self, plans, k: int):
+        """Query-tiled pruned path (plans built by _build_qt_plan)."""
+        from ..metrics import METRICS
+        from ..ops.lexical import QT, fast_mode
+
+        S = self.index.shard_count
+        T = max(max((p.block_ids.shape[0] for p in plans if p is not None),
+                    default=1), 1)
+        T = ceil_ladder(T, 4)
+        v = max(max((p.W.shape[1] for p in plans if p is not None),
+                    default=1), 1)
+        v = ceil_pow2(v, 32)
+        B_true = next(p.W.shape[0] for p in plans if p is not None)
+        B = ceil_pow2(B_true, 16)
+        VD = max((p.dense_ids.shape[1] for p in plans
+                  if p is not None and p.dense_ids is not None), default=0)
+        nc = max(max((p.c_row.shape[1] for p in plans
+                      if p is not None and p.c_row is not None),
+                     default=16), 16)
+        nc = ceil_ladder(nc, 16)
+
+        bi = np.full((S, T), -1, np.int32)
+        qid = np.full((S, T, QT), -1, np.int32)
+        c_row = np.zeros((S, T, nc), np.int32)
+        c_se = np.full((S, T, nc), 0xFF, np.int32)
+        W = np.zeros((S, B, v), np.float32)
+        M = np.zeros((S, B, v), np.float32)
+        nr = np.zeros((S, B), np.int32)
+        dids = np.full((S, T, VD), -1, np.int32)
+        dsl = np.zeros((S, T, VD), np.int32)
+        for s, p in enumerate(plans):
+            if p is None:
+                continue
+            T0 = p.block_ids.shape[0]
+            V0 = p.W.shape[1]
+            NC0 = p.c_row.shape[1]
+            bi[s, :T0] = p.block_ids
+            qid[s, :T0] = p.t_qid
+            c_row[s, :T0, :NC0] = p.c_row
+            c_se[s, :T0, :NC0] = p.c_se
+            W[s, :B_true, :V0] = p.W
+            M[s, :B_true, :V0] = p.Mreq
+            nr[s, :B_true] = p.nreq
+            if VD and p.dense_ids is not None:
+                vd0 = p.dense_ids.shape[1]
+                dids[s, :T0, :vd0] = p.dense_ids
+                dsl[s, :T0, :vd0] = p.dense_slots
+
+        plan_rows = _pack_plan_qt(bi, c_row, c_se, qid, W, M, nr, dids, dsl)
+        fast = fast_mode()
+        statics = dict(S=S, T=T, NC=nc, QTn=QT, V=v, B=B, VD=VD, k=k,
+                       fast=fast)
+        if self.mesh is None:
+            plan_dev = jnp.asarray(plan_rows)
+            results = []
+            for s in range(S):
+                d2, i2, dl, di = self.per_shard[s]
+                results.append(scan_one_shard_qt(
+                    d2, i2, dl, plan_dev[s], di,
+                    shard_id=s, **statics,
+                ))
+            out = self._merge(results, k)
+        else:
+            key = ("qt",) + tuple(sorted(statics.items()))
+            fn = self._sharded_fns.get(key)
+            if fn is None:
+                fn = make_sharded_scan_qt(self.mesh, statics)
+                self._sharded_fns[key] = fn
+            plan_dev = self._put_row(plan_rows)
+            out = fn(self.dev_docid, self.dev_imp, self.deleted,
+                     plan_dev, self.dense_imp)
+
+        flops = S * T * (
+            nc * (2 * 128 * 256 * 256)
+            + 4 * QT * nc * BLOCK_SIZE
+            + 4 * QT * VD * BLOCK_SIZE
+        )
+        METRICS.inc("device_flops", float(flops))
+        with METRICS.timer("lex_device"):
+            f32_part, i32_part = jax.device_get(out)
+        ts = f32_part[:B_true, :k]
+        gid = i32_part[:B_true, :k]
+        cnt = i32_part[:B_true, k]
+        fcounts = np.zeros((1, B_true, 1), np.float64)
         return ts, gid, cnt, fcounts
 
     def _run_imp(self, plan_rows, S, nb, nc, v, B, VD, k, with_counts,

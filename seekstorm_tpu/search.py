@@ -29,6 +29,10 @@ from .utils import (ceil_pow2, ceil_pow4, ngram_virtual_hash,
 FULL_PLAN_BLOCKS = 96
 # per-query pruned-plan block budget (first round)
 PRUNE_BLOCKS = 16
+# shard size (in 64K blocks) from which Topk-only batches use the
+# query-tiled kernel (ops/lexical.lexical_scan_qt) instead of the
+# full-batch scan — below it the full-batch scan's fixed costs win
+QT_MIN_BLOCKS = 32
 # exact phrase counting limit: if the AND candidate count is below this we
 # retrieve and verify every candidate for exact phrase counts
 PHRASE_EXACT_LIMIT = 16_384
@@ -318,6 +322,9 @@ class _ShardPlan:
     # (all the query's slots decode there) or fully masked — partial scores
     # from slots shared with other queries can never leak into results.
     qsel: np.ndarray | None = None   # bool[NB, B]
+    # query-tiled plans (mode="qt"): batch rows per tile; block_ids/c_row/
+    # c_se/dense_* are then per TILE, not per block
+    t_qid: np.ndarray | None = None  # i32[T, QT]
 
 
 def _plan_shard(
@@ -431,7 +438,12 @@ def _plan_shard(
     n_cand = cand.sum(axis=1).astype(np.int32)
 
     total_cand_blocks = int(np.any(cand, axis=0).sum())
-    full = need_full or total_cand_blocks <= FULL_PLAN_BLOCKS
+    # qt mode prunes as soon as candidates exceed the per-query budget —
+    # its per-tile cost model makes pruning pay at any scale; the
+    # full-batch kernel keeps the conservative threshold (escalations
+    # re-run the whole batch, so pruning must be near-certain to hold)
+    full_limit = PRUNE_BLOCKS if mode == "qt" else FULL_PLAN_BLOCKS
+    full = need_full or total_cand_blocks <= full_limit
     if full:
         selq = cand
     else:
@@ -473,7 +485,8 @@ def _plan_shard(
     hit &= needed[rows, fb]
     sparse = hit & (fd < 0) & (fl > 0)
     c_row = c_se = None
-    if mode == "imp":
+    ent_sorted = None  # (bstart, rowi_s, se_s) per-block chunk entries (qt)
+    if mode in ("imp", "qt"):
         # chunk table: every (segment x 128-wide storage row) overlap is one
         # chunk (ops/lexical.py CHUNK); chunks pack per plan-block row
         from .ops.lexical import CHUNK
@@ -498,18 +511,26 @@ def _plan_shard(
             blkc = pos[sel][eidx]
             order_c = np.argsort(blkc, kind="stable")
             cnt_b = np.bincount(blkc, minlength=NB)
-            NC = ceil_pow2(max(int(cnt_b.max()), 1), 16)
             bstart = np.zeros(NB + 1, np.int64)
             np.cumsum(cnt_b, out=bstart[1:])
-            blk_s = blkc[order_c]
-            colpos = np.arange(total, dtype=np.int64) - bstart[blk_s]
-            c_row = np.zeros((NB, NC), np.int32)
-            c_se = np.full((NB, NC), 0xFF, np.int32)  # empty chunks
-            c_row[blk_s, colpos] = rowi[order_c].astype(np.int32)
-            c_se[blk_s, colpos] = (
-                (slotc[order_c] << 16) | (cstart[order_c] << 8)
-                | (cend[order_c] - 1)
+            se_packed = (
+                (slotc << 16) | (cstart << 8) | (cend - 1)
             ).astype(np.int32)
+            if mode == "qt":
+                ent_sorted = (bstart, rowi[order_c].astype(np.int32),
+                              se_packed[order_c], slotc[order_c])
+            else:
+                NC = ceil_pow2(max(int(cnt_b.max()), 1), 16)
+                blk_s = blkc[order_c]
+                colpos = np.arange(total, dtype=np.int64) - bstart[blk_s]
+                c_row = np.zeros((NB, NC), np.int32)
+                c_se = np.full((NB, NC), 0xFF, np.int32)  # empty chunks
+                c_row[blk_s, colpos] = rowi[order_c].astype(np.int32)
+                c_se[blk_s, colpos] = se_packed[order_c]
+        elif mode == "qt":
+            ent_sorted = (np.zeros(NB + 1, np.int64),
+                          np.zeros(0, np.int32), np.zeros(0, np.int32),
+                          np.zeros(0, np.int64))
         else:
             c_row = np.zeros((NB, 16), np.int32)
             c_se = np.full((NB, 16), 0xFF, np.int32)
@@ -518,6 +539,12 @@ def _plan_shard(
         seg_len_arr[pos[sparse], rows[sparse]] = fl[sparse]
     for e in np.flatnonzero(hit & (fd >= 0)):
         dense_lists[int(pos[e])].append((int(fd[e]), int(rows[e])))
+
+    if mode == "qt":
+        return _build_qt_plan(
+            slots, specs, selq, block_list, ent_sorted, dense_lists,
+            POS, REQ, NEG, idf, ub_unscored, n_cand, full,
+        )
 
     VD = max((len(x) for x in dense_lists), default=0)
     dense_ids = dense_slots = None
@@ -560,6 +587,70 @@ def _plan_shard(
         c_row=c_row,
         c_se=c_se,
         qsel=np.ascontiguousarray(selq[:, block_list].T),  # [NB, B]
+    )
+
+
+def _build_qt_plan(slots, specs, selq, block_list, ent_sorted, dense_lists,
+                   POS, REQ, NEG, idf, ub_unscored, n_cand, full):
+    """Assemble a query-tiled plan: one tile per (block, <=QT selecting
+    queries), each carrying only the chunk/dense entries the tile's queries
+    actually use (see ops/lexical.lexical_scan_qt)."""
+    from .ops.lexical import QT
+
+    NB = len(block_list)
+    bstart, rowi_s, se_s, slot_s = ent_sorted
+    USE = (POS > 0) | (REQ > 0) | NEG
+
+    t_bid, t_qids, t_rows, t_ses, t_dense = [], [], [], [], []
+    for b in range(NB):
+        blk = int(block_list[b])
+        qs = np.flatnonzero(selq[:, blk])
+        if len(qs) == 0:
+            continue
+        a, e = int(bstart[b]), int(bstart[b + 1])
+        er, es, esl = rowi_s[a:e], se_s[a:e], slot_s[a:e]
+        dl = dense_lists[b]
+        for i in range(0, len(qs), QT):
+            tq = qs[i : i + QT]
+            use_mask = USE[tq].any(axis=0)          # bool[V]
+            m = use_mask[esl]
+            t_bid.append(blk)
+            t_qids.append(tq)
+            t_rows.append(er[m])
+            t_ses.append(es[m])
+            t_dense.append([(r, v) for (r, v) in dl if use_mask[v]])
+    T = len(t_bid)
+    if T == 0:
+        return None
+    NC = ceil_pow2(max(max((len(x) for x in t_rows), default=1), 1), 16)
+    VD = max((len(x) for x in t_dense), default=0)
+    if VD:
+        VD = ceil_pow2(VD, 4)
+    bid = np.array(t_bid, np.int32)
+    qid = np.full((T, QT), -1, np.int32)
+    c_row = np.zeros((T, NC), np.int32)
+    c_se = np.full((T, NC), 0xFF, np.int32)
+    dense_ids = np.full((T, VD), -1, np.int32) if VD else None
+    dense_slots = np.zeros((T, VD), np.int32) if VD else None
+    for t in range(T):
+        qid[t, : len(t_qids[t])] = t_qids[t]
+        n = len(t_rows[t])
+        c_row[t, :n] = t_rows[t]
+        c_se[t, :n] = t_ses[t]
+        if VD:
+            for j, (r, v) in enumerate(t_dense[t]):
+                dense_ids[t, j] = r
+                dense_slots[t, j] = v
+    W = POS * idf[None, :]
+    Mreq = np.where(NEG, np.float32(-1e4), REQ * ~NEG)
+    nreq = (REQ * ~NEG).sum(axis=1).astype(np.int32)
+    dummy = np.zeros((1, 1), np.int32)
+    return _ShardPlan(
+        block_ids=bid, seg_off=dummy, seg_len=dummy,
+        W=W, Mreq=Mreq, nreq=nreq, P_max=0, full=full,
+        ub_unscored=ub_unscored, idf=idf, n_cand_blocks=n_cand,
+        dense_ids=dense_ids, dense_slots=dense_slots, mode="qt",
+        c_row=c_row, c_se=c_se, t_qid=qid,
     )
 
 
@@ -974,6 +1065,17 @@ def _lexical_search_batch(
     fc_total = np.zeros(
         (ceil_pow2(max(len(facet_specs), 1), 1), B, fcm), np.float64)
 
+    # Topk-only batches on large shards ride the query-tiled kernel: per
+    # scan step work tracks the pruned plan (block x selecting-query tile)
+    # instead of block x whole-batch (see ops/lexical.lexical_scan_qt)
+    if (
+        mode == "imp"
+        and not need_full
+        and not req0.facet_filter
+        and max(sh.lexical.n_blocks for sh in index.shards) >= QT_MIN_BLOCKS
+    ):
+        mode = "qt"
+
     k_eff = k
     with METRICS.timer("lex_plan"):
         plans = [
@@ -1008,9 +1110,11 @@ def _lexical_search_batch(
             if ((kth < ub) | ~np.isfinite(kth)).any():
                 METRICS.inc("plan_escalations_total")
                 METRICS.inc("device_dispatch_total")
+                esc_mode = "imp" if mode == "qt" else mode
                 plans = [
                     _plan_shard(index, sh, slots, live_specs,
-                                req0.realtime, True, PRUNE_BLOCKS, mode=mode)
+                                req0.realtime, True, PRUNE_BLOCKS,
+                                mode=esc_mode)
                     for sh in index.shards
                 ]
                 ts, gid, cnt, fcounts = stacked.run(

@@ -371,27 +371,21 @@ class _Handler(BaseHTTPRequestHandler):
 
         if sub == "file":
             if method == "POST":
+                # PDF upload -> index (reference index_file_api
+                # api_endpoints.rs; extractor is in-repo, pdftext.py)
                 raw = self._body()
-                try:
-                    from pypdf import PdfReader  # type: ignore
-                except ImportError:
-                    return self._err(
-                        501,
-                        "PDF ingestion requires the 'pypdf' package "
-                        "(not installed); the reference uses pdfium",
-                    )
-                import io as _io
+                from ..pdftext import extract_text
 
-                reader = PdfReader(_io.BytesIO(raw))
-                text = "\n".join(
-                    page.extract_text() or "" for page in reader.pages
-                )
-                title = (reader.metadata.title
-                         if reader.metadata else None) or "document.pdf"
+                try:
+                    text, meta = extract_text(raw)
+                except Exception as e:
+                    return self._err(400, f"PDF parse failed: {e}")
+                title = meta.get("title") or "document.pdf"
+                doc = {"title": title, "body": text}
+                if meta.get("creation_date"):
+                    doc["date"] = meta["creation_date"]
                 with ctx.lock:
-                    did = ix.index_document(
-                        {"title": title, "body": text}
-                    )
+                    did = ix.index_document(doc)
                 return self._send(200, did)
             return self._err(405, "method not allowed")
 

@@ -97,6 +97,22 @@ def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def ceil_ladder(n: int, m: int = 16) -> int:
+    """Round up to m * {1, 2, 3} * 2^k — a denser shape-bucketing ladder
+    than pow2 (max padding waste 1.5x instead of 2x; ~1.7x more compiled
+    shapes).  Used for scan-step counts, where padded steps pay full
+    kernel cost."""
+    q = max(-(-int(n) // m), 1)
+    best = None
+    for b in (1, 2, 3):
+        k = 0
+        while (b << k) < q:
+            k += 1
+        v = b << k
+        best = v if best is None else min(best, v)
+    return best * m
+
+
 def ngram_virtual_hash(h: int, j: int) -> int:
     """Synthetic directory hash for the j-th constituent-impact segment of an
     n-gram posting list (j >= 2; constituent 1 reuses the n-gram's own hash).

@@ -229,3 +229,27 @@ def test_metrics_endpoint(client):
     assert "seekstorm_queries_total" in text
     assert "seekstorm_docs_indexed_total" in text
     assert "seekstorm_commits_total" in text
+
+
+def test_pdf_file_upload(client):
+    """POST /api/v1/index/{id}/file round-trips a real PDF (reference
+    index_file_api; extractor is in-repo pdftext.py)."""
+    from tests.test_pdf import make_pdf
+
+    iid = client.create_index({
+        "index_name": "pdfix",
+        "schema": [
+            {"field": "title", "field_type": "Text", "stored": True,
+             "indexed": True},
+            {"field": "body", "field_type": "Text", "stored": True,
+             "indexed": True},
+        ],
+    })
+    pdf = make_pdf(["searchable pdf xyzygy content"], title="PDF Title")
+    did = client.index_pdf_bytes(iid, pdf)
+    assert isinstance(did, int)
+    client.commit_index(iid)
+    rs = client.query(iid, {"query": "xyzygy", "length": 10,
+                            "fields": ["title", "body"]})
+    assert rs["count_total"] == 1
+    assert rs["results"][0]["title"] == "PDF Title"
