@@ -32,7 +32,7 @@ from pathlib import Path
 import numpy as np
 
 from .oracle import bm25_components, term_impacts
-from .schema import BLOCK_SIZE
+from .schema import BLOCK_SIZE, BM25_K
 
 # (term, block) segments at or above this length use the dense tf-column
 # representation (u16[BLOCK_SIZE, F] per entry); below it, CSR windows.
@@ -130,11 +130,13 @@ class TermDirectory:
     seg_offset: np.ndarray  # i64[S] offset into concatenated postings
     seg_len: np.ndarray     # i32[S]
     seg_max_impact: np.ndarray  # f32[S] (default boost profile)
-    seg_dense: np.ndarray | None = None  # i32[S] dense-store row or -1
-    # offset into the COMPACTED device CSR (dense segments excluded, -1);
-    # the impact-path kernel reads only the compacted store, so dense-term
-    # postings are never stored twice in HBM
+    seg_dense: np.ndarray | None = None  # i32[S] dense-store row or -1 (tf path)
+    # impact path: offset/length of the segment's CSR remainder in the
+    # compacted device CSR (plain postings of bitmap segments excluded)
     seg_dev_offset: np.ndarray | None = None  # i64[S]
+    seg_dev_len: np.ndarray | None = None     # i32[S]
+    # presence-bitmap row for the segment's plain postings, or -1
+    seg_bitmap: np.ndarray | None = None      # i32[S]
 
     def lookup(self, h: int) -> int:
         i = int(np.searchsorted(self.hash, np.uint64(h)))
@@ -156,15 +158,17 @@ class ShardLexical:
     avg_len: float = 0.0
     doc_count: int = 0                   # committed docs in this shard
     level_post_base: np.ndarray | None = None  # i64[L+1] posting base per level
-    # dense-term store: terms with >= DENSE_MIN postings in a block keep a
-    # dense u16 tf column instead of a CSR window segment — the kernel
-    # scores them with a row gather + rank-VD matmul, no gather/scatter
-    # (the analog of the reference's roaring BITMAP posting blocks,
-    # compress_postinglist.rs — dense domains decode without pointers)
+    # dense-term store (tf-fallback path): terms with >= DENSE_MIN postings
+    # in a block keep a dense u16 tf column instead of a CSR window segment
     dense_tf: np.ndarray | None = None   # u16[ND, BLOCK_SIZE, F]
-    dense_imp: np.ndarray | None = None  # f32[ND, BLOCK_SIZE] default-boost
-    # compacted device CSR for the impact fast path (sparse segments only,
-    # concatenated in directory order)
+    # impact-path presence bitmaps (see BITMAP_MIN): one 64K-bit row per
+    # (term, block) plain-posting class, plus the shared per-doc sat1
+    # impact vector (the analog of the reference's roaring BITMAP posting
+    # blocks, compress_postinglist.rs:240-330)
+    bitmaps: np.ndarray | None = None    # u32[NBM, BLOCK_SIZE // 32]
+    sat1: np.ndarray | None = None       # f32[n_blocks*BLOCK_SIZE]
+    # compacted device CSR for the impact fast path (bitmap segments'
+    # plain postings excluded), concatenated in directory order
     dev_docid: np.ndarray | None = None  # u16[Pc]
     dev_imp: np.ndarray | None = None    # f32[Pc]
 
@@ -217,10 +221,13 @@ def build_shard_lexical(
         sh.comp = np.zeros((0, F), np.float32)
         sh.level_post_base = np.zeros(1, np.int64)
         sh.dense_tf = np.zeros((0, BLOCK_SIZE, F), np.uint16)
-        sh.dense_imp = np.zeros((0, BLOCK_SIZE), np.float32)
+        sh.bitmaps = np.zeros((0, BLOCK_SIZE // 32), np.uint32)
+        sh.sat1 = np.zeros(0, np.float32)
         sh.dev_docid = np.zeros(0, np.uint16)
         sh.dev_imp = np.zeros(0, np.float32)
         sh.directory.seg_dev_offset = np.zeros(0, np.int64)
+        sh.directory.seg_dev_len = np.zeros(0, np.int32)
+        sh.directory.seg_bitmap = np.zeros(0, np.int32)
         return sh
 
     F = levels[0].tf.shape[1]
@@ -298,12 +305,10 @@ def build_shard_lexical(
     seg_block_sorted = all_level[order]
     seg_off_sorted = all_off[order]
 
-    # dense-term store: (term, block) segments with >= DENSE_MIN postings
-    # become dense u16 tf columns (scored by row gather + matmul in the
-    # kernel — no window gather/scatter for the most frequent terms)
+    # dense-term store (tf-fallback path): (term, block) segments with
+    # >= DENSE_MIN postings become dense u16 tf columns
     seg_dense = np.full(len(order), -1, np.int32)
     dense_rows = []
-    dense_imp_rows = []
     dense_sel = np.flatnonzero(seg_len_sorted >= DENSE_MIN)
     F = sh.pl_tf.shape[1]
     for r, e in enumerate(dense_sel):
@@ -313,39 +318,76 @@ def build_shard_lexical(
         col = np.zeros((BLOCK_SIZE, F), np.uint16)
         col[ids] = sh.pl_tf[a : a + ln]
         dense_rows.append(col)
-        colimp = np.zeros(BLOCK_SIZE, np.float32)
-        colimp[ids] = pl_impact[a : a + ln]
-        dense_imp_rows.append(colimp)
         seg_dense[e] = r
     sh.dense_tf = (
         np.stack(dense_rows) if dense_rows
         else np.zeros((0, BLOCK_SIZE, F), np.uint16)
     )
-    sh.dense_imp = (
-        np.stack(dense_imp_rows) if dense_imp_rows
-        else np.zeros((0, BLOCK_SIZE), np.float32)
-    )
 
-    # compacted device CSR: only sparse segments ship to HBM (dense-term
-    # postings live solely in dense_imp — no double storage)
-    sparse_sel = seg_dense < 0
-    sl = seg_len_sorted[sparse_sel].astype(np.int64)
-    starts = np.zeros(len(sl) + 1, np.int64)
-    np.cumsum(sl, out=starts[1:])
-    seg_dev_offset = np.full(len(order), -1, np.int64)
-    seg_dev_offset[sparse_sel] = starts[:-1]
-    Pc = int(starts[-1])
-    if Pc:
-        idx_src = (
-            np.repeat(seg_off_sorted[sparse_sel].astype(np.int64), sl)
-            + np.arange(Pc, dtype=np.int64)
-            - np.repeat(starts[:-1], sl)
-        )
+    # ---- impact path: presence bitmaps + rank-1 sat1 + CSR remainder ----
+    # primary field = largest total token count (reference longest-field
+    # semantics, SchemaField::longest index.rs:1102-1155)
+    from .utils import DOCUMENT_LENGTH_COMPRESSION
+
+    tot_len = np.zeros(F, np.float64)
+    for l in levels:
+        tot_len += DOCUMENT_LENGTH_COMPRESSION[np.asarray(l.doclen)].sum(
+            axis=0)
+    f_star = int(np.argmax(tot_len))
+    # per-doc shared impact of a plain posting (tf == 1 in the primary
+    # field only); float op order mirrors oracle.term_impacts exactly
+    sat1 = ((np.float32(BM25_K + 1.0) / (np.float32(1.0) + comp[:, f_star]))
+            * np.float32(boosts[f_star])).astype(np.float32)
+    sh.sat1 = sat1
+
+    # plain-posting mask over the full posting arrays
+    tf_sum = sh.pl_tf.astype(np.int64).sum(axis=1)
+    plain = (sh.pl_tf[:, f_star] == 1) & (tf_sum == 1)
+
+    keep = np.ones(len(sh.pl_docid), bool)
+    seg_bitmap = np.full(len(order), -1, np.int32)
+    bm_rows: list[np.ndarray] = []
+    W32 = BLOCK_SIZE // 32
+    for e in np.flatnonzero(seg_len_sorted >= BITMAP_MIN):
+        a = int(seg_off_sorted[e])
+        ln = int(seg_len_sorted[e])
+        pm = plain[a : a + ln]
+        if int(pm.sum()) < BITMAP_MIN:
+            continue
+        ids = sh.pl_docid[a : a + ln][pm].astype(np.int64)
+        words = np.zeros(W32, np.uint32)
+        np.bitwise_or.at(words, ids >> 5,
+                         np.uint32(1) << (ids & 31).astype(np.uint32))
+        seg_bitmap[e] = len(bm_rows)
+        bm_rows.append(words)
+        keep[a : a + ln] &= ~pm
+    sh.bitmaps = (np.stack(bm_rows) if bm_rows
+                  else np.zeros((0, W32), np.uint32))
+
+    # compacted device CSR: every segment's remainder (bitmap segments drop
+    # their plain postings), concatenated in directory order
+    lens_all = seg_len_sorted.astype(np.int64)
+    starts_all = np.zeros(len(order) + 1, np.int64)
+    np.cumsum(lens_all, out=starts_all[1:])
+    Pall = int(starts_all[-1])
+    if Pall:
+        idx_all = (np.repeat(seg_off_sorted.astype(np.int64), lens_all)
+                   + np.arange(Pall, dtype=np.int64)
+                   - np.repeat(starts_all[:-1], lens_all))
+        keepf = keep[idx_all]
+        seg_ids = np.repeat(np.arange(len(order), dtype=np.int64), lens_all)
+        idx_src = idx_all[keepf]
         sh.dev_docid = sh.pl_docid[idx_src]
         sh.dev_imp = pl_impact[idx_src]
+        seg_dev_len = np.bincount(
+            seg_ids[keepf], minlength=len(order)).astype(np.int32)
     else:
         sh.dev_docid = np.zeros(0, np.uint16)
         sh.dev_imp = np.zeros(0, np.float32)
+        seg_dev_len = np.zeros(len(order), np.int32)
+    seg_dev_offset = np.zeros(len(order) + 1, np.int64)
+    np.cumsum(seg_dev_len, out=seg_dev_offset[1:])
+    seg_dev_offset = seg_dev_offset[:-1]
 
     sh.directory = TermDirectory(
         hash=uniq_hash,
@@ -357,6 +399,8 @@ def build_shard_lexical(
         seg_max_impact=all_max[order],
         seg_dense=seg_dense,
         seg_dev_offset=seg_dev_offset,
+        seg_dev_len=seg_dev_len,
+        seg_bitmap=seg_bitmap,
     )
     return sh
 

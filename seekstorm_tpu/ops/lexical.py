@@ -317,9 +317,10 @@ def _block_step_imp(
     c_row,         # i32[NC]       storage row per chunk
     c_se,          # i32[NC]       packed slot<<16 | cs<<8 | (ce-1)
     qw,            # i32[ceil(B/32)] per-query selection bits for this block
-    dense_imp=None,    # f32[ND, BLOCK_SIZE]
-    dense_ids=None,    # i32[VD]
-    dense_slots=None,  # i32[VD]
+    bitmaps=None,      # u32[NBM, BLOCK_SIZE // 32] presence bitmaps
+    sat1=None,         # f32[NBtot*BLOCK_SIZE] shared plain-posting impact
+    bm_ids=None,       # i32[VB] bitmap rows for this block (-1 pad)
+    bm_slots=None,     # i32[VB] W/Mreq column per bitmap entry
     fast: bool = False,
 ):
     """Decode + score one block for the whole query batch (impact path).
@@ -372,24 +373,31 @@ def _block_step_imp(
         C = jnp.dot(Mc.astype(jnp.bfloat16), (Dc > 0).astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
 
-    if dense_imp is not None and dense_ids is not None \
-            and dense_ids.shape[0] > 0 and dense_imp.shape[0] > 0:
-        ok = dense_ids >= 0
-        did = jnp.maximum(dense_ids, 0)
-        slc = jnp.maximum(dense_slots, 0)
-        dimp = jnp.take(dense_imp, did, axis=0)                  # [VD, 64K]
-        dimp = jnp.where(ok[:, None], dimp, 0.0)
-        Wd = jnp.where(ok[None, :], jnp.take(W, slc, axis=1), 0.0)
-        Md = jnp.where(ok[None, :], jnp.take(Mreq, slc, axis=1), 0.0)
+    if bitmaps is not None and bm_ids is not None \
+            and bm_ids.shape[0] > 0 and bitmaps.shape[0] > 0:
+        # presence-bitmap slots: unpack u32 words -> 0/1 matrix E, then
+        # S += (W_b @ E) * sat1(d) and C += M_b @ E.  Plain postings all
+        # share the per-doc sat1 impact (see lexindex.BITMAP_MIN), so the
+        # bitmap needs no per-posting decode at all — the TPU analog of
+        # the reference's roaring Bitmap blocks (compress_postinglist.rs).
+        ok = bm_ids >= 0
+        bi_ = jnp.maximum(bm_ids, 0)
+        slc = jnp.maximum(bm_slots, 0)
+        rows = jnp.take(bitmaps, bi_, axis=0).astype(jnp.uint32)
+        bits = (rows[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+        VB = bm_ids.shape[0]
+        s1 = jax.lax.dynamic_slice(sat1, (bid * BLOCK_SIZE,), (BLOCK_SIZE,))
+        Wb = jnp.where(ok[None, :], jnp.take(W, slc, axis=1), 0.0)
+        Mb = jnp.where(ok[None, :], jnp.take(Mreq, slc, axis=1), 0.0)
         if exact:
-            S = S + Wd @ dimp
-            C = C + Md @ (dimp > 0).astype(jnp.float32)
+            E = bits.reshape(VB, BLOCK_SIZE).astype(jnp.float32)
+            S = S + (Wb @ E) * s1[None, :]
+            C = C + Mb @ E
         else:
-            S = S + jnp.dot(Wd.astype(jnp.bfloat16),
-                            dimp.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-            C = C + jnp.dot(Md.astype(jnp.bfloat16),
-                            (dimp > 0).astype(jnp.bfloat16),
+            E = bits.reshape(VB, BLOCK_SIZE).astype(jnp.bfloat16)
+            S = S + jnp.dot(Wb.astype(jnp.bfloat16), E,
+                            preferred_element_type=jnp.float32) * s1[None, :]
+            C = C + jnp.dot(Mb.astype(jnp.bfloat16), E,
                             preferred_element_type=jnp.float32)
 
     del_block = jax.lax.dynamic_slice(deleted, (bid * BLOCK_SIZE,), (BLOCK_SIZE,))
@@ -416,9 +424,10 @@ def lexical_scan_imp(
     W, Mreq, nreq,
     facet_codes,   # i32[n_facets, NBtot*BLOCK] (dummy [1, 1] if n_facets == 0)
     sort_key,      # f32[NBtot*BLOCK]           (dummy [1] if not use_sort_key)
-    dense_imp,     # f32[ND, BLOCK] ([0, BLOCK] if none)
-    dense_ids,     # i32[NB, VD]
-    dense_slots,   # i32[NB, VD]
+    bitmaps,       # u32[NBM, BLOCK // 32] ([0, BLOCK // 32] if none)
+    sat1,          # f32[NBtot*BLOCK]
+    bm_ids,        # i32[NB, VB]
+    bm_slots,      # i32[NB, VB]
     *,
     k: int,
     with_counts: bool,
@@ -437,18 +446,18 @@ def lexical_scan_imp(
 
     def step(carry, xs):
         ts, ti, cnt, fc = carry
-        bid, row_b, se_b, qw, did, dsl = xs
+        bid, row_b, se_b, qw, bmi, bms = xs
         pad = bid < 0
         bid_c = jnp.maximum(bid, 0)
         # padded steps: force all chunks empty (packed low byte 255 decodes
         # to ce=0 after the +1 & 0xFF wrap in _block_step_imp)
         se_b = jnp.where(pad, jnp.int32(0xFF), se_b)
         qw = jnp.where(pad, 0, qw)
-        did = jnp.where(pad, -1, did)
+        bmi = jnp.where(pad, -1, bmi)
         scores, matched = _block_step_imp(
             pl2_docid, pl2_imp, deleted, W, Mreq, nreq,
             bid_c, row_b, se_b, qw,
-            dense_imp=dense_imp, dense_ids=did, dense_slots=dsl, fast=fast,
+            bitmaps=bitmaps, sat1=sat1, bm_ids=bmi, bm_slots=bms, fast=fast,
         )
         if with_counts:
             cnt = cnt + jnp.sum(matched, axis=1, dtype=jnp.int32)
@@ -490,7 +499,7 @@ def lexical_scan_imp(
         jnp.zeros((max(n_facets, 1), B, facet_codes_max), jnp.float32),
     )
     (ts, ti, cnt, fc), _ = jax.lax.scan(
-        step, init, (block_ids, c_row, c_se, qsel_w, dense_ids, dense_slots)
+        step, init, (block_ids, c_row, c_se, qsel_w, bm_ids, bm_slots)
     )
     return ts, ti, cnt, fc
 
@@ -526,9 +535,10 @@ def lexical_scan_qt(
     c_se,          # i32[T, NC]    packed slot<<16 | cs<<8 | (ce-1)
     qids,          # i32[T, QT]    batch rows of this tile (-1 pad)
     W, Mreq, nreq,
-    dense_imp,     # f32[ND, BLOCK] ([0, BLOCK] if none)
-    dense_ids,     # i32[T, VD]
-    dense_slots,   # i32[T, VD]
+    bitmaps,       # u32[NBM, BLOCK // 32] ([0, BLOCK // 32] if none)
+    sat1,          # f32[NBtot*BLOCK]
+    bm_ids,        # i32[T, VB]
+    bm_slots,      # i32[T, VB]
     *,
     k: int,
     fast: bool = False,
@@ -541,11 +551,11 @@ def lexical_scan_qt(
 
     def step(carry, xs):
         ts, ti = carry
-        bid, row_b, se_b, qid, did, dsl = xs
+        bid, row_b, se_b, qid, bmi, bms = xs
         pad = bid < 0
         bid_c = jnp.maximum(bid, 0)
         se_b = jnp.where(pad, jnp.int32(0xFF), se_b)
-        did = jnp.where(pad, -1, did)
+        bmi = jnp.where(pad, -1, bmi)
         qid = jnp.where(pad, -1, qid)
 
         ok = qid >= 0
@@ -564,7 +574,7 @@ def lexical_scan_qt(
         scores, _ = _block_step_imp(
             pl2_docid, pl2_imp, deleted, Wg, Mg, ng,
             bid_c, row_b, se_b, qw,
-            dense_imp=dense_imp, dense_ids=did, dense_slots=dsl, fast=fast,
+            bitmaps=bitmaps, sat1=sat1, bm_ids=bmi, bm_slots=bms, fast=fast,
         )
         kk = min(k, BLOCK_SIZE)
         bs, bi = _topk_block(scores, kk)
@@ -591,6 +601,6 @@ def lexical_scan_qt(
         jnp.zeros((B + 1, k), jnp.int32),
     )
     (ts, ti), _ = jax.lax.scan(
-        step, init, (block_ids, c_row, c_se, qids, dense_ids, dense_slots)
+        step, init, (block_ids, c_row, c_se, qids, bm_ids, bm_slots)
     )
     return ts[:B], ti[:B]

@@ -196,7 +196,7 @@ def _pack_result(ts, gid, cnt, fc):
 )
 def scan_one_shard_imp(
     dev_docid, dev_imp, deleted,
-    plan_buf, facet_codes, sort_key, dense_imp,
+    plan_buf, facet_codes, sort_key, bitmaps, sat1,
     *,
     S: int, shard_id: int, NB: int, NC: int, V: int, B: int, VD: int,
     k: int, with_counts: bool, n_facets: int,
@@ -210,7 +210,7 @@ def scan_one_shard_imp(
     ts, ti, cnt, fc = lexical_scan_imp(
         dev_docid, dev_imp, deleted,
         bi, c_row, c_se, qw, W, M, nr,
-        facet_codes, sort_key, dense_imp, did, dsl,
+        facet_codes, sort_key, bitmaps, sat1, did, dsl,
         k=k, with_counts=with_counts, n_facets=n_facets,
         facet_codes_max=facet_codes_max, use_sort_key=use_sort_key,
         sort_desc=sort_desc, fast=fast,
@@ -226,7 +226,7 @@ def scan_one_shard_imp(
     ),
 )
 def scan_one_shard_qt(
-    dev_docid, dev_imp, deleted, plan_buf, dense_imp,
+    dev_docid, dev_imp, deleted, plan_buf, bitmaps, sat1,
     *,
     S: int, shard_id: int, T: int, NC: int, QTn: int, V: int, B: int,
     VD: int, k: int, fast: bool,
@@ -238,7 +238,7 @@ def scan_one_shard_qt(
     ts, ti = lexical_scan_qt(
         dev_docid, dev_imp, deleted,
         bi, c_row, c_se, qid, W, M, nr,
-        dense_imp, did, dsl, k=k, fast=fast,
+        bitmaps, sat1, did, dsl, k=k, fast=fast,
     )
     gid = ti * S + shard_id
     cnt = jnp.zeros((B,), jnp.int32)
@@ -254,14 +254,14 @@ def make_sharded_scan_qt(mesh, statics):
 
     S = statics["S"]
 
-    def body(dev_docid, dev_imp, deleted, plan_buf, dense_imp):
+    def body(dev_docid, dev_imp, deleted, plan_buf, bitmaps, sat1):
         bi, c_row, c_se, qid, W, M, nr, did, dsl = _unpack_plan_qt(
             plan_buf[0], statics["T"], statics["NC"], statics["QTn"],
             statics["V"], statics["B"], statics["VD"])
         ts, ti = lexical_scan_qt(
             dev_docid[0], dev_imp[0], deleted[0],
             bi, c_row, c_se, qid, W, M, nr,
-            dense_imp[0], did, dsl,
+            bitmaps[0], sat1[0], did, dsl,
             k=statics["k"], fast=statics["fast"],
         )
         B = ts.shape[0]
@@ -271,7 +271,7 @@ def make_sharded_scan_qt(mesh, statics):
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P("shards"),) * 5,
+        in_specs=(P("shards"),) * 6,
         out_specs=(P("shards"), P("shards")),
         check_vma=False,
     )
@@ -354,14 +354,14 @@ def make_sharded_scan_imp(mesh, statics):
     S = statics["S"]
 
     def body(dev_docid, dev_imp, deleted, plan_buf, facet_codes, sort_key,
-             dense_imp):
+             bitmaps, sat1):
         bi, c_row, c_se, qw, W, M, nr, did, dsl = _unpack_plan_imp(
             plan_buf[0], statics["NB"], statics["NC"], statics["V"],
             statics["B"], statics["VD"])
         ts, ti, cnt, fc = lexical_scan_imp(
             dev_docid[0], dev_imp[0], deleted[0],
             bi, c_row, c_se, qw, W, M, nr,
-            facet_codes[0], sort_key[0], dense_imp[0], did, dsl,
+            facet_codes[0], sort_key[0], bitmaps[0], sat1[0], did, dsl,
             k=statics["k"], with_counts=statics["with_counts"],
             n_facets=statics["n_facets"],
             facet_codes_max=statics["facet_codes_max"],
@@ -372,7 +372,7 @@ def make_sharded_scan_imp(mesh, statics):
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P("shards"),) * 7,
+        in_specs=(P("shards"),) * 8,
         out_specs=(P("shards"), P("shards")),
         check_vma=False,
     )
@@ -458,7 +458,7 @@ class StackedIndex:
 
     def _imp_arrays(self, sh):
         """(docid2d u16[R,128], imp2d f32[R,128], deleted bool[N],
-        dense_imp f32[ND, BLOCK])"""
+        bitmaps u32[NBM, BLOCK//32], sat1 f32[N])"""
         lex = sh.lexical
         N = self.NB_pad * BLOCK_SIZE
         pc = len(lex.dev_docid) if lex.dev_docid is not None else 0
@@ -473,10 +473,13 @@ class StackedIndex:
             ids = np.fromiter(sh.deleted, dtype=np.int64)
             ids = ids[ids < N]
             dl[ids] = True
-        di = lex.dense_imp
-        if di is None or len(di) == 0:
-            di = np.zeros((1, BLOCK_SIZE), np.float32)
-        return d2, i2, dl, di
+        bm = lex.bitmaps
+        if bm is None or len(bm) == 0:
+            bm = np.zeros((1, BLOCK_SIZE // 32), np.uint32)
+        s1 = np.zeros(N, np.float32)
+        if lex.sat1 is not None and len(lex.sat1):
+            s1[: len(lex.sat1)] = lex.sat1
+        return d2, i2, dl, bm, s1
 
     def _tf_arrays(self, sh):
         """(pl_docid u16[P], pl_tf u16[P,F], comp f32[N,F],
@@ -512,21 +515,24 @@ class StackedIndex:
         else:
             arrs = [self._imp_arrays(sh) for sh in idx.shards]
             R_pad = max(a[0].shape[0] for a in arrs)
-            ND_pad = max(a[3].shape[0] for a in arrs)
+            NBM_pad = max(a[3].shape[0] for a in arrs)
             N = NB_pad * BLOCK_SIZE
             d2 = np.zeros((S, R_pad, CHUNK), np.uint16)
             i2 = np.zeros((S, R_pad, CHUNK), np.float32)
             dl = np.zeros((S, N), bool)
-            di = np.zeros((S, ND_pad, BLOCK_SIZE), np.float32)
+            bm = np.zeros((S, NBM_pad, BLOCK_SIZE // 32), np.uint32)
+            s1 = np.zeros((S, N), np.float32)
             for s, a in enumerate(arrs):
                 d2[s, : a[0].shape[0]] = a[0]
                 i2[s, : a[1].shape[0]] = a[1]
                 dl[s] = a[2]
-                di[s, : a[3].shape[0]] = a[3]
+                bm[s, : a[3].shape[0]] = a[3]
+                s1[s] = a[4]
             self.dev_docid = self._put_row(d2)
             self.dev_imp = self._put_row(i2)
             self.deleted = self._put_row(dl)
-            self.dense_imp = self._put_row(di)
+            self.bitmaps = self._put_row(bm)
+            self.sat1 = self._put_row(s1)
 
     def _ensure_tf(self):
         """Upload the tf-fallback tensors on first use."""
@@ -741,9 +747,9 @@ class StackedIndex:
             plan_dev = jnp.asarray(plan_rows)
             results = []
             for s in range(S):
-                d2, i2, dl, di = self.per_shard[s]
+                d2, i2, dl, bm, s1 = self.per_shard[s]
                 results.append(scan_one_shard_qt(
-                    d2, i2, dl, plan_dev[s], di,
+                    d2, i2, dl, plan_dev[s], bm, s1,
                     shard_id=s, **statics,
                 ))
             out = self._merge(results, k)
@@ -755,7 +761,7 @@ class StackedIndex:
                 self._sharded_fns[key] = fn
             plan_dev = self._put_row(plan_rows)
             out = fn(self.dev_docid, self.dev_imp, self.deleted,
-                     plan_dev, self.dense_imp)
+                     plan_dev, self.bitmaps, self.sat1)
 
         flops = S * T * (
             nc * (2 * 128 * 256 * 256)
@@ -781,7 +787,7 @@ class StackedIndex:
             plan_dev = jnp.asarray(plan_rows)  # ONE upload
             results = []
             for s in range(S):
-                d2, i2, dl, di = self.per_shard[s]
+                d2, i2, dl, bm, s1 = self.per_shard[s]
                 if allowed_dev is not None:
                     dl = _merge_deleted(dl, allowed_dev[s])
                 fcod = (fcod_dev[s] if fcod_dev is not None
@@ -789,7 +795,7 @@ class StackedIndex:
                 skey = (skey_dev[s] if use_sort
                         else jnp.zeros((1,), jnp.float32))
                 results.append(scan_one_shard_imp(
-                    d2, i2, dl, plan_dev[s], fcod, skey, di,
+                    d2, i2, dl, plan_dev[s], fcod, skey, bm, s1,
                     S=S, shard_id=s, NB=nb, NC=nc, V=v, B=B, VD=VD,
                     k=k, with_counts=with_counts,
                     n_facets=n_facets, facet_codes_max=facet_codes_max,
@@ -816,7 +822,7 @@ class StackedIndex:
                 else self._put_row(np.zeros((S, 1), np.float32)))
         plan_dev = self._put_row(plan_rows)
         return fn(self.dev_docid, self.dev_imp, deleted,
-                  plan_dev, fcod, skey, self.dense_imp)
+                  plan_dev, fcod, skey, self.bitmaps, self.sat1)
 
     def _run_tf(self, plan_rows, S, nb, v, B, F, VD, P_max, k, with_counts,
                 fcod_dev, facet_codes_max, skey_dev, use_sort, sort_desc,

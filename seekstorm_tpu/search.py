@@ -368,6 +368,10 @@ def _plan_shard(
     fm = d.seg_max_impact[flat]
     fd = (d.seg_dense[flat] if d.seg_dense is not None
           else np.full(total_segs, -1, np.int32))
+    # impact path: bitmap row + CSR-remainder length per segment
+    fbm = (d.seg_bitmap[flat] if d.seg_bitmap is not None
+           else np.full(total_segs, -1, np.int32))
+    fdl = (d.seg_dev_len[flat] if d.seg_dev_len is not None else fl)
 
     # idf df: n-gram slots redirect to their constituent's df (reference
     # posting_count_ngram_N, search.rs:3235-3260)
@@ -483,19 +487,21 @@ def _plan_shard(
     USE = (POS > 0) | (REQ > 0) | NEG                  # [B, V]
     needed = (USE.astype(np.float32).T @ selq) > 0     # [V, n_blocks]
     hit &= needed[rows, fb]
-    sparse = hit & (fd < 0) & (fl > 0)
     c_row = c_se = None
     ent_sorted = None  # (bstart, rowi_s, se_s) per-block chunk entries (qt)
     if mode in ("imp", "qt"):
         # chunk table: every (segment x 128-wide storage row) overlap is one
-        # chunk (ops/lexical.py CHUNK); chunks pack per plan-block row
+        # chunk (ops/lexical.py CHUNK); chunks pack per plan-block row.
+        # The impact path decodes each segment's CSR REMAINDER only —
+        # bitmap segments' plain postings ride the presence-bitmap matmul.
         from .ops.lexical import CHUNK
 
+        sparse = hit & (fdl > 0)
         fdev = (d.seg_dev_offset[flat] if d.seg_dev_offset is not None
                 else fo)
         sel = np.flatnonzero(sparse)
         off = fdev[sel].astype(np.int64)
-        ln = fl[sel].astype(np.int64)
+        ln = fdl[sel].astype(np.int64)
         first_row = off // CHUNK
         nrows = ((off + ln - 1) // CHUNK - first_row + 1)
         total = int(nrows.sum())
@@ -535,10 +541,17 @@ def _plan_shard(
             c_row = np.zeros((NB, 16), np.int32)
             c_se = np.full((NB, 16), 0xFF, np.int32)
     else:
+        sparse = hit & (fd < 0) & (fl > 0)
         seg_off_arr[pos[sparse], rows[sparse]] = fo[sparse].astype(np.int32)
         seg_len_arr[pos[sparse], rows[sparse]] = fl[sparse]
-    for e in np.flatnonzero(hit & (fd >= 0)):
-        dense_lists[int(pos[e])].append((int(fd[e]), int(rows[e])))
+    # auxiliary slot lists per plan block: bitmap rows (impact path) or
+    # dense tf rows (tf fallback path)
+    if mode in ("imp", "qt"):
+        for e in np.flatnonzero(hit & (fbm >= 0)):
+            dense_lists[int(pos[e])].append((int(fbm[e]), int(rows[e])))
+    else:
+        for e in np.flatnonzero(hit & (fd >= 0)):
+            dense_lists[int(pos[e])].append((int(fd[e]), int(rows[e])))
 
     if mode == "qt":
         return _build_qt_plan(
@@ -1065,12 +1078,27 @@ def _lexical_search_batch(
     fc_total = np.zeros(
         (ceil_pow2(max(len(facet_specs), 1), 1), B, fcm), np.float64)
 
-    # Topk-only batches on large shards ride the query-tiled kernel: per
-    # scan step work tracks the pruned plan (block x selecting-query tile)
-    # instead of block x whole-batch (see ops/lexical.lexical_scan_qt)
+    # adaptive pruning: per-query block pruning only pays when the block-max
+    # upper bounds actually discriminate (skewed corpora).  On flat corpora
+    # every batch fails the exactness check and re-runs full — worse than
+    # planning full coverage directly — so pruning disables itself once the
+    # observed escalation rate crosses 1/2 (reference analog: block-max
+    # early-exit degrades to a full scan when max_block_score is flat,
+    # intersection.rs:2224-2300).
+    stats = getattr(index, "_prune_stats", None)
+    if stats is None:
+        stats = index._prune_stats = [0, 0]  # [escalated, attempted]
+    prune_ok = stats[1] < 8 or stats[0] * 2 < stats[1]
+    cover_full = need_full or not prune_ok
+
+    # Topk-only PRUNED batches on large shards ride the query-tiled kernel:
+    # per scan step work tracks the pruned plan (block x selecting-query
+    # tile) instead of block x whole-batch (ops/lexical.lexical_scan_qt).
+    # Full-coverage plans keep the full-batch kernel, which decodes each
+    # (slot, block) segment exactly once.
     if (
         mode == "imp"
-        and not need_full
+        and not cover_full
         and not req0.facet_filter
         and max(sh.lexical.n_blocks for sh in index.shards) >= QT_MIN_BLOCKS
     ):
@@ -1080,7 +1108,7 @@ def _lexical_search_batch(
     with METRICS.timer("lex_plan"):
         plans = [
             _plan_shard(index, sh, slots, live_specs, req0.realtime,
-                        need_full, PRUNE_BLOCKS, mode=mode)
+                        cover_full, PRUNE_BLOCKS, mode=mode)
             for sh in index.shards
         ]
     if has_phrase and with_counts:
@@ -1102,19 +1130,22 @@ def _lexical_search_batch(
             allowed_dev=allowed_dev,
         )
         if not all_full:
+            stats[1] += 1
             ub = np.zeros(B, np.float32)
             for p in plans:
                 if p is not None:
                     ub = np.maximum(ub, p.ub_unscored)
             kth = ts[:, min(need, k_eff) - 1]
             if ((kth < ub) | ~np.isfinite(kth)).any():
+                stats[0] += 1
                 METRICS.inc("plan_escalations_total")
                 METRICS.inc("device_dispatch_total")
-                esc_mode = "imp" if mode == "qt" else mode
+                # escalation covers each query's full candidate set; the
+                # qt kernel handles full coverage fine (tiles per block)
                 plans = [
                     _plan_shard(index, sh, slots, live_specs,
                                 req0.realtime, True, PRUNE_BLOCKS,
-                                mode=esc_mode)
+                                mode=mode)
                     for sh in index.shards
                 ]
                 ts, gid, cnt, fcounts = stacked.run(
