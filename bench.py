@@ -89,34 +89,45 @@ def main() -> None:
     ap.add_argument("--threads", type=int, default=8)
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--shards", type=int, default=1)
+    ap.add_argument("--index-dir", default=None,
+                    help="persist/reuse the built index here (iteration "
+                         "aid; the default builds fresh in a temp dir)")
     args = ap.parse_args()
 
     import seekstorm_tpu as st
     from seekstorm_tpu.metrics import METRICS
     from seekstorm_tpu.ops.lexical import fast_mode
 
-    rng = np.random.default_rng(7)
-    t0 = time.time()
-    docs = make_corpus(args.docs, args.vocab, rng)
-    gen_s = time.time() - t0
-
     import shutil
     import tempfile
+    from pathlib import Path
 
-    tmp = tempfile.mkdtemp(prefix="seekstorm_bench_")
+    reuse = (args.index_dir is not None
+             and (Path(args.index_dir) / "ix" / "index.json").exists())
+    gen_s = index_s = commit_s = 0.0
+    tmp = args.index_dir or tempfile.mkdtemp(prefix="seekstorm_bench_")
     try:
-        schema = [
-            st.SchemaField("title", st.FieldType.Text, indexed=True, boost=10.0),
-            st.SchemaField("body", st.FieldType.Text, indexed=True),
-        ]
-        idx = st.create_index(f"{tmp}/ix", schema, shard_count=args.shards)
-        t0 = time.time()
-        idx.index_documents(docs)
-        index_s = time.time() - t0
-        del docs
-        t0 = time.time()
-        idx.commit()
-        commit_s = time.time() - t0
+        if reuse:
+            idx = st.open_index(f"{tmp}/ix")
+        else:
+            rng = np.random.default_rng(7)
+            t0 = time.time()
+            docs = make_corpus(args.docs, args.vocab, rng)
+            gen_s = time.time() - t0
+            schema = [
+                st.SchemaField("title", st.FieldType.Text, indexed=True,
+                               boost=10.0),
+                st.SchemaField("body", st.FieldType.Text, indexed=True),
+            ]
+            idx = st.create_index(f"{tmp}/ix", schema,
+                                  shard_count=args.shards)
+            t0 = time.time()
+            idx.index_documents(docs)
+            index_s = time.time() - t0
+            del docs
+            t0 = time.time()
+            idx.commit()
+            commit_s = time.time() - t0
 
         # pipelined serving: N worker threads each issuing batches — host
         # planning overlaps device execution and tunnel round trips
@@ -227,7 +238,8 @@ def main() -> None:
             )
         )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if args.index_dir is None:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

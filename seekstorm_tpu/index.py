@@ -914,12 +914,30 @@ class Index:
                     self._reload_shard(sh)
 
     def commit(self) -> None:
+        """Commit all shards (reference Commit commit.rs:50-166 — parallel
+        per-shard JoinSet).  The level pack runs sequentially under the
+        locks (it feeds shared spelling/completion state); the expensive
+        phase — rebuilding each shard's committed structures + device
+        inputs (build_shard_lexical) — runs shard-parallel, so commit
+        wall-time scales with the largest shard, not the sum."""
         # lock order everywhere: shard.ingest_lock BEFORE self._lock
         # (parallel-ingest workers hold a shard lock when a full level
         # triggers a nested commit under the global lock)
         for sh in self.shards:
             with sh.ingest_lock, self._lock:
-                self._commit_shard(sh)
+                self._commit_shard(sh, reload=False)
+        need = [sh for sh in self.shards
+                if getattr(sh, "_needs_reload", False)]
+        if len(need) > 1:
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(
+                max_workers=min(len(need), os.cpu_count() or 8)
+            ) as ex:
+                list(ex.map(self._reload_shard, need))
+        else:
+            for sh in need:
+                self._reload_shard(sh)
         with self._lock:
             self.save_meta()
             if self._frequent_words:

@@ -411,7 +411,10 @@ class IndexMeta:
     custom_frequent_words: tuple = ()
     ngram_indexing: int = 0            # NgramSet bitflags (0 = off)
     access_type: AccessType = AccessType.Ram
-    doc_compression: DocumentCompression = DocumentCompression.Zlib
+    # default to a FAST codec like the reference (its default is Snappy,
+    # index.rs doc_store_compression_default); Lz4 is served by the in-repo
+    # C++ block codec at ~560/900 MB/s
+    doc_compression: DocumentCompression = DocumentCompression.Lz4
     spelling_correction: SpellingCorrection = field(
         default_factory=SpellingCorrection)
     query_completion: QueryCompletion = field(default_factory=QueryCompletion)

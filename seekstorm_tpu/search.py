@@ -33,9 +33,6 @@ PRUNE_BLOCKS = 16
 # query-tiled kernel (ops/lexical.lexical_scan_qt) instead of the
 # full-batch scan — below it the full-batch scan's fixed costs win
 QT_MIN_BLOCKS = 32
-# exact phrase counting limit: if the AND candidate count is below this we
-# retrieve and verify every candidate for exact phrase counts
-PHRASE_EXACT_LIMIT = 16_384
 
 
 class QueryType(str, enum.Enum):
@@ -177,7 +174,7 @@ class _QuerySpec:
 
 
 def _build_specs(
-    index: Index, queries: list[str], default_type: QueryType
+    index: Index, queries: list[str], default_types: list[QueryType]
 ) -> tuple[list[_Slot], list[_QuerySpec]]:
     from .ngram import segment_phrase
 
@@ -218,7 +215,7 @@ def _build_specs(
             out.append(slot_of[vh])
         return out
 
-    for q in queries:
+    for q, default_type in zip(queries, default_types):
         pq = parse_query(q, index.analyzer)
         weights: dict[int, float] = {}
         required: dict[int, bool] = {}
@@ -700,12 +697,46 @@ def search(index: Index, request: SearchRequest) -> ResultSet:
     return search_batch(index, [request])[0]
 
 
+def _req_signature(r: SearchRequest) -> tuple:
+    """Batch-compatibility key: everything except the query text/vector
+    and paging (one device launch per distinct signature)."""
+    return (
+        r.result_type, r.realtime,
+        tuple(r.field_filter), tuple(r.fields),
+        tuple((h.field, h.fragment_number, h.fragment_size,
+               h.highlight_markup) for h in r.highlights),
+        tuple((qf.field, qf.length, repr(qf.ranges))
+              for qf in r.query_facets),
+        tuple((f.field, tuple(f.values) if f.values else None,
+               tuple(f.range) if f.range else None)
+              for f in r.facet_filter),
+        tuple((s.field, s.order, repr(s.base)) for s in r.result_sort),
+        r.search_mode, r.ann_mode, r.nprobe, r.similarity_threshold,
+        r.top_n, tuple(map(repr, r.distance_fields)),
+        repr(r.query_rewriting),
+    )
+
+
 def search_batch(index: Index, requests: list[SearchRequest]) -> list[ResultSet]:
     """Execute a batch of lexical/vector/hybrid searches.
 
-    All requests must share the same settings except the query string /
-    query vector (the batch maps to one device launch)."""
+    Heterogeneous batches are grouped by compatible settings internally
+    (one device launch per group); queries, paging, and query vectors may
+    differ freely within a group."""
     from .metrics import METRICS
+
+    if len(requests) > 1:
+        sig0 = _req_signature(requests[0])
+        if any(_req_signature(r) != sig0 for r in requests[1:]):
+            groups: dict[tuple, list[int]] = {}
+            for i, r in enumerate(requests):
+                groups.setdefault(_req_signature(r), []).append(i)
+            out: list[ResultSet | None] = [None] * len(requests)
+            for idxs in groups.values():
+                sub = search_batch(index, [requests[i] for i in idxs])
+                for i, rs in zip(idxs, sub):
+                    out[i] = rs
+            return out  # type: ignore[return-value]
 
     METRICS.inc("queries_total", len(requests))
     index.ensure_loaded()
@@ -941,7 +972,8 @@ def _lexical_search_batch(
 
     req0 = requests[0]
     queries = [r.query for r in requests]
-    slots, specs = _build_specs(index, queries, req0.query_type_default)
+    slots, specs = _build_specs(
+        index, queries, [r.query_type_default for r in requests])
 
     results: list[ResultSet | None] = [None] * len(requests)
     live: list[int] = []
@@ -986,7 +1018,8 @@ def _lexical_search_batch(
     live_specs = [specs[i] for i in live]
     with_counts = req0.result_type in (ResultType.Count, ResultType.TopkCount)
     has_phrase = any(s.phrases for s in live_specs)
-    need = req0.offset + req0.length
+    # paging may differ within a batch group; size k by the deepest page
+    need = max(r.offset + r.length for r in requests)
     k = ceil_pow2(max(need, 10), 16)
     if has_phrase:
         k = ceil_pow2(max(4 * need + 64, 128))
@@ -1009,6 +1042,7 @@ def _lexical_search_batch(
     merged_scores = [np.zeros(0, np.float32) for _ in range(B)]
     merged_ids = [np.zeros(0, np.int64) for _ in range(B)]
     counts = np.zeros(B, dtype=np.int64)
+    tail_phrase_counts = np.zeros(B, dtype=np.int64)
     counts_exact = np.ones(B, dtype=bool)
 
     need_full = with_counts or has_phrase
@@ -1111,13 +1145,6 @@ def _lexical_search_batch(
                         cover_full, PRUNE_BLOCKS, mode=mode)
             for sh in index.shards
         ]
-    if has_phrase and with_counts:
-        max_cand = max(
-            (int(p.n_cand_blocks.max()) for p in plans if p is not None),
-            default=0,
-        ) * BLOCK_SIZE
-        max_cand = min(max_cand, PHRASE_EXACT_LIMIT)
-        k_eff = min(ceil_pow2(max(k, max_cand)), PHRASE_EXACT_LIMIT)
     if any(p is not None for p in plans):
         from .metrics import METRICS
 
@@ -1174,11 +1201,13 @@ def _lexical_search_batch(
         if req0.realtime and shard.tail_len() > 0:
             _merge_tail(index, shard, slots, live_specs, boosts,
                         merged_scores, merged_ids, counts, with_counts,
-                        req0, facet_specs, fc_total, fcm, sorting, sort_desc)
+                        req0, facet_specs, fc_total, fcm, sorting, sort_desc,
+                        tail_phrase_counts=tail_phrase_counts)
     return _finalize_lexical(index, requests, results, live, live_specs,
                              slots, merged_scores, merged_ids, counts,
                              counts_exact, with_counts, facet_specs,
-                             fc_total, sorting, sort_desc)
+                             fc_total, sorting, sort_desc,
+                             tail_phrase_counts=tail_phrase_counts)
 
 
 def precompile_scan(
@@ -1282,10 +1311,75 @@ def _get_stacked(index: Index):
     return st
 
 
+def _slot_global_docids(index, slots, s) -> np.ndarray:
+    """All committed global doc ids holding slot s (host posting lists)."""
+    h = slots[s].hash
+    out = []
+    for shard in index.shards:
+        lex = shard.lexical
+        d = lex.directory
+        ti = d.lookup(h)
+        if ti < 0 or lex.pl_docid is None:
+            continue
+        for e in range(int(d.seg_start[ti]), int(d.seg_start[ti + 1])):
+            a = int(d.seg_offset[e])
+            ln = int(d.seg_len[e])
+            ids = (lex.pl_docid[a : a + ln].astype(np.int64)
+                   + int(d.seg_block[e]) * BLOCK_SIZE)
+            out.append(ids * index.shard_count + shard.shard_id)
+    return np.concatenate(out) if out else np.zeros(0, np.int64)
+
+
+def _phrase_exact_committed(index, slots, spec, request) -> np.ndarray:
+    """Sorted global ids of committed docs matching the WHOLE query's
+    phrase + required/negated/deleted (+ facet filter) constraints —
+    exact phrase counting with no candidate cliff (reference gets this
+    from per-doc position streams, add_result.rs:38-92)."""
+    from .phrase import phrase_docs_global
+
+    cand = phrase_docs_global(index, slots, spec)
+    cand = np.sort(cand)
+    phrase_slots = {s for ph in spec.phrases for s, _ in ph}
+    for s, r in spec.required.items():
+        if not r or spec.negated.get(s) or s in phrase_slots:
+            continue
+        if len(cand) == 0:
+            break
+        cand = cand[np.isin(cand, _slot_global_docids(index, slots, s))]
+    for s, n_ in spec.negated.items():
+        if not n_ or len(cand) == 0:
+            continue
+        cand = cand[~np.isin(cand, _slot_global_docids(index, slots, s))]
+    S = index.shard_count
+    for shard in index.shards:
+        if shard.deleted and len(cand):
+            dl = np.fromiter(shard.deleted, dtype=np.int64)
+            cand = cand[~np.isin(cand, dl * S + shard.shard_id)]
+    if request is not None and request.facet_filter and len(cand):
+        from . import facets as facets_mod
+
+        rt = facets_mod.get_runtime(index)
+        allowed = rt.filter_mask(request.facet_filter)
+        if allowed is not None:
+            sid = (cand % S).astype(np.int64)
+            loc = (cand // S).astype(np.int64)
+            okm = np.ones(len(cand), bool)
+            for shard in index.shards:
+                m = sid == shard.shard_id
+                am = allowed[shard.shard_id]
+                inb = loc[m] < am.shape[0]
+                ok_part = np.zeros(int(m.sum()), bool)
+                ok_part[inb] = am[loc[m][inb]]
+                okm[m] = ok_part
+            cand = cand[okm]
+    return cand
+
+
 def _finalize_lexical(index, requests, results, live, live_specs, slots,
                       merged_scores, merged_ids, counts, counts_exact,
                       with_counts, facet_specs=(), fc_total=None,
-                      sorting=False, sort_desc=True):
+                      sorting=False, sort_desc=True,
+                      tail_phrase_counts=None):
     # phrase verification + final assembly
     for bi, qi in enumerate(live):
         spec = live_specs[bi]
@@ -1298,26 +1392,26 @@ def _finalize_lexical(index, requests, results, live, live_specs, slots,
         order = np.lexsort((gids, -scores))
         scores, gids = scores[order], gids[order]
         if spec.phrases:
-            retrieved = len(gids)
-            and_count = int(counts[bi])  # device AND count (pre-verification)
-            keep = np.ones(len(gids), dtype=bool)
-            for row, g in enumerate(gids):
-                if not _phrase_ok(index, slots, spec, int(g)):
-                    keep[row] = False
-            scores, gids = scores[keep], gids[keep]
+            # exact committed phrase-match set (host posting intersection +
+            # vectorized position join, phrase.py); retrieved results check
+            # membership, tail docs verify per doc
+            pd = _phrase_exact_committed(index, slots, spec, requests[qi])
+            if len(gids):
+                S_ = index.shard_count
+                sid = (gids % S_).astype(np.int64)
+                loc = (gids // S_).astype(np.int64)
+                committed = np.array(
+                    [index.shards[x].committed_doc_count for x in sid])
+                is_tail = loc >= committed
+                keep = np.isin(gids, pd)
+                for row in np.flatnonzero(is_tail):
+                    keep[row] = _phrase_ok(index, slots, spec, int(gids[row]))
+                scores, gids = scores[keep], gids[keep]
             if with_counts:
-                if and_count <= retrieved:
-                    # every AND candidate was retrieved and verified
-                    counts[bi] = len(gids)
-                else:
-                    # candidates exceeded the verification window: report an
-                    # extrapolated estimate and mark it inexact (the n-gram
-                    # index path gives exact counts for frequent phrases —
-                    # the segment's df IS the phrase count)
-                    counts[bi] = int(round(
-                        and_count * (len(gids) / max(retrieved, 1))
-                    ))
-                    counts_exact[bi] = False
+                counts[bi] = len(pd) + (
+                    int(tail_phrase_counts[bi])
+                    if tail_phrase_counts is not None else 0)
+                counts_exact[bi] = True
         rs = ResultSet()
         rs.query_terms = [slots[s].term for s in spec.weights
                           if not slots[s].virtual]
@@ -1398,7 +1492,7 @@ def _merge_tail(
     index: Index, shard: Shard, slots, specs, boosts,
     merged_scores, merged_ids, counts, with_counts,
     req0=None, facet_specs=(), fc_total=None, fcm=1,
-    sorting=False, sort_desc=True,
+    sorting=False, sort_desc=True, tail_phrase_counts=None,
 ) -> None:
     """Score the uncommitted level-0 tail with the numpy oracle and merge
     (including tail facet counting / filtering / sort keys)."""
@@ -1491,7 +1585,15 @@ def _merge_tail(
             n_docs, n_tail, term_ps, dfs, reqs, negs, tail_deleted
         )
         if with_counts:
-            counts[qi] += int(matched.sum())
+            if spec.phrases and tail_phrase_counts is not None:
+                # exact: phrase-verify every AND-matched tail doc (the
+                # tail is <= 64K docs; its phrase candidates are few)
+                for li in np.flatnonzero(matched):
+                    g = (int(li) + base) * index.shard_count + shard.shard_id
+                    if _phrase_ok(index, slots, spec, g):
+                        tail_phrase_counts[qi] += 1
+            else:
+                counts[qi] += int(matched.sum())
         if facet_specs and fc_total is not None:
             from .schema import FieldType as FT2
 

@@ -393,3 +393,43 @@ def test_dense_term_representation(tmp_path, monkeypatch):
         sa = {r.doc_id: round(r.score, 4) for r in a.results}
         sb = {r.doc_id: round(r.score, 4) for r in b.results}
         assert sa == sb, (q, sa, sb)
+
+
+def test_phrase_counts_exact_at_scale(tmp_path):
+    """Phrase counts are exact with no candidate cliff (phrase.py: host
+    posting intersection + vectorized position join; reference gets this
+    from position streams, add_result.rs:38-92)."""
+    import seekstorm_tpu as st
+
+    schema = [st.SchemaField("body", st.FieldType.Text, stored=True,
+                             indexed=True)]
+    idx = st.create_index(tmp_path / "ix", schema, shard_count=2)
+    docs = []
+    n_adj = 0
+    for i in range(3000):
+        if i % 3 == 0:
+            docs.append({"body": f"alpha beta filler{i}"})      # adjacent
+            n_adj += 1
+        elif i % 3 == 1:
+            docs.append({"body": f"alpha filler{i} beta"})      # apart
+        else:
+            docs.append({"body": f"beta alpha filler{i}"})      # reversed
+    idx.index_documents(docs)
+    idx.commit()
+    rs = idx.search(st.SearchRequest(query='"alpha beta"',
+                                     result_type=st.ResultType.TopkCount))
+    assert rs.count_exact
+    assert rs.result_count_total == n_adj
+    # negation + phrase, and required extra term
+    rs = idx.search(st.SearchRequest(query='"alpha beta" +filler0',
+                                     result_type=st.ResultType.TopkCount))
+    assert rs.result_count_total == 1 and rs.count_exact
+    rs = idx.search(st.SearchRequest(query='"alpha beta" -filler0',
+                                     result_type=st.ResultType.TopkCount))
+    assert rs.result_count_total == n_adj - 1 and rs.count_exact
+    # realtime tail phrase docs count too
+    idx.index_document({"body": "alpha beta tail"})
+    idx.index_document({"body": "beta alpha tail"})
+    rs = idx.search(st.SearchRequest(query='"alpha beta"', realtime=True,
+                                     result_type=st.ResultType.TopkCount))
+    assert rs.result_count_total == n_adj + 1 and rs.count_exact

@@ -101,3 +101,41 @@ def test_iterator_edges(tmp_index_dir, rng):
     got = idx.get_iterator(take=2, include_document=True)
     assert got[0][0] == 0 and got[0][1]["title"] == docs[0]["title"]
     assert idx.get_iterator(document_id=1000, take=3) == []
+
+
+def test_mixed_batch_grouping(tmp_path):
+    """search_batch accepts heterogeneous requests: settings group
+    internally, results come back in request order."""
+    import seekstorm_tpu as st
+
+    schema = [st.SchemaField("body", st.FieldType.Text, stored=True,
+                             indexed=True)]
+    idx = st.create_index(tmp_path / "ix", schema, shard_count=1)
+    idx.index_documents(
+        [{"body": f"alpha beta doc{i} " + ("gamma" if i % 2 else "")}
+         for i in range(40)])
+    idx.commit()
+
+    reqs = [
+        st.SearchRequest(query="alpha", result_type=st.ResultType.TopkCount),
+        st.SearchRequest(query="alpha gamma",
+                         query_type_default=st.QueryType.Intersection,
+                         result_type=st.ResultType.TopkCount),
+        st.SearchRequest(query="beta", result_type=st.ResultType.Topk,
+                         length=5),
+        st.SearchRequest(query="alpha", offset=10, length=7,
+                         result_type=st.ResultType.TopkCount),
+        st.SearchRequest(query="gamma", fields=["body"]),
+    ]
+    out = idx.search_batch(reqs)
+    assert out[0].result_count_total == 40
+    assert out[1].result_count_total == 20
+    assert len(out[2].results) == 5
+    assert len(out[3].results) == 7 and out[3].results[0].doc_id not in [
+        r.doc_id for r in out[0].results]
+    assert out[4].results[0].doc is not None
+    # singles must agree with the mixed batch
+    for i, r in enumerate(reqs):
+        single = idx.search(r)
+        assert [x.doc_id for x in single.results] == [
+            x.doc_id for x in out[i].results], i
