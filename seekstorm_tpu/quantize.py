@@ -91,12 +91,27 @@ def quantize_prepared(
             norm2=norm2,
         )
 
-    mn = xp.min(axis=1)
-    mx = xp.max(axis=1)
-    scale = np.maximum((mx - mn) / 255.0, 1e-12).astype(np.float32)
-    zp = mn.astype(np.float32)
-    q = np.rint((xp - zp[:, None]) / scale[:, None]).clip(0, 255)
-    stored = (q - 128).astype(np.int8)
+    if quantization == Quantization.TurboQuantI8:
+        # QJL estimator (reference calculate_scale, vector_similarity.rs:
+        # 2035-2039): after the random-sign FWHT rotation the coordinates
+        # are ~N(0, sigma) with sigma = ||x|| / sqrt(d); quantize with the
+        # symmetric sigma/32 step (clip at ~4 sigma).  Expressed in the
+        # affine (scale, zp) form with zp = -128*scale so the shared
+        # reconstruction algebra below stays exact.
+        l2 = np.sqrt((xp * xp).sum(axis=1))
+        scale = np.maximum(
+            l2 / np.float32(np.sqrt(xp.shape[1])) / 32.0, 1e-8
+        ).astype(np.float32)
+        stored = (np.rint(xp / scale[:, None]).clip(-127, 127)
+                  .astype(np.int8))
+        zp = (-128.0 * scale).astype(np.float32)
+    else:
+        mn = xp.min(axis=1)
+        mx = xp.max(axis=1)
+        scale = np.maximum((mx - mn) / 255.0, 1e-12).astype(np.float32)
+        zp = mn.astype(np.float32)
+        q = np.rint((xp - zp[:, None]) / scale[:, None]).clip(0, 255)
+        stored = (q - 128).astype(np.int8)
     qsum = stored.sum(axis=1, dtype=np.int64).astype(np.float32)
     # Norms are computed in the QUANTIZED domain (||x_hat||^2, reference
     # vector_similarity.rs:1449-1453 computes `norm` from the stored int8

@@ -338,6 +338,18 @@ class _Handler(BaseHTTPRequestHandler):
             if method == "GET":     # info
                 info = ix.info()
                 info["schema"] = [schema_field_to_api(sf) for sf in ix.schema]
+                # numeric-facet min/max (reference index_facets_minmax,
+                # index.rs:4649) — feeds the web UI's range sliders
+                minmax = {}
+                from ..facets import index_facets_minmax
+
+                for sf in ix.facet_fields:
+                    if sf.field_type.is_numeric:
+                        lo, hi = index_facets_minmax(ix, sf.field)
+                        if lo is not None:
+                            minmax[sf.field] = [float(lo), float(hi)]
+                if minmax:
+                    info["facets_minmax"] = minmax
                 return self._send(200, info)
             return self._err(405, "method not allowed")
 

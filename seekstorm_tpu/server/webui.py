@@ -1,6 +1,9 @@
-"""Embedded web UI: instant search with facets, sorting and paging
-(own implementation of the reference's embedded UI capability,
-reference seekstorm_server/web/ — served at GET /)."""
+"""Embedded web UI: instant search with facets, range/date histogram
+sliders, document preview, sorting and paging (own implementation of the
+reference's embedded UI capability — facet histogram slider + date
+filter + PDF preview, reference seekstorm_server/web/js/master.js:14,19 —
+served at GET /).  The preview modal shows the stored document (for PDFs
+ingested via /file, that is the extracted text)."""
 
 INDEX_HTML = """<!doctype html>
 <html lang="en">
@@ -32,6 +35,19 @@ INDEX_HTML = """<!doctype html>
   #sugg { color:var(--acc); font-size:.85rem; }
   button { font:inherit; padding:.4rem .8rem; border:1px solid var(--line);
            background:#fff; border-radius:6px; cursor:pointer; }
+  .rng { margin:.2rem 0 .6rem; }
+  .rng .bars { display:flex; align-items:flex-end; gap:1px; height:2.2rem; }
+  .rng .bars div { flex:1; background:var(--acc); opacity:.35; min-height:1px; }
+  .rng .bars div.on { opacity:.9; }
+  .rng input[type=range] { width:100%; margin:0; }
+  .rng .lbl { display:flex; justify-content:space-between; color:var(--mut);
+              font-size:.75rem; }
+  #modal { position:fixed; inset:0; background:rgba(0,0,0,.45);
+           display:none; align-items:center; justify-content:center; }
+  #modal .card { background:#fff; max-width:46rem; max-height:80vh;
+                 overflow:auto; padding:1.2rem; border-radius:10px;
+                 white-space:pre-wrap; }
+  .hit .preview { color:var(--acc); cursor:pointer; font-size:.8rem; }
 </style>
 </head>
 <body>
@@ -49,6 +65,7 @@ INDEX_HTML = """<!doctype html>
   </select>
   <input id="q" placeholder="search…" autofocus>
 </header>
+<div id="modal"><div class="card"></div></div>
 <main>
   <aside id="facets"></aside>
   <section id="results">
@@ -61,6 +78,13 @@ INDEX_HTML = """<!doctype html>
 <script>
 const $ = s => document.querySelector(s);
 let offset = 0, facetFields = [], activeFilters = {}, schema = [];
+let rangeFields = {}, activeRanges = {};  // numeric/date facet sliders
+const NBUCKETS = 20;
+const isDate = f => f.field_type === "Timestamp";
+function fmtVal(f, v) {
+  return isDate(f) ? new Date(v * 1000).toISOString().slice(0, 10)
+                   : (+v).toLocaleString();
+}
 for (const k of ["apikey","index"]) {
   $("#"+k).value = localStorage.getItem("st_"+k) || $("#"+k).value;
   $("#"+k).addEventListener("change", e => {
@@ -79,25 +103,50 @@ async function loadSchema() {
   try {
     const info = await api("", null, "GET");
     schema = info.schema || [];
-    facetFields = schema.filter(f => f.facet).map(f => f.field);
+    rangeFields = info.facets_minmax || {};
+    facetFields = schema.filter(f => f.facet && !(f.field in rangeFields))
+                        .map(f => f.field);
     $("#stats").textContent =
       `${info.indexed_doc_count} docs · ${info.term_count} terms`;
   } catch (e) { $("#stats").textContent = e.message; }
+}
+function bucketBounds(field) {
+  const [lo, hi] = rangeFields[field];
+  const w = (hi - lo) / NBUCKETS || 1;
+  return Array.from({length: NBUCKETS}, (_, i) => lo + i * w);
 }
 function req(extraLen) {
   const filters = Object.entries(activeFilters)
     .filter(([_, vs]) => vs.size)
     .map(([f, vs]) => ({field: f, values: [...vs]}));
+  for (const [f, r] of Object.entries(activeRanges))
+    if (r) filters.push({field: f, range: r});
+  // histogram facets for numeric/date fields (reference master.js:14
+  // facet histogram slider + date filter)
+  const rangeFacets = Object.keys(rangeFields).map(f => ({
+    field: f, length: NBUCKETS,
+    ranges: {field: f, range_type: "CountWithinRange",
+             ranges: bucketBounds(f).map((b, i) => [String(i), b])},
+  }));
   return {
     query: $("#q").value, offset, length: 10 + (extraLen||0),
     realtime: true, query_type_default: $("#qtype").value,
     search_mode: $("#mode").value,
     highlights: schema.filter(f => f.store && f.field_type === "Text")
                       .map(f => ({field: f.field, fragment_size: 200})),
-    query_facets: facetFields.map(f => ({field: f, length: 8})),
+    query_facets: [...facetFields.map(f => ({field: f, length: 8})),
+                   ...rangeFacets],
     facet_filter: filters,
   };
 }
+async function preview(id) {
+  const doc = await api(`/doc/${id}`, null, "GET");
+  const card = $("#modal .card");
+  card.textContent = Object.entries(doc)
+    .map(([k, v]) => `${k}:\n${v}`).join("\n\n");
+  $("#modal").style.display = "flex";
+}
+$("#modal").onclick = () => $("#modal").style.display = "none";
 function render(r, append) {
   if (!append) $("#hits").innerHTML = "";
   $("#stats").textContent =
@@ -114,12 +163,68 @@ function render(r, append) {
       if (typeof v === "string" && v) body += `<div>${v}</div>`;
     }
     div.innerHTML = `<div class="id">#${hit._id} · ${
-      hit._score.toFixed(3)}</div>${body}`;
+      hit._score.toFixed(3)} <span class="preview">preview</span></div>${body}`;
+    div.querySelector(".preview").onclick = () => preview(hit._id);
     $("#hits").appendChild(div);
   }
   $("#more").hidden = r.results.length < 10;
   const side = $("#facets"); side.innerHTML = "";
+  // range/date histogram sliders
+  for (const field of Object.keys(rangeFields)) {
+    const vals = (r.facets || {})[field];
+    if (!vals) continue;
+    const f = schema.find(x => x.field === field) || {};
+    const h = document.createElement("h3"); h.textContent = field;
+    side.appendChild(h);
+    const box = document.createElement("div"); box.className = "rng";
+    const bounds = bucketBounds(field);
+    const counts = new Array(NBUCKETS).fill(0);
+    for (const [lbl, cnt] of vals) counts[+lbl] = cnt;
+    const mx = Math.max(...counts, 1);
+    const bars = document.createElement("div"); bars.className = "bars";
+    const cur = activeRanges[field];
+    counts.forEach((c, i) => {
+      const bar = document.createElement("div");
+      bar.style.height = `${Math.round(c / mx * 100)}%`;
+      const bLo = bounds[i], bHi = bounds[i + 1] ?? rangeFields[field][1];
+      if (!cur || (bHi >= cur[0] && bLo <= cur[1])) bar.className = "on";
+      bars.appendChild(bar);
+    });
+    box.appendChild(bars);
+    const [lo, hi] = rangeFields[field];
+    const mkSlider = (val) => {
+      const sl = document.createElement("input");
+      sl.type = "range"; sl.min = lo; sl.max = hi;
+      sl.step = (hi - lo) / 100 || 1; sl.value = val;
+      return sl;
+    };
+    const s1 = mkSlider(cur ? cur[0] : lo);
+    const s2 = mkSlider(cur ? cur[1] : hi);
+    const lblRow = document.createElement("div"); lblRow.className = "lbl";
+    const upd = () => {
+      const a = Math.min(+s1.value, +s2.value);
+      const b = Math.max(+s1.value, +s2.value);
+      lblRow.textContent = "";
+      const l1 = document.createElement("span");
+      l1.textContent = fmtVal(f, a);
+      const l2 = document.createElement("span");
+      l2.textContent = fmtVal(f, b);
+      lblRow.append(l1, l2);
+      return [a, b];
+    };
+    upd();
+    const apply = () => {
+      const [a, b] = upd();
+      activeRanges[field] = (a <= lo && b >= hi) ? null : [a, b];
+      offset = 0; search();
+    };
+    s1.oninput = upd; s2.oninput = upd;
+    s1.onchange = apply; s2.onchange = apply;
+    box.append(s1, s2, lblRow);
+    side.appendChild(box);
+  }
   for (const [field, vals] of Object.entries(r.facets || {})) {
+    if (field in rangeFields) continue;
     const h = document.createElement("h3"); h.textContent = field;
     side.appendChild(h);
     for (const [val, cnt] of vals) {

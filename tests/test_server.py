@@ -59,7 +59,7 @@ def client(server):
             break
         except Exception:
             time.sleep(0.2)
-    key = c.create_apikey({"indices_max": 5}, master_key=server["master"])
+    key = c.create_apikey({"indices_max": 16}, master_key=server["master"])
     c.apikey = key
     return c
 
@@ -253,3 +253,43 @@ def test_pdf_file_upload(client):
                             "fields": ["title", "body"]})
     assert rs["count_total"] == 1
     assert rs["results"][0]["title"] == "PDF Title"
+
+
+def test_facets_minmax_and_range_histogram(client):
+    """Index info exposes numeric-facet min/max; a UI-style histogram
+    ranges facet + range filter round-trips (reference master.js:14)."""
+    iid = client.create_index({
+        "index_name": "rangeix",
+        "schema": [
+            {"field": "body", "field_type": "Text", "stored": True,
+             "indexed": True},
+            {"field": "year", "field_type": "U16", "stored": True,
+             "facet": True},
+        ],
+    })
+    client.index_documents(iid, [
+        {"body": f"doc {i}", "year": 1990 + (i % 30)} for i in range(90)
+    ])
+    client.commit_index(iid)
+    info = client.get_index_info(iid)
+    assert info["facets_minmax"]["year"] == [1990.0, 2019.0]
+    lo, hi = info["facets_minmax"]["year"]
+    w = (hi - lo) / 10
+    r = client.query(iid, {
+        "query": "doc", "length": 5,
+        "query_facets": [{"field": "year", "length": 10, "ranges": {
+            "field": "year", "range_type": "CountWithinRange",
+            "ranges": [[str(i), lo + i * w] for i in range(10)]}}],
+        "facet_filter": [{"field": "year", "range": [2000, 2009]}],
+    })
+    assert r["count_total"] == sum(1 for i in range(90)
+                                   if 2000 <= 1990 + (i % 30) <= 2009)
+    assert "year" in r["facets"]
+
+
+def test_web_ui_has_range_slider_and_preview(client, server):
+    import urllib.request
+
+    html = urllib.request.urlopen(
+        f"http://127.0.0.1:{server['port']}/").read().decode()
+    assert "rangeFields" in html and "preview" in html and "modal" in html

@@ -210,3 +210,29 @@ def test_hybrid_rrf(tmp_index_dir, rng):
         fused[r.doc_id] = fused.get(r.doc_id, 0) + 1 / (0.6 + rank)
     best = max(fused.items(), key=lambda kv: kv[1])[0]
     assert rs.results[0].doc_id == best
+
+
+def test_turboquant_qjl_quantizer():
+    """TurboQuant = random-sign FWHT rotation + sigma/32 symmetric (QJL)
+    quantizer (reference vector_similarity.rs:1825+, calculate_scale
+    :2035-2039): dots reconstruct within ~2% and the stored form is
+    symmetric (zp = -128*scale)."""
+    import numpy as np
+
+    from seekstorm_tpu.quantize import prepare_vectors, preprocess_vectors
+    from seekstorm_tpu.schema import (Precision, Quantization,
+                                      VectorSimilarity)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, size=(500, 96)).astype(np.float32)
+    qb = prepare_vectors(x, VectorSimilarity.Dot, Precision.I8,
+                         Quantization.TurboQuantI8)
+    np.testing.assert_allclose(qb.zp, -128.0 * qb.scale, rtol=1e-6)
+    xh = (qb.data.astype(np.float32) + 128.0) * qb.scale[:, None] \
+        + qb.zp[:, None]
+    xp = preprocess_vectors(x, VectorSimilarity.Dot,
+                            Quantization.TurboQuantI8)
+    exact = xp[:50] @ xp[50:100].T
+    approx = xh[:50] @ xh[50:100].T
+    rel = np.abs(approx - exact).mean() / np.abs(exact).mean()
+    assert rel < 0.03, rel
