@@ -54,6 +54,14 @@ DENSE_MIN = 32768
 # with exact precomputed impacts.
 BITMAP_MIN = 4096
 
+# per-bitmap-segment candidate stash (posting-space join path, ops/join.py):
+# the STASH_K highest-impact plain postings of every bitmap segment are
+# appended to the compacted device CSR (sorted by docid) so the join kernel
+# can source candidates for bitmap slots without enumerating the bitmap —
+# exact for top-k <= STASH_K because a bitmap-only doc outside the stash is
+# impact-dominated by >= STASH_K stash docs of its own block.
+STASH_K = 64
+
 
 @dataclass
 class CommittedLevel:
@@ -137,6 +145,9 @@ class TermDirectory:
     seg_dev_len: np.ndarray | None = None     # i32[S]
     # presence-bitmap row for the segment's plain postings, or -1
     seg_bitmap: np.ndarray | None = None      # i32[S]
+    # join-path candidate stash range in the device CSR (bitmap segs only)
+    seg_stash_off: np.ndarray | None = None   # i64[S]
+    seg_stash_len: np.ndarray | None = None   # i32[S]
 
     def lookup(self, h: int) -> int:
         i = int(np.searchsorted(self.hash, np.uint64(h)))
@@ -228,6 +239,8 @@ def build_shard_lexical(
         sh.directory.seg_dev_offset = np.zeros(0, np.int64)
         sh.directory.seg_dev_len = np.zeros(0, np.int32)
         sh.directory.seg_bitmap = np.zeros(0, np.int32)
+        sh.directory.seg_stash_off = np.zeros(0, np.int64)
+        sh.directory.seg_stash_len = np.zeros(0, np.int32)
         return sh
 
     F = levels[0].tf.shape[1]
@@ -348,6 +361,10 @@ def build_shard_lexical(
     seg_bitmap = np.full(len(order), -1, np.int32)
     bm_rows: list[np.ndarray] = []
     W32 = BLOCK_SIZE // 32
+    # join-path candidate stash per bitmap segment (see STASH_K)
+    stash_seg: list[int] = []
+    stash_docid: list[np.ndarray] = []
+    stash_imp: list[np.ndarray] = []
     for e in np.flatnonzero(seg_len_sorted >= BITMAP_MIN):
         a = int(seg_off_sorted[e])
         ln = int(seg_len_sorted[e])
@@ -361,6 +378,14 @@ def build_shard_lexical(
         seg_bitmap[e] = len(bm_rows)
         bm_rows.append(words)
         keep[a : a + ln] &= ~pm
+        blk = int(seg_block_sorted[e])
+        s1seg = sat1[blk * BLOCK_SIZE + ids]
+        t = min(STASH_K, len(ids))
+        topi = np.argpartition(-s1seg, t - 1)[:t]
+        sel = np.sort(ids[topi])
+        stash_seg.append(e)
+        stash_docid.append(sel.astype(np.uint16))
+        stash_imp.append(sat1[blk * BLOCK_SIZE + sel])
     sh.bitmaps = (np.stack(bm_rows) if bm_rows
                   else np.zeros((0, W32), np.uint32))
 
@@ -389,6 +414,19 @@ def build_shard_lexical(
     np.cumsum(seg_dev_len, out=seg_dev_offset[1:])
     seg_dev_offset = seg_dev_offset[:-1]
 
+    # append the join-path stash postings after the compacted CSR
+    seg_stash_off = np.zeros(len(order), np.int64)
+    seg_stash_len = np.zeros(len(order), np.int32)
+    if stash_seg:
+        base0 = len(sh.dev_docid)
+        lens = np.array([len(x) for x in stash_docid], np.int64)
+        offs = base0 + np.concatenate([[0], np.cumsum(lens)[:-1]])
+        seg_stash_off[stash_seg] = offs
+        seg_stash_len[stash_seg] = lens
+        sh.dev_docid = np.concatenate([sh.dev_docid] + stash_docid)
+        sh.dev_imp = np.concatenate([sh.dev_imp] + stash_imp).astype(
+            np.float32)
+
     sh.directory = TermDirectory(
         hash=uniq_hash,
         df=df,
@@ -401,6 +439,8 @@ def build_shard_lexical(
         seg_dev_offset=seg_dev_offset,
         seg_dev_len=seg_dev_len,
         seg_bitmap=seg_bitmap,
+        seg_stash_off=seg_stash_off,
+        seg_stash_len=seg_stash_len,
     )
     return sh
 

@@ -171,6 +171,82 @@ def _unpack_plan_qt(row, T, NC, QTn, V, B, VD=0):
     return bi, c_row, c_se, qid, W, M, nr, did, dsl
 
 
+def _unpack_plan_join(row, B, V, NR, NS, NBp):
+    sizes = [B * V * NR, B * V, B * V, B * V * NS, B * NBp,
+             B * V, B * V, B]
+    offs = np.cumsum([0] + sizes)
+    rows = row[offs[0]:offs[1]].reshape(B, V, NR)
+    packA = row[offs[1]:offs[2]].reshape(B, V)
+    packB = row[offs[2]:offs[3]].reshape(B, V)
+    segp = row[offs[3]:offs[4]].reshape(B, V, NS)
+    rowtab = row[offs[4]:offs[5]].reshape(B, NBp)
+    W = jax.lax.bitcast_convert_type(
+        row[offs[5]:offs[6]], jnp.float32).reshape(B, V)
+    flags = row[offs[6]:offs[7]].reshape(B, V)
+    nreq = row[offs[7]:offs[8]]
+    isreq = (flags & 1) > 0
+    isneg = (flags & 2) > 0
+    return rows, packA, packB, segp, rowtab, W, isreq, isneg, nreq
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "shard_id", "B", "V", "NR", "NS", "NBp",
+                     "PW", "k", "has_bm"),
+)
+def scan_one_shard_join(
+    dev_docid, dev_imp, bitmaps, sat1, plan_buf,
+    *,
+    S: int, shard_id: int, B: int, V: int, NR: int, NS: int, NBp: int,
+    PW: int, k: int, has_bm: bool,
+):
+    from ..ops.join import join_scan
+
+    rows, packA, packB, segp, rowtab, W, isreq, isneg, nreq = \
+        _unpack_plan_join(plan_buf, B, V, NR, NS, NBp)
+    ts, ti = join_scan(
+        dev_docid, dev_imp, sat1, bitmaps,
+        rows, packA, packB, segp, rowtab, W, isreq, isneg, nreq,
+        k=k, PW=PW, has_bm=has_bm,
+    )
+    gid = ti * S + shard_id
+    cnt = jnp.zeros((B,), jnp.int32)
+    fc = jnp.zeros((1, B, 1), jnp.float32)
+    return ts, gid, cnt, fc
+
+
+def make_sharded_scan_join(mesh, statics):
+    """shard_map program (posting-space join path)."""
+    from jax import shard_map
+
+    from ..ops.join import join_scan
+
+    S = statics["S"]
+
+    def body(dev_docid, dev_imp, deleted, plan_buf, bitmaps, sat1):
+        rows, packA, packB, segp, rowtab, W, isreq, isneg, nreq = \
+            _unpack_plan_join(
+                plan_buf[0], statics["B"], statics["V"], statics["NR"],
+                statics["NS"], statics["NBp"])
+        ts, ti = join_scan(
+            dev_docid[0], dev_imp[0], sat1[0], bitmaps[0],
+            rows, packA, packB, segp, rowtab, W, isreq, isneg, nreq,
+            k=statics["k"], PW=statics["PW"], has_bm=statics["has_bm"],
+        )
+        B = ts.shape[0]
+        cnt = jnp.zeros((B,), jnp.int32)
+        fc = jnp.zeros((1, B, 1), jnp.float32)
+        return _merge_body(ts, ti, cnt, fc, S, statics["k"])
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("shards"),) * 6,
+        out_specs=(P("shards"), P("shards")),
+        check_vma=False,
+    )
+    return jax.jit(lambda *a: tuple(x[0] for x in fn(*a)))
+
+
 def _pack_result(ts, gid, cnt, fc):
     """Two result buffers (f32: scores|facets, i32: gids|counts) — a single
     device_get sync fetches both.  (Bitcasting small ints through f32 is
@@ -690,6 +766,40 @@ class StackedIndex:
         gid = i32_part[:B_true, :k]
         cnt = i32_part[:B_true, k]
         return ts, gid, cnt, fcounts
+
+    def run_join(self, plan_bufs, statics):
+        """Posting-space join path (ops/join.py; plans built by
+        search._build_join_plans).  Returns (ts f32[B, k], gid i32[B, k])
+        merged over shards."""
+        from ..metrics import METRICS
+
+        S = self.index.shard_count
+        k = statics["k"]
+        kw = {kk: vv for kk, vv in statics.items()}
+        if self.mesh is None:
+            results = []
+            for s in range(S):
+                d2, i2, _dl, bm, s1 = self.per_shard[s]
+                results.append(scan_one_shard_join(
+                    d2, i2, bm, s1, jnp.asarray(plan_bufs[s]),
+                    S=S, shard_id=s, **kw,
+                ))
+            out = self._merge(results, k)
+        else:
+            kw["S"] = S
+            key = ("join",) + tuple(sorted(kw.items()))
+            fn = self._sharded_fns.get(key)
+            if fn is None:
+                fn = make_sharded_scan_join(self.mesh, kw)
+                self._sharded_fns[key] = fn
+            plan_dev = self._put_row(np.stack(plan_bufs))
+            out = fn(self.dev_docid, self.dev_imp, self.deleted,
+                     plan_dev, self.bitmaps, self.sat1)
+        METRICS.inc("join_dispatch_total")
+        with METRICS.timer("lex_device"):
+            f32_part, i32_part = jax.device_get(out)
+        B = statics["B"]
+        return f32_part[:B, :k], i32_part[:B, :k]
 
     def _run_qt_mode(self, plans, k: int):
         """Query-tiled pruned path (plans built by _build_qt_plan)."""

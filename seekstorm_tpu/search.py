@@ -17,6 +17,7 @@ from dataclasses import dataclass, field as dfield
 import numpy as np
 
 from .index import Index, Shard
+from .lexindex import STASH_K
 from .oracle import idf as idf_fn
 from .oracle import score_query, topk_from_scores, verify_phrase
 from .schema import BLOCK_SIZE
@@ -665,6 +666,253 @@ def _build_qt_plan(slots, specs, selq, block_list, ent_sorted, dense_lists,
 
 
 # ---------------------------------------------------------------------------
+# posting-space join path (ops/join.py): work per query tracks its terms'
+# posting counts — the batched analog of the reference's galloping
+# posting-list walks (intersection.rs/union.rs) — instead of corpus size.
+
+JOIN_V_MAX = 4          # slots per query on the join path
+JOIN_PW_CAP = 1 << 17   # max window lanes per slot
+
+
+def _join_backend_ok() -> bool:
+    """The join path runs only on gather-friendly backends (CPU).
+
+    Measured on TPU v5e: XLA dynamic gathers run ~10-100 ns/element, so
+    the binary-search joins (log2(PW) gather passes over [B, V, PW]) cost
+    seconds per batch — 10x slower than the dense doc-space scan they
+    replace.  TPU batches take the windowed dense kernels instead; this
+    formulation is kept for CPU serving where per-element access is cheap
+    and posting-proportional work wins.  Override: SEEKSTORM_TPU_JOIN=1/0.
+    """
+    import os
+
+    ov = os.environ.get("SEEKSTORM_TPU_JOIN")
+    if ov is not None:
+        return ov not in ("0", "false")
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
+def _join_shard_infos(index: Index, slots: list[_Slot], realtime: bool):
+    """Per-shard join-path planning state: slot posting-window layouts
+    (cached on the shard between commits) + per-shard idf.  Returns None
+    when any shard disqualifies the path (deletes, stale format, too many
+    blocks)."""
+    hs = np.array([sl.hash for sl in slots], dtype=np.uint64)
+    idf_hs = np.array(
+        [sl.idf_hash if sl.idf_hash is not None else sl.hash
+         for sl in slots], dtype=np.uint64)
+    V = len(slots)
+    out = []
+    for shard in index.shards:
+        lex = shard.lexical
+        d = lex.directory
+        if (d is None or getattr(d, "seg_stash_off", None) is None
+                or lex.n_blocks > 4095 or shard.deleted):
+            return None
+        T = len(d.hash)
+        ti = np.searchsorted(d.hash, hs)
+        found = ti < T
+        tc = np.minimum(ti, max(T - 1, 0))
+        found &= (d.hash[tc] == hs) if T else False
+        df = np.where(found, d.df[tc], 0).astype(np.int64)
+        if not np.array_equal(idf_hs, hs):
+            ci = np.searchsorted(d.hash, idf_hs)
+            cf = ci < T
+            cc = np.minimum(ci, max(T - 1, 0))
+            cf &= (d.hash[cc] == idf_hs) if T else False
+            df = np.where(cf, d.df[cc], df)
+        n_docs = lex.doc_count
+        df_total = df.copy()
+        if realtime:
+            l0 = shard.level0
+            start = shard.partial_on_disk
+            n_docs += l0.doc_count - start
+            acc = getattr(l0, "acc", None)
+            for v, sl in enumerate(slots):
+                h = sl.idf_hash if sl.idf_hash is not None else sl.hash
+                if acc is not None:
+                    hit = acc.term_postings(h)
+                    if hit is not None:
+                        df_total[v] += int(np.sum(hit[0] >= start))
+                else:
+                    tp = l0.terms.get(h)
+                    if tp is not None:
+                        df_total[v] += int(
+                            np.sum(np.asarray(tp.docids) >= start))
+        idf = np.where(
+            df_total > 0,
+            np.log1p((n_docs - df_total + 0.5) / (df_total + 0.5)),
+            0.0,
+        ).astype(np.float32)
+
+        cache = getattr(lex, "_join_cache", None)
+        if cache is None:
+            cache = lex._join_cache = {}
+        wins = []
+        sa = np.where(found, d.seg_start[tc], 0)
+        sb = np.where(found, d.seg_start[np.minimum(tc + 1, T)], 0)
+        for v in range(V):
+            h = int(hs[v])
+            w = cache.get(h)
+            if w is None:
+                w = _join_slot_window(d, int(sa[v]), int(sb[v]))
+                cache[h] = w
+            wins.append(w)
+        out.append({"wins": wins, "idf": idf, "n_blocks": lex.n_blocks})
+    return out
+
+
+_JOIN_EMPTY = {
+    "rows": np.zeros(0, np.int32), "a0": 0, "la": 0, "b0": 0, "lb": 0,
+    "mk_lane": np.zeros(0, np.int64), "mk_blk": np.zeros(0, np.int32),
+    "bm_blk": np.zeros(0, np.int32), "bm_row": np.zeros(0, np.int32),
+    "has_bm": False, "nr": 0,
+}
+
+
+def _join_slot_window(d: TermDirectory, a: int, b: int):
+    """Posting-window layout of one term on one shard: storage rows
+    spanning the compacted-CSR range [dev_off, dev_off+len) plus the
+    bitmap-segment stash range, segment-start lane markers, and bitmap
+    rows per block.  None when the term exceeds the join-path caps."""
+    if b <= a:
+        return _JOIN_EMPTY
+    devl = np.asarray(d.seg_dev_len[a:b], np.int64)
+    devo = np.asarray(d.seg_dev_offset[a:b], np.int64)
+    blks = np.asarray(d.seg_block[a:b], np.int32)
+    so = np.asarray(d.seg_stash_off[a:b], np.int64)
+    sl_ = np.asarray(d.seg_stash_len[a:b], np.int64)
+    bmr = np.asarray(d.seg_bitmap[a:b], np.int32)
+    ln = int(devl.sum())
+    off = int(devo[0])
+    st_total = int(sl_.sum())
+    sm = sl_ > 0
+    st_off = int(so[sm][0]) if st_total else 0
+    NRa = 0 if ln == 0 else (off + ln - 1) // 128 - off // 128 + 1
+    NRb = (0 if st_total == 0
+           else (st_off + st_total - 1) // 128 - st_off // 128 + 1)
+    if (NRa + NRb) * 128 > JOIN_PW_CAP or st_total >= (1 << 13):
+        return None
+    a0 = off % 128 if ln else 0
+    b0 = NRa * 128 + (st_off % 128) if st_total else 0
+    rows = np.concatenate([
+        np.arange(off // 128, off // 128 + NRa, dtype=np.int32),
+        np.arange(st_off // 128, st_off // 128 + NRb, dtype=np.int32),
+    ])
+    am = devl > 0
+    mk_lane = np.concatenate([a0 + (devo[am] - off), b0 + (so[sm] - st_off)])
+    mk_blk = np.concatenate([blks[am], blks[sm]]).astype(np.int32)
+    has_bm = bool((bmr >= 0).any())
+    return {
+        "rows": rows, "a0": a0, "la": ln, "b0": int(b0), "lb": st_total,
+        "mk_lane": mk_lane.astype(np.int64), "mk_blk": mk_blk,
+        "bm_blk": blks[bmr >= 0], "bm_row": bmr[bmr >= 0],
+        "has_bm": has_bm, "nr": int(NRa + NRb),
+    }
+
+
+def _join_query_ok(spec: _QuerySpec, infos) -> bool:
+    """A query rides the join path iff every slot fits a posting window in
+    every shard and at most one slot is bitmap-backed anywhere."""
+    if len(spec.slots) > JOIN_V_MAX or not spec.weights:
+        return False
+    n_bm = 0
+    for s in spec.slots:
+        bm = False
+        for sh_info in infos:
+            w = sh_info["wins"][s]
+            if w is None:
+                return False
+            bm |= w["has_bm"]
+        n_bm += bm
+    return n_bm <= 1
+
+
+def _build_join_plans(index: Index, slots, jspecs, infos, k: int):
+    """Pack per-shard join plans into single i32 buffers.  Returns
+    (plan_bufs list[np.ndarray], statics dict)."""
+    B = len(jspecs)
+    S = len(infos)
+    # global slot classification: bitmap-backed in ANY shard -> last slot
+    bm_global = {
+        s: any(info["wins"][s]["has_bm"] for info in infos)
+        for spec in jspecs for s in spec.slots
+    }
+    order = []
+    for spec in jspecs:
+        csr = [s for s in spec.slots if not bm_global[s]]
+        bms = [s for s in spec.slots if bm_global[s]]
+        row = csr + [-1] * (JOIN_V_MAX - len(csr) - len(bms)) + bms
+        order.append(row)
+    has_bm = any(bm_global.values())
+    V = JOIN_V_MAX
+
+    NR = 1
+    NS = 1
+    for info in infos:
+        for spec, row in zip(jspecs, order):
+            for s in row:
+                if s < 0:
+                    continue
+                w = info["wins"][s]
+                NR = max(NR, w["nr"])
+                NS = max(NS, len(w["mk_lane"]))
+    NR = ceil_pow2(NR, 2)
+    NS = ceil_pow2(NS, 2)
+    PW = NR * 128
+    NBp = ceil_pow2(max(i["n_blocks"] for i in infos), 16)
+    Bp = ceil_pow2(B, 16)  # batch-dim bucketing bounds compiled shapes
+
+    bufs = []
+    for info in infos:
+        wins = info["wins"]
+        idf = info["idf"]
+        rows = np.full((Bp, V, NR), -1, np.int32)
+        packA = np.zeros((Bp, V), np.int32)
+        packB = np.zeros((Bp, V), np.int32)
+        segp = np.full((Bp, V, NS), -1, np.int32)
+        rowtab = np.full((Bp, NBp), -1, np.int32)
+        W = np.zeros((Bp, V), np.float32)
+        flags = np.zeros((Bp, V), np.int32)  # bit0 required, bit1 negated
+        nreq = np.zeros(Bp, np.int32)
+        for qi, (spec, row) in enumerate(zip(jspecs, order)):
+            nr_q = 0
+            for vi, s in enumerate(row):
+                if s < 0:
+                    continue
+                w = wins[s]
+                n = len(w["rows"])
+                rows[qi, vi, :n] = w["rows"]
+                packA[qi, vi] = (w["a0"] << 24) | w["la"]
+                packB[qi, vi] = (w["b0"] << 13) | w["lb"]
+                m = len(w["mk_lane"])
+                if m:
+                    segp[qi, vi, :m] = (
+                        (w["mk_lane"] << 12) | w["mk_blk"]
+                    ).astype(np.int32)
+                neg = spec.negated.get(s, False)
+                req = spec.required.get(s, False) and not neg
+                flags[qi, vi] = (1 if req else 0) | (2 if neg else 0)
+                if not neg and s in spec.weights:
+                    W[qi, vi] = idf[s]
+                if req:
+                    nr_q += 1
+                if vi == V - 1 and len(w["bm_blk"]):
+                    rowtab[qi, w["bm_blk"]] = w["bm_row"]
+            nreq[qi] = nr_q
+        bufs.append(np.concatenate([
+            rows.reshape(-1), packA.reshape(-1), packB.reshape(-1),
+            segp.reshape(-1), rowtab.reshape(-1),
+            W.reshape(-1).view(np.int32), flags.reshape(-1), nreq,
+        ]))
+    statics = dict(B=Bp, V=V, NR=NR, NS=NS, NBp=NBp, PW=PW,
+                   has_bm=has_bm, k=k)
+    return bufs, statics
+
+
+# ---------------------------------------------------------------------------
 # device dispatch
 
 
@@ -1125,6 +1373,41 @@ def _lexical_search_batch(
     prune_ok = stats[1] < 8 or stats[0] * 2 < stats[1]
     cover_full = need_full or not prune_ok
 
+    # posting-space join path: Topk-only batches whose queries fit posting
+    # windows ride ops/join.py — per-query work tracks its terms' posting
+    # counts (the reference's galloping-intersection cost model), results
+    # exact with no pruning or escalation.  Queries that don't fit (huge
+    # windows, >= 2 bitmap terms, deep paging) stay on the doc-space scan.
+    joined = np.zeros(B, bool)
+    if (
+        mode == "imp"
+        and not with_counts and not has_phrase
+        and not req0.query_facets and not req0.facet_filter
+        and not req0.result_sort
+        and k <= STASH_K
+        and _join_backend_ok()
+    ):
+        infos = _join_shard_infos(index, slots, req0.realtime)
+        if infos is not None:
+            with METRICS.timer("lex_plan"):
+                jrows = [i for i, sp in enumerate(live_specs)
+                         if _join_query_ok(sp, infos)]
+                if jrows:
+                    jspecs = [live_specs[i] for i in jrows]
+                    bufs, statics = _build_join_plans(
+                        index, slots, jspecs, infos, k)
+            if jrows:
+                METRICS.inc("device_dispatch_total")
+                ts_j, gid_j = stacked.run_join(bufs, statics)
+                for r, qi in enumerate(jrows):
+                    valid = np.isfinite(ts_j[r])
+                    merged_scores[qi] = ts_j[r][valid].astype(np.float32)
+                    merged_ids[qi] = gid_j[r][valid].astype(np.int64)
+                    joined[qi] = True
+
+    rest_rows = [i for i in range(B) if not joined[i]]
+    live_specs_rest = [live_specs[i] for i in rest_rows]
+
     # Topk-only PRUNED batches on large shards ride the query-tiled kernel:
     # per scan step work tracks the pruned plan (block x selecting-query
     # tile) instead of block x whole-batch (ops/lexical.lexical_scan_qt).
@@ -1139,12 +1422,16 @@ def _lexical_search_batch(
         mode = "qt"
 
     k_eff = k
-    with METRICS.timer("lex_plan"):
-        plans = [
-            _plan_shard(index, sh, slots, live_specs, req0.realtime,
-                        cover_full, PRUNE_BLOCKS, mode=mode)
-            for sh in index.shards
-        ]
+    if rest_rows:
+        with METRICS.timer("lex_plan"):
+            plans = [
+                _plan_shard(index, sh, slots, live_specs_rest,
+                            req0.realtime, cover_full, PRUNE_BLOCKS,
+                            mode=mode)
+                for sh in index.shards
+            ]
+    else:
+        plans = []
     if any(p is not None for p in plans):
         from .metrics import METRICS
 
@@ -1158,7 +1445,7 @@ def _lexical_search_batch(
         )
         if not all_full:
             stats[1] += 1
-            ub = np.zeros(B, np.float32)
+            ub = np.zeros(len(rest_rows), np.float32)
             for p in plans:
                 if p is not None:
                     ub = np.maximum(ub, p.ub_unscored)
@@ -1170,7 +1457,7 @@ def _lexical_search_batch(
                 # escalation covers each query's full candidate set; the
                 # qt kernel handles full coverage fine (tiles per block)
                 plans = [
-                    _plan_shard(index, sh, slots, live_specs,
+                    _plan_shard(index, sh, slots, live_specs_rest,
                                 req0.realtime, True, PRUNE_BLOCKS,
                                 mode=mode)
                     for sh in index.shards
@@ -1182,16 +1469,16 @@ def _lexical_search_batch(
                     allowed_dev=allowed_dev,
                 )
                 all_full = True
-        for qi in range(B):
-            valid = np.isfinite(ts[qi])
+        for r, qi in enumerate(rest_rows):
+            valid = np.isfinite(ts[r])
             merged_scores[qi] = np.concatenate(
-                [merged_scores[qi], ts[qi][valid]]
+                [merged_scores[qi], ts[r][valid]]
             )
             merged_ids[qi] = np.concatenate(
-                [merged_ids[qi], gid[qi][valid]]
+                [merged_ids[qi], gid[r][valid]]
             )
         if with_counts and all_full:
-            counts += cnt
+            counts[rest_rows] += cnt
         elif with_counts:
             counts_exact[:] = False
         if facet_specs and all_full:

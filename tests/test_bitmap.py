@@ -107,7 +107,9 @@ def test_bitmap_memory_form(bitmap_index):
     idx, _ = bitmap_index
     lex = idx.shards[0].lexical
     d = lex.directory
-    assert len(lex.dev_docid) == int(d.seg_dev_len.sum())
+    # device CSR = per-segment remainders + the join-path candidate stash
+    assert len(lex.dev_docid) == int(
+        d.seg_dev_len.sum() + d.seg_stash_len.sum())
     n_bm = int((d.seg_bitmap >= 0).sum())
     assert lex.bitmaps.shape == (n_bm, 2048)
     # every bitmap bit count equals the plain-posting count it replaced
