@@ -179,6 +179,19 @@ def main() -> None:
         lat = np.array(batch_lat_us)
         n_queries = args.threads * args.batch * args.iters * args.passes
 
+        # index-memory accounting (north star: <= reference index.bin for
+        # the same corpus).  HBM-resident scoring tensors + host stores.
+        hbm = 0
+        for sh in idx.shards:
+            lex = sh.lexical
+            for a in (lex.dev_docid, lex.dev_imp, lex.bitmaps, lex.sat1):
+                if a is not None:
+                    hbm += a.nbytes
+        disk = sum(
+            f.stat().st_size
+            for f in Path(tmp).rglob("*") if f.is_file()
+        )
+
         # engine-side breakdown + analytic device FLOPs (see search.py /
         # parallel/mesh.py instrumentation).  With pipelined worker threads
         # the per-thread device waits overlap, so device_s can exceed wall
@@ -234,6 +247,8 @@ def main() -> None:
                     "realtime": True,
                     "plan_escalations": escalations,
                     "device_dispatches": dispatches,
+                    "hbm_scoring_bytes": int(hbm),
+                    "disk_index_bytes": int(disk),
                 }
             )
         )

@@ -44,15 +44,18 @@ DENSE_MIN = 32768
 # Impact fast path: a (term, block) segment whose "plain" postings (tf == 1
 # in the primary field, 0 elsewhere) number at least BITMAP_MIN stores them
 # as a 64K-bit presence BITMAP (u32[2048], 8 KB) instead of CSR entries —
-# the same threshold at which the reference's roaring blocks switch to the
-# bitmap form (compress_postinglist.rs:240-330: >= 4096 postings -> 8 KB
-# bitmap).  Plain postings all share the same per-doc impact
+# the analog of the reference's roaring block form switch
+# (compress_postinglist.rs:240-330: >= 4096 postings -> 8 KB bitmap).
+# The threshold sits at the CSR memory breakeven (8 KB / 6 B-per-posting
+# ~= 1365), below the reference's 4096: on TPU the bitmap rank-1 matmul
+# is much cheaper per posting than chunk decode, so every memory-neutral
+# segment should take it.  Plain postings all share the same per-doc impact
 #   sat1(d) = boost_primary * (K+1) / (1 + comp_primary(d))
 # so the kernel scores a bitmap slot with ONE slot-level matmul row times
 # the per-doc sat1 vector — no per-posting decode at all.  The segment's
 # irregular remainder (secondary-field hits, tf >= 2) stays in the CSR
 # with exact precomputed impacts.
-BITMAP_MIN = 4096
+BITMAP_MIN = 1344
 
 # per-bitmap-segment candidate stash (posting-space join path, ops/join.py):
 # the STASH_K highest-impact plain postings of every bitmap segment are
@@ -196,6 +199,91 @@ class ShardLexical:
         if row < 0:
             return None
         return lvl.positions_for(row)
+
+
+def term_window_splits(lex: "ShardLexical", a: int, b: int, nw: int):
+    """Per-(segment, sub-window) posting split table for one term's
+    device-CSR segments [a, b) of the directory: returns i64[b-a, nw+1]
+    cumulative posting counts per 64K/nw-doc sub-window (the planner's
+    windowed chunk construction, ops/lexical._block_step_imp).
+
+    Cached on the shard between commits; built in one vectorized pass
+    over the term's contiguous dev-CSR range."""
+    caches = getattr(lex, "_wsplit_cache", None)
+    if caches is None:
+        caches = lex._wsplit_cache = {}
+    cache = caches.setdefault(nw, {})
+    t = cache.get(a)
+    if t is not None:
+        return t
+    d = lex.directory
+    offs = np.asarray(d.seg_dev_offset[a:b], np.int64)
+    lens = np.asarray(d.seg_dev_len[a:b], np.int64)
+    n = b - a
+    t = np.zeros((n, nw + 1), np.int64)
+    total = int(lens.sum())
+    if total:
+        shift = (BLOCK_SIZE // nw - 1).bit_length()
+        o0 = int(offs[0])
+        win = (lex.dev_docid[o0:o0 + total].astype(np.int32) >> shift)
+        segid = np.repeat(np.arange(n, dtype=np.int64), lens)
+        cnt = np.bincount(segid * nw + win,
+                          minlength=n * nw).reshape(n, nw)
+        np.cumsum(cnt, axis=1, out=t[:, 1:])
+    cache[a] = t
+    return t
+
+
+def term_chunk_template(lex: "ShardLexical", a: int, b: int, nw: int):
+    """Per-term chunk template for the windowed scan planner: the chunk
+    rows covering every (segment, sub-window) of the term's device-CSR
+    segments [a, b), precomputed once per commit and cached on the shard.
+
+    Returns (blk i32[nc], wid i32[nc], rowi i32[nc], cse i32[nc]) sorted
+    by (block, window); cse packs cs<<8 | (ce-1) — the batch planner ORs
+    in the slot id (slot<<16) at assembly time."""
+    caches = getattr(lex, "_ctpl_cache", None)
+    if caches is None:
+        caches = lex._ctpl_cache = {}
+    cache = caches.setdefault(nw, {})
+    t = cache.get(a)
+    if t is not None:
+        return t
+    d = lex.directory
+    offs = np.asarray(d.seg_dev_offset[a:b], np.int64)
+    lens = np.asarray(d.seg_dev_len[a:b], np.int64)
+    blks = np.asarray(d.seg_block[a:b], np.int64)
+    if nw > 1:
+        wsl = term_window_splits(lex, a, b, nw)
+        off = (offs[:, None] + wsl[:, :-1]).reshape(-1)
+        ln = np.diff(wsl, axis=1).reshape(-1)
+        wid = np.tile(np.arange(nw, dtype=np.int64), b - a)
+        blk = np.repeat(blks, nw)
+    else:
+        off, ln, blk = offs, lens, blks
+        wid = np.zeros(b - a, np.int64)
+    nz = ln > 0
+    off, ln, wid, blk = off[nz], ln[nz], wid[nz], blk[nz]
+    CHUNK = 128
+    first_row = off // CHUNK
+    nrows = (off + ln - 1) // CHUNK - first_row + 1
+    total = int(nrows.sum())
+    if total:
+        eidx = np.repeat(np.arange(len(off), dtype=np.int64), nrows)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(nrows) - nrows, nrows))
+        rowi = first_row[eidx] + within
+        row_start = rowi * CHUNK
+        cstart = np.clip(off[eidx] - row_start, 0, CHUNK)
+        cend = np.clip(off[eidx] + ln[eidx] - row_start, 0, CHUNK)
+        t = (blk[eidx].astype(np.int32), wid[eidx].astype(np.int32),
+             rowi.astype(np.int32),
+             ((cstart << 8) | (cend - 1)).astype(np.int32))
+    else:
+        z = np.zeros(0, np.int32)
+        t = (z, z, z, z)
+    cache[a] = t
+    return t
 
 
 def build_shard_lexical(

@@ -49,8 +49,21 @@ _TOPK_BUCKETS = 512
 def fast_mode() -> bool:
     """bf16 MXU matmuls in the scoring kernel (~0.4% score error) — the
     analog of the reference's speedup flags vs its exact-result
-    enable_search_quality_test mode (index.rs:117-118,1615)."""
-    return bool(os.environ.get("SEEKSTORM_TPU_FAST"))
+    enable_search_quality_test mode (index.rs:117-118,1615).
+
+    Default ON for TPU backends: the ~0.4% bf16 rounding is the same
+    order as the reference's own SmallFloat u8 doc-length quantization
+    (index.rs:4237-4279), and the boolean AND/NOT matrix C stays EXACT in
+    bf16 (0/1 inputs, small-integer outputs, f32 accumulation).  CPU
+    (tests, oracle parity) keeps f32.  Override: SEEKSTORM_TPU_FAST=1
+    forces bf16, SEEKSTORM_TPU_EXACT=1 forces f32."""
+    if os.environ.get("SEEKSTORM_TPU_FAST"):
+        return True
+    if os.environ.get("SEEKSTORM_TPU_EXACT"):
+        return False
+    import jax
+
+    return jax.default_backend() != "cpu"
 
 
 def _qsel_mask(qw, B: int):
@@ -288,7 +301,11 @@ def lexical_scan(
 
 
 def _topk_block(rank, k: int):
-    """Exact top-k over one 64K-doc block: (values [B, k], ids [B, k])."""
+    """Exact top-k over one 64K-doc block: (values [B, k], ids [B, k]).
+
+    2-stage bucket reduction; the winning buckets' columns are extracted
+    with a one-hot MXU einsum instead of take_along_axis (XLA gathers run
+    10-100 ns/element on v5e — the matmul is ~50x cheaper here)."""
     B = rank.shape[0]
     if k > CHUNK:
         ts, ti = jax.lax.top_k(rank, min(k, BLOCK_SIZE))
@@ -298,8 +315,14 @@ def _topk_block(rank, k: int):
     xb = rank.reshape(B, sub, nb)                # doc = i * nb + j
     bmax = xb.max(axis=1)                        # [B, nb]
     _, bti = jax.lax.top_k(bmax, k)              # [B, k] bucket ids
-    cand = jnp.take_along_axis(xb, bti[:, None, :], axis=2)  # [B, sub, k]
+    oh = (bti[:, :, None] == jnp.arange(nb, dtype=jnp.int32)
+          ).astype(jnp.float32)                  # [B, k, nb]
+    # -inf * 0 = NaN in the extraction matmul: clamp, then restore
+    xf = jnp.maximum(xb, jnp.float32(-3e38))
+    cand = jnp.einsum("bsn,bjn->bsj", xf, oh,
+                      preferred_element_type=jnp.float32)
     ts, tf_ = jax.lax.top_k(cand.reshape(B, sub * k), k)
+    ts = jnp.where(ts <= -1e38, -jnp.inf, ts)
     i = tf_ // k
     jj = tf_ % k
     ti = i * nb + jnp.take_along_axis(bti, jj, axis=1)
@@ -314,8 +337,8 @@ def _block_step_imp(
     Mreq,          # f32[B, V]
     nreq,          # i32[B]
     bid,           # i32 scalar    block id for this step
-    c_row,         # i32[NC]       storage row per chunk
-    c_se,          # i32[NC]       packed slot<<16 | cs<<8 | (ce-1)
+    c_row,         # i32[NW, NC]   storage row per chunk, per sub-window
+    c_se,          # i32[NW, NC]   packed slot<<16 | cs<<8 | (ce-1)
     qw,            # i32[ceil(B/32)] per-query selection bits for this block
     bitmaps=None,      # u32[NBM, BLOCK_SIZE // 32] presence bitmaps
     sat1=None,         # f32[NBtot*BLOCK_SIZE] shared plain-posting impact
@@ -325,53 +348,62 @@ def _block_step_imp(
 ):
     """Decode + score one block for the whole query batch (impact path).
 
+    The 64K-doc block is decoded in NW sub-windows of Z = 64K/NW docs
+    (planner splits each segment's chunks per window from the commit-time
+    window-split table): the one-hot decode einsum and the S/C score
+    matmuls then cost 2*Z instead of 2*64K FLOPs per posting — on v5e
+    this is ~2x wall per block at reference-scale chunk counts.  Docs
+    outside a chunk's window self-mask (their hi one-hot row is all
+    zero), so boundary chunks shared by two windows stay exact.
+
     Returns (scores f32[B, BLOCK_SIZE] masked with -inf, matched bool[B, BLOCK_SIZE]).
     """
     V = W.shape[1]
-    NC = c_row.shape[0]
+    NW, NC = c_row.shape
+    Z = BLOCK_SIZE // NW
     exact = not fast
+    dt = jnp.float32 if exact else jnp.bfloat16
 
-    slot = c_se >> 16
-    cs = (c_se >> 8) & 0xFF
-    ce = ((c_se & 0xFF) + 1) & 0xFF              # padded chunks pack ce-1=255
-
-    doc = jnp.take(pl2_docid, c_row, axis=0, mode="clip").astype(jnp.int32)
-    imp = jnp.take(pl2_imp, c_row, axis=0, mode="clip")          # [NC, 128]
+    io = jnp.arange(Z // CHUNK, dtype=jnp.int32)
+    lo_io = jnp.arange(CHUNK, dtype=jnp.int32)
+    vio = jnp.arange(V, dtype=jnp.int32)
     lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
-    valid = (lane >= cs[:, None]) & (lane < ce[:, None])
-    imp = jnp.where(valid, imp, 0.0)
 
-    # slot -> chunk one-hot (tiny MXU matmuls instead of a column gather)
-    oh = (slot[None, :] == jnp.arange(V, dtype=jnp.int32)[:, None])
-    hi = doc >> 8
-    lo = doc & 255
-    io = jnp.arange(256, dtype=jnp.int32)
-    if exact:
-        ohf = oh.astype(jnp.float32)
-        Wc = W @ ohf                                             # [B, NC]
-        Mc = Mreq @ ohf
-        A = imp[..., None] * (hi[..., None] == io).astype(jnp.float32)
-        Bm = (lo[..., None] == io).astype(jnp.float32)
+    Ss, Cs = [], []
+    for w in range(NW):
+        sw = c_se[w]
+        slot = sw >> 16
+        cs = (sw >> 8) & 0xFF
+        ce = ((sw & 0xFF) + 1) & 0xFF            # padded chunks pack ce-1=255
+
+        doc = jnp.take(pl2_docid, c_row[w], axis=0,
+                       mode="clip").astype(jnp.int32)
+        imp = jnp.take(pl2_imp, c_row[w], axis=0, mode="clip")   # [NC, 128]
+        valid = (lane >= cs[:, None]) & (lane < ce[:, None])
+        imp = jnp.where(valid, imp, 0.0)
+
+        # slot -> chunk one-hot (tiny MXU matmuls instead of a column
+        # gather); window-relative doc split hi*128 + lo
+        ohf = (slot[None, :] == vio[:, None]).astype(dt)
+        wd = doc - w * Z
+        hi = wd >> 7
+        lo = doc & 127
+        Wc = jnp.dot(W.astype(dt), ohf, preferred_element_type=jnp.float32)
+        Mc = jnp.dot(Mreq.astype(dt), ohf,
+                     preferred_element_type=jnp.float32)
+        A = (imp[..., None] * (hi[..., None] == io)).astype(dt)
+        Bm = (lo[..., None] == lo_io).astype(dt)
         Dc = jnp.einsum(
             "nkh,nkl->nhl", A, Bm, preferred_element_type=jnp.float32
-        ).reshape(NC, BLOCK_SIZE)
-        S = Wc @ Dc                                              # [B, 64K]
-        C = Mc @ (Dc > 0).astype(jnp.float32)
-    else:
-        ohf = oh.astype(jnp.bfloat16)
-        Wc = jnp.dot(W.astype(jnp.bfloat16), ohf,
-                     preferred_element_type=jnp.float32)
-        Mc = jnp.dot(Mreq.astype(jnp.bfloat16), ohf,
-                     preferred_element_type=jnp.float32)
-        A = (imp[..., None] * (hi[..., None] == io)).astype(jnp.bfloat16)
-        Bm = (lo[..., None] == io).astype(jnp.bfloat16)
-        Dc = jnp.einsum(
-            "nkh,nkl->nhl", A, Bm, preferred_element_type=jnp.float32
-        ).reshape(NC, BLOCK_SIZE).astype(jnp.bfloat16)
-        S = jnp.dot(Wc.astype(jnp.bfloat16), Dc,
-                    preferred_element_type=jnp.float32)
-        C = jnp.dot(Mc.astype(jnp.bfloat16), (Dc > 0).astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
+        ).reshape(NC, Z)
+        if not exact:
+            Dc = Dc.astype(dt)
+        Ss.append(jnp.dot(Wc.astype(dt), Dc,
+                          preferred_element_type=jnp.float32))
+        Cs.append(jnp.dot(Mc.astype(dt), (Dc > 0).astype(dt),
+                          preferred_element_type=jnp.float32))
+    S = jnp.concatenate(Ss, axis=1) if NW > 1 else Ss[0]  # [B, 64K]
+    C = jnp.concatenate(Cs, axis=1) if NW > 1 else Cs[0]
 
     if bitmaps is not None and bm_ids is not None \
             and bm_ids.shape[0] > 0 and bitmaps.shape[0] > 0:

@@ -76,14 +76,14 @@ def _pack_plan_imp(bi, c_row, c_se, qw, W, M, nr, dids, dsl):
     return np.stack(rows)
 
 
-def _unpack_plan_imp(row, NB, NC, V, B, VD=0):
+def _unpack_plan_imp(row, NB, NC, V, B, VD=0, NW=1):
     BW = (B + 31) // 32
-    sizes = [NB, NB * NC, NB * NC, NB * BW, B * V, B * V, B,
+    sizes = [NB, NB * NW * NC, NB * NW * NC, NB * BW, B * V, B * V, B,
              NB * VD, NB * VD]
     offs = np.cumsum([0] + sizes)
     bi = row[offs[0]:offs[1]]
-    c_row = row[offs[1]:offs[2]].reshape(NB, NC)
-    c_se = row[offs[2]:offs[3]].reshape(NB, NC)
+    c_row = row[offs[1]:offs[2]].reshape(NB, NW, NC)
+    c_se = row[offs[2]:offs[3]].reshape(NB, NW, NC)
     qw = row[offs[3]:offs[4]].reshape(NB, BW)
     W = jax.lax.bitcast_convert_type(
         row[offs[4]:offs[5]], jnp.float32).reshape(B, V)
@@ -153,13 +153,13 @@ def _pack_plan_qt(bi, c_row, c_se, qid, W, M, nr, dids, dsl):
     return np.stack(rows)
 
 
-def _unpack_plan_qt(row, T, NC, QTn, V, B, VD=0):
-    sizes = [T, T * NC, T * NC, T * QTn, B * V, B * V, B,
+def _unpack_plan_qt(row, T, NC, QTn, V, B, VD=0, NW=1):
+    sizes = [T, T * NW * NC, T * NW * NC, T * QTn, B * V, B * V, B,
              T * VD, T * VD]
     offs = np.cumsum([0] + sizes)
     bi = row[offs[0]:offs[1]]
-    c_row = row[offs[1]:offs[2]].reshape(T, NC)
-    c_se = row[offs[2]:offs[3]].reshape(T, NC)
+    c_row = row[offs[1]:offs[2]].reshape(T, NW, NC)
+    c_se = row[offs[2]:offs[3]].reshape(T, NW, NC)
     qid = row[offs[3]:offs[4]].reshape(T, QTn)
     W = jax.lax.bitcast_convert_type(
         row[offs[4]:offs[5]], jnp.float32).reshape(B, V)
@@ -265,7 +265,7 @@ def _pack_result(ts, gid, cnt, fc):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "shard_id", "NB", "NC", "V", "B", "VD",
+        "S", "shard_id", "NB", "NC", "V", "B", "VD", "NW",
         "k", "with_counts", "n_facets", "facet_codes_max",
         "use_sort_key", "sort_desc", "fast",
     ),
@@ -275,14 +275,14 @@ def scan_one_shard_imp(
     plan_buf, facet_codes, sort_key, bitmaps, sat1,
     *,
     S: int, shard_id: int, NB: int, NC: int, V: int, B: int, VD: int,
-    k: int, with_counts: bool, n_facets: int,
+    NW: int, k: int, with_counts: bool, n_facets: int,
     facet_codes_max: int, use_sort_key: bool, sort_desc: bool,
     fast: bool,
 ):
     from ..ops.lexical import lexical_scan_imp
 
     bi, c_row, c_se, qw, W, M, nr, did, dsl = _unpack_plan_imp(
-        plan_buf, NB, NC, V, B, VD)
+        plan_buf, NB, NC, V, B, VD, NW)
     ts, ti, cnt, fc = lexical_scan_imp(
         dev_docid, dev_imp, deleted,
         bi, c_row, c_se, qw, W, M, nr,
@@ -298,19 +298,20 @@ def scan_one_shard_imp(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "S", "shard_id", "T", "NC", "QTn", "V", "B", "VD", "k", "fast",
+        "S", "shard_id", "T", "NC", "QTn", "V", "B", "VD", "NW",
+        "k", "fast",
     ),
 )
 def scan_one_shard_qt(
     dev_docid, dev_imp, deleted, plan_buf, bitmaps, sat1,
     *,
     S: int, shard_id: int, T: int, NC: int, QTn: int, V: int, B: int,
-    VD: int, k: int, fast: bool,
+    VD: int, NW: int, k: int, fast: bool,
 ):
     from ..ops.lexical import lexical_scan_qt
 
     bi, c_row, c_se, qid, W, M, nr, did, dsl = _unpack_plan_qt(
-        plan_buf, T, NC, QTn, V, B, VD)
+        plan_buf, T, NC, QTn, V, B, VD, NW)
     ts, ti = lexical_scan_qt(
         dev_docid, dev_imp, deleted,
         bi, c_row, c_se, qid, W, M, nr,
@@ -333,7 +334,7 @@ def make_sharded_scan_qt(mesh, statics):
     def body(dev_docid, dev_imp, deleted, plan_buf, bitmaps, sat1):
         bi, c_row, c_se, qid, W, M, nr, did, dsl = _unpack_plan_qt(
             plan_buf[0], statics["T"], statics["NC"], statics["QTn"],
-            statics["V"], statics["B"], statics["VD"])
+            statics["V"], statics["B"], statics["VD"], statics["NW"])
         ts, ti = lexical_scan_qt(
             dev_docid[0], dev_imp[0], deleted[0],
             bi, c_row, c_se, qid, W, M, nr,
@@ -433,7 +434,7 @@ def make_sharded_scan_imp(mesh, statics):
              bitmaps, sat1):
         bi, c_row, c_se, qw, W, M, nr, did, dsl = _unpack_plan_imp(
             plan_buf[0], statics["NB"], statics["NC"], statics["V"],
-            statics["B"], statics["VD"])
+            statics["B"], statics["VD"], statics["NW"])
         ts, ti, cnt, fc = lexical_scan_imp(
             dev_docid[0], dev_imp[0], deleted[0],
             bi, c_row, c_se, qw, W, M, nr,
@@ -703,22 +704,25 @@ class StackedIndex:
         use_sort = skey_dev is not None
 
         if mode == "imp":
-            nc = max(max((p.c_row.shape[1] for p in plans
+            nc = max(max((p.c_row.shape[2] for p in plans
                           if p is not None and p.c_row is not None),
                          default=16), 16)
             nc = ceil_pow2(nc, 16)
-            c_row = np.zeros((S, nb, nc), np.int32)
-            c_se = np.full((S, nb, nc), 0xFF, np.int32)
+            nw = max((p.c_row.shape[1] for p in plans
+                      if p is not None and p.c_row is not None),
+                     default=1)
+            c_row = np.zeros((S, nb, nw, nc), np.int32)
+            c_se = np.full((S, nb, nw, nc), 0xFF, np.int32)
             for s, p in enumerate(plans):
                 if p is None or p.c_row is None:
                     continue
-                NB0, NC0 = p.c_row.shape
-                c_row[s, :NB0, :NC0] = p.c_row
-                c_se[s, :NB0, :NC0] = p.c_se
+                NB0, NW0, NC0 = p.c_row.shape
+                c_row[s, :NB0, :NW0, :NC0] = p.c_row
+                c_se[s, :NB0, :NW0, :NC0] = p.c_se
             plan_rows = _pack_plan_imp(bi, c_row, c_se, qw, W, M, nr,
                                        dids, dsl)
             out = self._run_imp(
-                plan_rows, S, nb, nc, v, B, VD, k, with_counts,
+                plan_rows, S, nb, nc, v, B, VD, nw, k, with_counts,
                 fcod_dev, facet_codes_max, skey_dev, use_sort, sort_desc,
                 allowed_dev, n_facets,
             )
@@ -750,12 +754,13 @@ class StackedIndex:
         from ..metrics import METRICS
 
         if mode == "imp":
-            nc_f = c_row.shape[2]
-            flops = S * nb * (
-                nc_f * (2 * 128 * 256 * 256)          # one-hot decode einsum
-                + 4 * B * nc_f * BLOCK_SIZE           # S and C matmuls
-                + 4 * B * VD * BLOCK_SIZE             # dense-row matmuls
-            )
+            nw_f = c_row.shape[2]
+            nc_f = c_row.shape[3]
+            Z = BLOCK_SIZE // nw_f
+            flops = S * nb * nw_f * nc_f * (
+                2 * 128 * Z                           # one-hot decode einsum
+                + 4 * B * Z                           # S and C matmuls
+            ) + S * nb * 4 * B * VD * BLOCK_SIZE      # dense-row matmuls
             METRICS.inc("device_flops", float(flops))
 
         with METRICS.timer("lex_device"):
@@ -817,15 +822,17 @@ class StackedIndex:
         B = ceil_pow2(B_true, 16)
         VD = max((p.dense_ids.shape[1] for p in plans
                   if p is not None and p.dense_ids is not None), default=0)
-        nc = max(max((p.c_row.shape[1] for p in plans
+        nc = max(max((p.c_row.shape[2] for p in plans
                       if p is not None and p.c_row is not None),
                      default=16), 16)
         nc = ceil_ladder(nc, 16)
+        nw = max((p.c_row.shape[1] for p in plans
+                  if p is not None and p.c_row is not None), default=1)
 
         bi = np.full((S, T), -1, np.int32)
         qid = np.full((S, T, QT), -1, np.int32)
-        c_row = np.zeros((S, T, nc), np.int32)
-        c_se = np.full((S, T, nc), 0xFF, np.int32)
+        c_row = np.zeros((S, T, nw, nc), np.int32)
+        c_se = np.full((S, T, nw, nc), 0xFF, np.int32)
         W = np.zeros((S, B, v), np.float32)
         M = np.zeros((S, B, v), np.float32)
         nr = np.zeros((S, B), np.int32)
@@ -836,11 +843,11 @@ class StackedIndex:
                 continue
             T0 = p.block_ids.shape[0]
             V0 = p.W.shape[1]
-            NC0 = p.c_row.shape[1]
+            NW0, NC0 = p.c_row.shape[1], p.c_row.shape[2]
             bi[s, :T0] = p.block_ids
             qid[s, :T0] = p.t_qid
-            c_row[s, :T0, :NC0] = p.c_row
-            c_se[s, :T0, :NC0] = p.c_se
+            c_row[s, :T0, :NW0, :NC0] = p.c_row
+            c_se[s, :T0, :NW0, :NC0] = p.c_se
             W[s, :B_true, :V0] = p.W
             M[s, :B_true, :V0] = p.Mreq
             nr[s, :B_true] = p.nreq
@@ -851,8 +858,8 @@ class StackedIndex:
 
         plan_rows = _pack_plan_qt(bi, c_row, c_se, qid, W, M, nr, dids, dsl)
         fast = fast_mode()
-        statics = dict(S=S, T=T, NC=nc, QTn=QT, V=v, B=B, VD=VD, k=k,
-                       fast=fast)
+        statics = dict(S=S, T=T, NC=nc, QTn=QT, V=v, B=B, VD=VD, NW=nw,
+                       k=k, fast=fast)
         if self.mesh is None:
             plan_dev = jnp.asarray(plan_rows)
             results = []
@@ -873,9 +880,9 @@ class StackedIndex:
             out = fn(self.dev_docid, self.dev_imp, self.deleted,
                      plan_dev, self.bitmaps, self.sat1)
 
+        Zq = BLOCK_SIZE // nw
         flops = S * T * (
-            nc * (2 * 128 * 256 * 256)
-            + 4 * QT * nc * BLOCK_SIZE
+            nw * nc * (2 * 128 * Zq + 4 * QT * Zq)
             + 4 * QT * VD * BLOCK_SIZE
         )
         METRICS.inc("device_flops", float(flops))
@@ -887,7 +894,7 @@ class StackedIndex:
         fcounts = np.zeros((1, B_true, 1), np.float64)
         return ts, gid, cnt, fcounts
 
-    def _run_imp(self, plan_rows, S, nb, nc, v, B, VD, k, with_counts,
+    def _run_imp(self, plan_rows, S, nb, nc, v, B, VD, nw, k, with_counts,
                  fcod_dev, facet_codes_max, skey_dev, use_sort, sort_desc,
                  allowed_dev, n_facets):
         from ..ops.lexical import fast_mode
@@ -907,13 +914,13 @@ class StackedIndex:
                 results.append(scan_one_shard_imp(
                     d2, i2, dl, plan_dev[s], fcod, skey, bm, s1,
                     S=S, shard_id=s, NB=nb, NC=nc, V=v, B=B, VD=VD,
-                    k=k, with_counts=with_counts,
+                    NW=nw, k=k, with_counts=with_counts,
                     n_facets=n_facets, facet_codes_max=facet_codes_max,
                     use_sort_key=use_sort, sort_desc=sort_desc, fast=fast,
                 ))
             return self._merge(results, k)
         statics = dict(
-            S=S, NB=nb, NC=nc, V=v, B=B, VD=VD, k=k, fast=fast,
+            S=S, NB=nb, NC=nc, V=v, B=B, VD=VD, NW=nw, k=k, fast=fast,
             with_counts=with_counts, n_facets=n_facets,
             facet_codes_max=facet_codes_max, use_sort_key=use_sort,
             sort_desc=sort_desc,

@@ -34,6 +34,16 @@ PRUNE_BLOCKS = 16
 # query-tiled kernel (ops/lexical.lexical_scan_qt) instead of the
 # full-batch scan — below it the full-batch scan's fixed costs win
 QT_MIN_BLOCKS = 32
+# sub-windows per 64K block in the decode/score matmuls (see
+# ops/lexical._block_step_imp); small shards skip windowing — the +1-row
+# chunk padding per (segment, window) outweighs the FLOP cut there
+WINDOWS = 8
+WIN_MIN_BLOCKS = 4
+
+
+def _plan_windows(index: Index) -> int:
+    return (WINDOWS if max((sh.lexical.n_blocks for sh in index.shards),
+                           default=0) >= WIN_MIN_BLOCKS else 1)
 
 
 class QueryType(str, enum.Enum):
@@ -334,6 +344,7 @@ def _plan_shard(
     need_full: bool,
     prune_budget: int,
     mode: str = "imp",
+    nwin: int = 1,
 ) -> _ShardPlan | None:
     lex = shard.lexical
     d = lex.directory
@@ -494,50 +505,58 @@ def _plan_shard(
         # bitmap segments' plain postings ride the presence-bitmap matmul.
         from .ops.lexical import CHUNK
 
-        sparse = hit & (fdl > 0)
-        fdev = (d.seg_dev_offset[flat] if d.seg_dev_offset is not None
-                else fo)
-        sel = np.flatnonzero(sparse)
-        off = fdev[sel].astype(np.int64)
-        ln = fdl[sel].astype(np.int64)
-        first_row = off // CHUNK
-        nrows = ((off + ln - 1) // CHUNK - first_row + 1)
-        total = int(nrows.sum())
+        # per-slot chunk templates (commit-cached, lexindex
+        # .term_chunk_template) assembled per batch: filter each used
+        # slot's template to the blocks some selecting query needs, OR the
+        # slot id into the packed cse, and counting-sort by (plan block,
+        # window).  The expansion work (window splits, row spans) is paid
+        # once per term per commit, not per batch.
+        from .lexindex import term_chunk_template
+
+        parts: list = []
+        for v in range(V):
+            if seg_b[v] <= seg_a[v] or not needed[v].any():
+                continue
+            tb, tw, tr, tse = term_chunk_template(
+                lex, int(seg_a[v]), int(seg_b[v]), nwin)
+            if not len(tb):
+                continue
+            pb = np.searchsorted(block_list, tb)
+            pbc = np.minimum(pb, max(NB - 1, 0))
+            m = (pb < NB) & (block_list[pbc] == tb) & needed[v][tb]
+            if not m.any():
+                continue
+            parts.append((pbc[m], tw[m], tr[m], tse[m] | (v << 16)))
+        total = sum(len(x[0]) for x in parts)
         if total:
-            eidx = np.repeat(np.arange(len(sel), dtype=np.int64), nrows)
-            within = (np.arange(total, dtype=np.int64)
-                      - np.repeat(np.cumsum(nrows) - nrows, nrows))
-            rowi = first_row[eidx] + within
-            row_start = rowi * CHUNK
-            cstart = np.clip(off[eidx] - row_start, 0, CHUNK)
-            cend = np.clip(off[eidx] + ln[eidx] - row_start, 0, CHUNK)
-            slotc = rows[sel][eidx].astype(np.int64)
-            blkc = pos[sel][eidx]
-            order_c = np.argsort(blkc, kind="stable")
-            cnt_b = np.bincount(blkc, minlength=NB)
-            bstart = np.zeros(NB + 1, np.int64)
-            np.cumsum(cnt_b, out=bstart[1:])
-            se_packed = (
-                (slotc << 16) | (cstart << 8) | (cend - 1)
-            ).astype(np.int32)
+            posb = np.concatenate([x[0] for x in parts]).astype(np.int64)
+            widc = np.concatenate([x[1] for x in parts]).astype(np.int64)
+            rowc = np.concatenate([x[2] for x in parts])
+            sec = np.concatenate([x[3] for x in parts])
+            key = posb * nwin + widc
+            order_c = np.argsort(key, kind="stable")
+            cnt_bw = np.bincount(key, minlength=NB * nwin)
+            bwstart = np.zeros(NB * nwin + 1, np.int64)
+            np.cumsum(cnt_bw, out=bwstart[1:])
             if mode == "qt":
-                ent_sorted = (bstart, rowi[order_c].astype(np.int32),
-                              se_packed[order_c], slotc[order_c])
+                ent_sorted = (bwstart, rowc[order_c], sec[order_c],
+                              (sec[order_c] >> 16).astype(np.int64),
+                              widc[order_c])
             else:
-                NC = ceil_pow2(max(int(cnt_b.max()), 1), 16)
-                blk_s = blkc[order_c]
-                colpos = np.arange(total, dtype=np.int64) - bstart[blk_s]
-                c_row = np.zeros((NB, NC), np.int32)
-                c_se = np.full((NB, NC), 0xFF, np.int32)  # empty chunks
-                c_row[blk_s, colpos] = rowi[order_c].astype(np.int32)
-                c_se[blk_s, colpos] = se_packed[order_c]
+                NC = ceil_pow2(max(int(cnt_bw.max()), 1), 16)
+                key_s = key[order_c]
+                colpos = np.arange(total, dtype=np.int64) - bwstart[key_s]
+                c_row = np.zeros((NB, nwin, NC), np.int32)
+                c_se = np.full((NB, nwin, NC), 0xFF, np.int32)  # empty
+                c_row[key_s // nwin, key_s % nwin, colpos] = rowc[order_c]
+                c_se[key_s // nwin, key_s % nwin, colpos] = sec[order_c]
         elif mode == "qt":
-            ent_sorted = (np.zeros(NB + 1, np.int64),
+            ent_sorted = (np.zeros(NB * nwin + 1, np.int64),
                           np.zeros(0, np.int32), np.zeros(0, np.int32),
-                          np.zeros(0, np.int64))
+                          np.zeros(0, np.int64), np.zeros(0, np.int64))
         else:
-            c_row = np.zeros((NB, 16), np.int32)
-            c_se = np.full((NB, 16), 0xFF, np.int32)
+            c_row = np.zeros((NB, nwin, 16), np.int32)
+            c_se = np.full((NB, nwin, 16), 0xFF, np.int32)
     else:
         sparse = hit & (fd < 0) & (fl > 0)
         seg_off_arr[pos[sparse], rows[sparse]] = fo[sparse].astype(np.int32)
@@ -554,7 +573,7 @@ def _plan_shard(
     if mode == "qt":
         return _build_qt_plan(
             slots, specs, selq, block_list, ent_sorted, dense_lists,
-            POS, REQ, NEG, idf, ub_unscored, n_cand, full,
+            POS, REQ, NEG, idf, ub_unscored, n_cand, full, nwin,
         )
 
     VD = max((len(x) for x in dense_lists), default=0)
@@ -602,24 +621,24 @@ def _plan_shard(
 
 
 def _build_qt_plan(slots, specs, selq, block_list, ent_sorted, dense_lists,
-                   POS, REQ, NEG, idf, ub_unscored, n_cand, full):
+                   POS, REQ, NEG, idf, ub_unscored, n_cand, full, nwin=1):
     """Assemble a query-tiled plan: one tile per (block, <=QT selecting
     queries), each carrying only the chunk/dense entries the tile's queries
     actually use (see ops/lexical.lexical_scan_qt)."""
     from .ops.lexical import QT
 
     NB = len(block_list)
-    bstart, rowi_s, se_s, slot_s = ent_sorted
+    bwstart, rowi_s, se_s, slot_s, wid_s = ent_sorted
     USE = (POS > 0) | (REQ > 0) | NEG
 
-    t_bid, t_qids, t_rows, t_ses, t_dense = [], [], [], [], []
+    t_bid, t_qids, t_rows, t_ses, t_wids, t_dense = [], [], [], [], [], []
     for b in range(NB):
         blk = int(block_list[b])
         qs = np.flatnonzero(selq[:, blk])
         if len(qs) == 0:
             continue
-        a, e = int(bstart[b]), int(bstart[b + 1])
-        er, es, esl = rowi_s[a:e], se_s[a:e], slot_s[a:e]
+        a, e = int(bwstart[b * nwin]), int(bwstart[(b + 1) * nwin])
+        er, es, esl, ew = rowi_s[a:e], se_s[a:e], slot_s[a:e], wid_s[a:e]
         dl = dense_lists[b]
         for i in range(0, len(qs), QT):
             tq = qs[i : i + QT]
@@ -629,25 +648,34 @@ def _build_qt_plan(slots, specs, selq, block_list, ent_sorted, dense_lists,
             t_qids.append(tq)
             t_rows.append(er[m])
             t_ses.append(es[m])
+            t_wids.append(ew[m])
             t_dense.append([(r, v) for (r, v) in dl if use_mask[v]])
     T = len(t_bid)
     if T == 0:
         return None
-    NC = ceil_pow2(max(max((len(x) for x in t_rows), default=1), 1), 16)
+    ncw = 1
+    for w_arr in t_wids:
+        if len(w_arr):
+            ncw = max(ncw, int(np.bincount(w_arr, minlength=nwin).max()))
+    NC = ceil_pow2(ncw, 16)
     VD = max((len(x) for x in t_dense), default=0)
     if VD:
         VD = ceil_pow2(VD, 4)
     bid = np.array(t_bid, np.int32)
     qid = np.full((T, QT), -1, np.int32)
-    c_row = np.zeros((T, NC), np.int32)
-    c_se = np.full((T, NC), 0xFF, np.int32)
+    c_row = np.zeros((T, nwin, NC), np.int32)
+    c_se = np.full((T, nwin, NC), 0xFF, np.int32)
     dense_ids = np.full((T, VD), -1, np.int32) if VD else None
     dense_slots = np.zeros((T, VD), np.int32) if VD else None
     for t in range(T):
         qid[t, : len(t_qids[t])] = t_qids[t]
-        n = len(t_rows[t])
-        c_row[t, :n] = t_rows[t]
-        c_se[t, :n] = t_ses[t]
+        wt = t_wids[t]
+        for w in range(nwin):
+            mw = wt == w
+            n = int(mw.sum())
+            if n:
+                c_row[t, w, :n] = t_rows[t][mw]
+                c_se[t, w, :n] = t_ses[t][mw]
         if VD:
             for j, (r, v) in enumerate(t_dense[t]):
                 dense_ids[t, j] = r
@@ -1422,12 +1450,13 @@ def _lexical_search_batch(
         mode = "qt"
 
     k_eff = k
+    nwin = _plan_windows(index) if mode in ("imp", "qt") else 1
     if rest_rows:
         with METRICS.timer("lex_plan"):
             plans = [
                 _plan_shard(index, sh, slots, live_specs_rest,
                             req0.realtime, cover_full, PRUNE_BLOCKS,
-                            mode=mode)
+                            mode=mode, nwin=nwin)
                 for sh in index.shards
             ]
     else:
@@ -1459,7 +1488,7 @@ def _lexical_search_batch(
                 plans = [
                     _plan_shard(index, sh, slots, live_specs_rest,
                                 req0.realtime, True, PRUNE_BLOCKS,
-                                mode=mode)
+                                mode=mode, nwin=nwin)
                     for sh in index.shards
                 ]
                 ts, gid, cnt, fcounts = stacked.run(
@@ -1552,8 +1581,12 @@ def precompile_scan(
                                 idf=np.zeros(v, np.float32),
                                 n_cand_blocks=np.zeros(B, np.int32),
                                 mode="imp",
-                                c_row=np.zeros((nb, NC), np.int32),
-                                c_se=np.full((nb, NC), 0xFF, np.int32),
+                                c_row=np.zeros(
+                                    (nb, _plan_windows(index), NC),
+                                    np.int32),
+                                c_se=np.full(
+                                    (nb, _plan_windows(index), NC),
+                                    0xFF, np.int32),
                             )
                             nf, fcm = fshape
                             fcod = None
