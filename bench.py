@@ -40,21 +40,45 @@ PEAK_FLOPS = {"bf16": 197e12, "f32": 49e12}
 
 
 def make_corpus(n_docs: int, vocab: int, rng) -> list[dict]:
-    # zipf-ish rank distribution over the vocabulary
+    """Zipf rank-frequency vocabulary + REAL-TEXT statistics the flat
+    i.i.d. stream lacks:
+
+      * doc lengths are lognormal (Wikipedia-like skew), not uniform;
+      * term occurrences are BURSTY (Church & Gale): ~25% of body
+        positions repeat an earlier token of the same document, so tf
+        follows the heavy-tailed within-doc distribution of real prose
+        instead of tf ~= 1 everywhere.
+
+    Both properties drive per-(term, block) impact variance — without
+    them block-max pruning (ours AND the reference's max_block_score,
+    intersection.rs:2224) degenerates to full scans, which no real
+    corpus exhibits."""
     ranks = np.arange(1, vocab + 1, dtype=np.float64)
     probs = 1.0 / ranks
     probs /= probs.sum()
     words = np.array([f"w{i:05d}" for i in range(vocab)])
     title_len = rng.integers(3, 9, size=n_docs)
-    body_len = rng.integers(20, 60, size=n_docs)
+    body_len = np.clip(
+        np.exp(rng.normal(np.log(35.0), 0.6, size=n_docs)), 8, 300
+    ).astype(np.int64)
     total = int(title_len.sum() + body_len.sum())
-    stream = rng.choice(vocab, size=total, p=probs)
+    stream = rng.choice(vocab, size=total, p=probs).astype(np.int32)
+    # burstiness: rewrite ~25% of positions with a copy of an earlier
+    # token from the same document (vectorized urn approximation)
+    doc_len = title_len + body_len
+    starts = np.zeros(n_docs, np.int64)
+    np.cumsum(doc_len[:-1], out=starts[1:])
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(starts, doc_len)
+    burst = (rng.random(total) < 0.25) & (pos_in_doc > 0)
+    src = (np.repeat(starts, doc_len)
+           + (rng.random(total) * pos_in_doc).astype(np.int64))
+    stream[burst] = stream[src[burst]]
     toks = words[stream]
     docs = []
     pos = 0
     for i in range(n_docs):
-        tl = title_len[i]
-        bl = body_len[i]
+        tl = int(title_len[i])
+        bl = int(body_len[i])
         docs.append({
             "title": " ".join(toks[pos : pos + tl]),
             "body": " ".join(toks[pos + tl : pos + tl + bl]),

@@ -35,9 +35,12 @@ PRUNE_BLOCKS = 16
 # full-batch scan — below it the full-batch scan's fixed costs win
 QT_MIN_BLOCKS = 32
 # sub-windows per 64K block in the decode/score matmuls (see
-# ops/lexical._block_step_imp); small shards skip windowing — the +1-row
-# chunk padding per (segment, window) outweighs the FLOP cut there
-WINDOWS = 8
+# ops/lexical._block_step_imp).  Default 1: measured on v5e at both 1M
+# and 5M docs, NW=8 splits each segment's ~2 chunk rows into ~8 window
+# rows (4x the chunk slots) and shrinks the decode einsum instances to
+# 64x128 (poor MXU shapes) — 119 -> 176 ms/batch at 5M.  The machinery
+# stays for hardware where narrow deep matmuls hold their throughput.
+WINDOWS = 1
 WIN_MIN_BLOCKS = 4
 
 
