@@ -707,7 +707,7 @@ class StackedIndex:
             nc = max(max((p.c_row.shape[2] for p in plans
                           if p is not None and p.c_row is not None),
                          default=16), 16)
-            nc = ceil_pow2(nc, 16)
+            nc = ceil_ladder(nc, 16)
             nw = max((p.c_row.shape[1] for p in plans
                       if p is not None and p.c_row is not None),
                      default=1)

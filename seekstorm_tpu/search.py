@@ -546,7 +546,10 @@ def _plan_shard(
                               (sec[order_c] >> 16).astype(np.int64),
                               widc[order_c])
             else:
-                NC = ceil_pow2(max(int(cnt_bw.max()), 1), 16)
+                # denser-than-pow2 bucket: NC padding is pure matmul waste
+                from .utils import ceil_ladder
+
+                NC = ceil_ladder(max(int(cnt_bw.max()), 1), 16)
                 key_s = key[order_c]
                 colpos = np.arange(total, dtype=np.int64) - bwstart[key_s]
                 c_row = np.zeros((NB, nwin, NC), np.int32)

@@ -82,3 +82,25 @@ def test_window_split_tables(tmp_path):
             for w in range(8):
                 n = int(((seg >> 13) == w).sum())
                 assert n == tab[i, w + 1] - tab[i, w]
+
+
+def test_fast_mode_parity(tmp_path, monkeypatch):
+    """bf16 fast mode (the TPU serving default) stays within ~1% of the
+    exact f32 scores and preserves top-k membership on non-tied data."""
+    import os
+
+    idx = _mk(tmp_path)
+    queries = ["w01 w02", "w03", "w04 +w05", "w06 -w07"]
+    monkeypatch.setattr(sm, "JOIN_V_MAX", 0)
+    exact = _run(idx, queries)
+    monkeypatch.setenv("SEEKSTORM_TPU_FAST", "1")
+    fast = _run(idx, queries)
+    for e, f in zip(exact, fast):
+        ids_e = {d for d, _ in e[:-1]}
+        ids_f = {d for d, _ in f[:-1]}
+        # allow boundary swaps among near-ties, bulk must agree
+        assert len(ids_e & ids_f) >= len(ids_e) - 2, (ids_e, ids_f)
+        se = {d: s for d, s in e[:-1]}
+        for d, s in f[:-1]:
+            if d in se:
+                assert abs(s - se[d]) <= max(0.02 * abs(se[d]), 1e-3)
