@@ -41,17 +41,15 @@ def make_proxy(dataset: str, n: int, rng) -> tuple[np.ndarray, np.ndarray]:
     for a in range(0, n, step):
         b = min(a + step, n)
         ci = rng.integers(0, n_centers, size=b - a)
-        x = centers[ci] + rng.normal(0, noise * hi / (1 if dataset == "sift"
-                                                      else hi),
-                                     size=(b - a, d)).astype(np.float32)
+        x = centers[ci] + rng.normal(
+            0, noise, size=(b - a, d)).astype(np.float32)
         np.clip(x, 0, hi, out=x)
         if dataset == "sift":
             np.rint(x, out=x)
         out[a:b] = x
     qi = rng.integers(0, n_centers, size=4096)
     q = centers[qi[:4096]] + rng.normal(
-        0, noise * hi / (1 if dataset == "sift" else hi),
-        size=(4096, d)).astype(np.float32)
+        0, noise, size=(4096, d)).astype(np.float32)
     np.clip(q, 0, hi, out=q)
     if dataset == "sift":
         np.rint(q, out=q)
@@ -75,7 +73,12 @@ def ground_truth(base: np.ndarray, queries: np.ndarray, k: int = 10
     @jax.jit
     def tile_topk(xb, qd):
         bn = jnp.sum(xb * xb, axis=1)
-        d2 = bn[None, :] - 2.0 * (qd @ xb.T)
+        # HIGHEST precision: the MXU's default f32 matmul runs bf16
+        # passes, and bn - 2 q.x cancels ~x||x|| magnitudes down to
+        # ~noise-scale distances — default precision corrupts the
+        # ground truth at exactly the near-tie ranks recall measures
+        d2 = bn[None, :] - 2.0 * jnp.dot(
+            qd, xb.T, precision=jax.lax.Precision.HIGHEST)
         vals, idx = jax.lax.top_k(-d2, k)
         return -vals, idx
 
@@ -138,6 +141,18 @@ def main() -> None:
         print(f"# {args.dataset}-proxy n={args.n} d={base.shape[1]} "
               f"gen={gen_s:.0f}s gt={gt_s:.0f}s index={index_s:.0f}s "
               f"commit={commit_s:.0f}s", file=sys.stderr)
+
+        # clustering diagnostic: how many clusters hold each query's true
+        # top-10 (isolates clustering granularity from probe selection)
+        asg = np.full(args.n, -1, np.int64)
+        cbase = 0
+        for lv in idx.vectors.shards[0].levels:
+            asg[lv.docid.astype(np.int64)] = cbase + lv.row_cluster
+            cbase += lv.n_clusters
+        span = np.array([len(set(asg[gt[i]].tolist())) for i in
+                         range(len(queries))])
+        print(f"# clusters={cbase} gt10 cluster span: mean={span.mean():.2f} "
+              f"p90={np.percentile(span, 90):.0f}", file=sys.stderr)
 
         curves = []
         for nprobe in [int(x) for x in args.nprobe.split(",")]:
