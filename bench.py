@@ -168,10 +168,23 @@ def main() -> None:
                 for q, ty in qs
             ])
         # warmup compiles: all sets share padded plan shapes, so warming the
-        # first set compiles for everyone; one cheap pass for the rest
+        # first set compiles for everyone; one cheap pass for the rest, then
+        # one full untimed pass so the timed passes measure steady state
+        # (the first batches also exercise the adaptive-pruning probe phase)
         st.search_batch(idx, req_sets[0])
         for r in req_sets[1:]:
             st.search_batch(idx, r)
+        import threading
+
+        warm_threads = [
+            threading.Thread(target=lambda rs=r: [st.search_batch(idx, rs)
+                                                  for _ in range(args.iters)])
+            for r in req_sets
+        ]
+        for th in warm_threads:
+            th.start()
+        for th in warm_threads:
+            th.join()
 
         batch_lat_us: list[float] = []
         lat_lock = threading.Lock()
