@@ -45,12 +45,15 @@ def cluster_level(
 
     assign, centers = _kmeans(vecs, k, similarity, cfg.iterations, seed)
 
-    # medoid per cluster: nearest real vector to the center
+    # medoid per cluster: nearest real vector to the center.  One argsort
+    # instead of per-cluster flatnonzero (O(n log n) vs O(n*k))
+    order_all = np.argsort(assign, kind="stable")
+    bounds = np.searchsorted(assign[order_all], np.arange(k + 1))
     order_chunks = []
     offsets = [0]
     x = vecs.astype(np.float32)
     for c in range(k):
-        rows = np.flatnonzero(assign == c)
+        rows = order_all[bounds[c] : bounds[c + 1]]
         if len(rows) == 0:
             continue
         sims = _sim(x[rows], centers[c : c + 1], similarity)[:, 0]
@@ -99,23 +102,40 @@ def _kmeans(
         best_sim = np.maximum(best_sim, _sim(xs, xs[nxt : nxt + 1], similarity)[:, 0])
     C = np.stack(centers).astype(np.float32)
 
-    xj = jnp.asarray(x)
+    # tile the Lloyd step: (a) the [n, k] similarity matrix must fit HBM
+    # comfortably (global re-clustering runs at millions x thousands);
+    # (b) single uploads through the device tunnel are size-limited
+    # (~250 MB POSTs fail with HTTP 413), so chunks cap at 64 MB
+    chunk = n
+    while chunk * k > (1 << 28):
+        chunk //= 2
+    chunk = min(max(chunk, 1 << 14), max((1 << 26) // (d * 4), 1 << 12))
 
     @jax.jit
-    def lloyd_step(C):
-        sims = _sim_j(xj, C, similarity)
-        assign = jnp.argmax(sims, axis=1)
-        onehot = jax.nn.one_hot(assign, C.shape[0], dtype=jnp.float32)
-        sums = onehot.T @ xj
-        counts = onehot.sum(axis=0)[:, None]
-        newC = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), C)
-        return newC, assign
+    def assign_chunk(C, xc):
+        sims = _sim_j(xc, C, similarity)
+        a = jnp.argmax(sims, axis=1)
+        oh = jax.nn.one_hot(a, C.shape[0], dtype=jnp.float32)
+        return a, oh.T @ xc, oh.sum(axis=0)
 
-    assign = None
     Cj = jnp.asarray(C)
+    xchunks = [jnp.asarray(x[a : a + chunk]) for a in range(0, n, chunk)]
+    assign = np.zeros(n, np.int64)
     for _ in range(max(iters, 1)):
-        Cj, assign = lloyd_step(Cj)
-    return np.asarray(assign), np.asarray(Cj)
+        sums = np.zeros((k, d), np.float64)
+        counts = np.zeros(k, np.float64)
+        pos = 0
+        for xc in xchunks:
+            a, s, c = jax.device_get(assign_chunk(Cj, xc))
+            assign[pos : pos + len(a)] = a
+            sums += s
+            counts += c
+            pos += len(a)
+        newC = np.where(counts[:, None] > 0,
+                        sums / np.maximum(counts[:, None], 1),
+                        np.asarray(Cj))
+        Cj = jnp.asarray(newC.astype(np.float32))
+    return assign, np.asarray(Cj)
 
 
 def _sim_j(a, b, similarity: VectorSimilarity):
