@@ -101,6 +101,7 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--nprobe", default="8,16,33,64,128")
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--precision", choices=["i8", "f32"], default="i8")
     args = ap.parse_args()
 
     import seekstorm_tpu as st
@@ -120,8 +121,11 @@ def main() -> None:
         meta = st.IndexMeta(vector=st.VectorConfig(
             enabled=True, dim=base.shape[1],
             similarity=st.VectorSimilarity.Euclidean,
-            precision=st.Precision.I8,
-            quantization=st.Quantization.ScalarQuantizationI8,
+            precision=(st.Precision.I8 if args.precision == "i8"
+                       else st.Precision.F32),
+            quantization=(st.Quantization.ScalarQuantizationI8
+                          if args.precision == "i8"
+                          else st.Quantization.Null),
             inference=st.InferenceType.External,
             clustering=st.ClusteringConfig(mode=st.ClusteringMode.Auto),
         ))
@@ -143,16 +147,20 @@ def main() -> None:
               f"commit={commit_s:.0f}s", file=sys.stderr)
 
         # clustering diagnostic: how many clusters hold each query's true
-        # top-10 (isolates clustering granularity from probe selection)
+        # top-10 in the SERVING layout (the device build re-clusters the
+        # union globally) — isolates clustering granularity from probe
+        # selection quality
+        dev = idx.vectors.device(idx.shards[0])
+        h_docid = np.asarray(dev["h_docid"])
+        h_cluster = np.asarray(dev["cluster"]).reshape(-1)
         asg = np.full(args.n, -1, np.int64)
-        cbase = 0
-        for lv in idx.vectors.shards[0].levels:
-            asg[lv.docid.astype(np.int64)] = cbase + lv.row_cluster
-            cbase += lv.n_clusters
+        ok = h_docid >= 0
+        asg[h_docid[ok]] = h_cluster[ok]
         span = np.array([len(set(asg[gt[i]].tolist())) for i in
                          range(len(queries))])
-        print(f"# clusters={cbase} gt10 cluster span: mean={span.mean():.2f} "
-              f"p90={np.percentile(span, 90):.0f}", file=sys.stderr)
+        print(f"# clusters={dev['n_clusters']} gt10 cluster span: "
+              f"mean={span.mean():.2f} p90={np.percentile(span, 90):.0f}",
+              file=sys.stderr)
 
         curves = []
         for nprobe in [int(x) for x in args.nprobe.split(",")]:
@@ -180,6 +188,7 @@ def main() -> None:
         print(json.dumps({
             "metric": f"{args.dataset}_proxy_recall_curve",
             "n": args.n, "d": int(base.shape[1]),
+            "precision": args.precision,
             "queries": len(queries), "curve": curves,
         }))
     finally:
