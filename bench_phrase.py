@@ -62,7 +62,15 @@ def main() -> None:
             idx = st.open_index(path / "ix")
             build_s = 0.0
         else:
-            meta = st.IndexMeta(ngram_indexing=flags)
+            # frequent set = the corpus's top-100 zipf tokens — the
+            # synthetic analog of the reference's English function-word
+            # list (its n-gram classes only fire on frequent words)
+            meta = st.IndexMeta(
+                ngram_indexing=flags,
+                frequent_words=st.FrequentwordType.Custom,
+                custom_frequent_words=tuple(
+                    f"w{i:05d}" for i in range(100)),
+            )
             idx = st.create_index(path / "ix", schema, meta=meta,
                                   shard_count=1)
             t0 = time.time()
