@@ -1718,26 +1718,43 @@ def _finalize_lexical(index, requests, results, live, live_specs, slots,
         order = np.lexsort((gids, -scores))
         scores, gids = scores[order], gids[order]
         if spec.phrases:
-            # exact committed phrase-match set (host posting intersection +
-            # vectorized position join, phrase.py); retrieved results check
-            # membership, tail docs verify per doc
-            pd = _phrase_exact_committed(index, slots, spec, requests[qi])
-            if len(gids):
-                S_ = index.shard_count
-                sid = (gids % S_).astype(np.int64)
-                loc = (gids // S_).astype(np.int64)
-                committed = np.array(
-                    [index.shards[x].committed_doc_count for x in sid])
-                is_tail = loc >= committed
-                keep = np.isin(gids, pd)
-                for row in np.flatnonzero(is_tail):
-                    keep[row] = _phrase_ok(index, slots, spec, int(gids[row]))
-                scores, gids = scores[keep], gids[keep]
             if with_counts:
+                # exact committed phrase-match set (host posting
+                # intersection + vectorized position join, phrase.py);
+                # retrieved results check membership, tail docs verify
+                # per doc
+                pd = _phrase_exact_committed(index, slots, spec,
+                                             requests[qi])
+                if len(gids):
+                    S_ = index.shard_count
+                    sid = (gids % S_).astype(np.int64)
+                    loc = (gids // S_).astype(np.int64)
+                    committed = np.array(
+                        [index.shards[x].committed_doc_count for x in sid])
+                    is_tail = loc >= committed
+                    keep = np.isin(gids, pd)
+                    for row in np.flatnonzero(is_tail):
+                        keep[row] = _phrase_ok(index, slots, spec,
+                                               int(gids[row]))
+                    scores, gids = scores[keep], gids[keep]
                 counts[bi] = len(pd) + (
                     int(tail_phrase_counts[bi])
                     if tail_phrase_counts is not None else 0)
                 counts_exact[bi] = True
+            elif len(gids):
+                # Topk-only: the device candidates already satisfy the
+                # boolean/filter constraints — verify positional
+                # adjacency per retrieved candidate, in score order,
+                # stopping once the requested page is filled (instead of
+                # walking the full posting intersection)
+                want = requests[qi].offset + requests[qi].length
+                kept: list[int] = []
+                for row in range(len(gids)):
+                    if _phrase_ok(index, slots, spec, int(gids[row])):
+                        kept.append(row)
+                        if len(kept) >= want:
+                            break
+                scores, gids = scores[kept], gids[kept]
         rs = ResultSet()
         rs.query_terms = [slots[s].term for s in spec.weights
                           if not slots[s].virtual]
