@@ -30,7 +30,8 @@ import numpy as np
 
 from . import geo
 from .docstore import LevelDocStore, compress_doc, decompress_doc
-from .lexindex import CommittedLevel, ShardLexical, build_shard_lexical
+from .lexindex import (CommittedLevel, ShardLexical, build_shard_lexical,
+                       build_shard_lexical_cached)
 from .oracle import OracleTermPostings, bm25_components, term_impacts
 from .schema import (
     BLOCK_SIZE,
@@ -1005,8 +1006,8 @@ class Index:
             CommittedLevel.load(shard.path / f"level_{i}", mmap=mmap)
             for i in range(n_levels)
         ]
-        shard.lexical = build_shard_lexical(
-            levels, self.boosts_or_default(),
+        shard.lexical = build_shard_lexical_cached(
+            shard.path, levels, self.boosts_or_default(),
             expand_ngrams=self._expand_ngrams,
         )
         shard.docstores = [

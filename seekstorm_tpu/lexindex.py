@@ -201,6 +201,86 @@ class ShardLexical:
         return lvl.positions_for(row)
 
 
+LEXCACHE_VERSION = 1
+
+_LEXCACHE_FIELDS = (
+    "pl_docid", "pl_tf", "pl_impact", "comp", "level_post_base",
+    "dense_tf", "bitmaps", "sat1", "dev_docid", "dev_imp",
+)
+_DIR_FIELDS = (
+    "hash", "df", "seg_start", "seg_block", "seg_offset", "seg_len",
+    "seg_max_impact", "seg_dense", "seg_dev_offset", "seg_dev_len",
+    "seg_bitmap", "seg_stash_off", "seg_stash_len",
+)
+
+
+def _lex_fingerprint(levels, boosts, expand_ngrams: bool) -> dict:
+    return {
+        "v": LEXCACHE_VERSION,
+        "docs": [int(l.doc_count) for l in levels],
+        "posts": [int(len(l.docid)) for l in levels],
+        "possum": [int(l.positions_sum_normalized) for l in levels],
+        "boosts": [float(b) for b in boosts],
+        "expand": bool(expand_ngrams),
+        "dense_min": int(DENSE_MIN),
+        "bitmap_min": int(BITMAP_MIN),
+        "stash_k": int(STASH_K),
+    }
+
+
+def build_shard_lexical_cached(
+    path, levels: list[CommittedLevel], boosts: np.ndarray,
+    expand_ngrams: bool = False,
+) -> "ShardLexical":
+    """build_shard_lexical with an on-disk artifact cache.
+
+    The merged directory + device tensors are a pure function of the
+    immutable levels (plus boosts and the layout constants), but the
+    build costs minutes at reference scale (impacts, bitmap/stash
+    extraction, n-gram expansion: ~456 s for 5M docs, 20+ min for a
+    1M-doc n-gram index).  Commit writes `lexcache.npz` next to the
+    levels; reopen loads it in seconds when the fingerprint matches,
+    otherwise rebuilds (and refreshes the cache, best-effort)."""
+    import json as _json
+    from pathlib import Path
+
+    path = Path(path)
+    fp = _lex_fingerprint(levels, boosts, expand_ngrams)
+    cj = path / "lexcache.json"
+    cn = path / "lexcache.npz"
+    if levels:
+        try:
+            if cj.exists() and cn.exists() \
+                    and _json.loads(cj.read_text()) == fp:
+                z = np.load(cn, allow_pickle=False)
+                sh = ShardLexical(levels=levels)
+                for f in _LEXCACHE_FIELDS:
+                    setattr(sh, f, z[f])
+                sh.avg_len = float(z["avg_len"])
+                sh.doc_count = int(z["doc_count"])
+                sh.directory = TermDirectory(
+                    **{f: z["d_" + f] for f in _DIR_FIELDS})
+                return sh
+        except Exception:
+            pass
+    sh = build_shard_lexical(levels, boosts, expand_ngrams=expand_ngrams)
+    if levels:
+        try:
+            arrs = {f: getattr(sh, f) for f in _LEXCACHE_FIELDS}
+            arrs.update({"d_" + f: getattr(sh.directory, f)
+                         for f in _DIR_FIELDS})
+            arrs["avg_len"] = np.float64(sh.avg_len)
+            arrs["doc_count"] = np.int64(sh.doc_count)
+            tmp = cn.with_suffix(".npz.tmp")
+            with open(tmp, "wb") as fh:
+                np.savez(fh, **arrs)
+            tmp.replace(cn)
+            cj.write_text(_json.dumps(fp))
+        except Exception:
+            pass
+    return sh
+
+
 def term_window_splits(lex: "ShardLexical", a: int, b: int, nw: int):
     """Per-(segment, sub-window) posting split table for one term's
     device-CSR segments [a, b) of the directory: returns i64[b-a, nw+1]
