@@ -634,51 +634,98 @@ def _expand_ngram_segments(
     v_docid, v_tf, v_imp = [], [], []
     vpos = len(sh.pl_docid)
 
-    def constituent_tf(l, ch, gdoc, a, b):
-        """Per-field tfs of constituent `ch` at the n-gram's docs."""
-        t = int(np.searchsorted(l.term_hash, np.uint64(ch)))
-        if t >= len(l.term_hash) or l.term_hash[t] != np.uint64(ch):
-            return np.asarray(l.tf[a:b])          # fallback: the n-gram's tf
-        ca, cb = int(l.term_offset[t]), int(l.term_offset[t + 1])
-        cd = l.docid[ca:cb]
-        pos = np.searchsorted(cd, gdoc)
-        pos = np.minimum(pos, len(cd) - 1)
-        found = cd[pos] == gdoc
-        tf_c = np.asarray(l.tf[ca:cb])[pos]
-        return np.where(found[:, None], tf_c, np.asarray(l.tf[a:b]))
+    hash_cache: dict[str, int] = {}
+
+    def _h(part: str) -> int:
+        h = hash_cache.get(part)
+        if h is None:
+            h = hash_cache[part] = term_hash(part)
+        return h
+
+    t0_of_level = np.zeros(len(levels) + 1, np.int64)
+    np.cumsum([len(x.term_hash) for x in levels], out=t0_of_level[1:])
 
     for i, l in enumerate(levels):
         if not l.term_names:
             continue
-        for t, name in enumerate(l.term_names):
-            if NGRAM_SEP not in name:
+        names = np.asarray(l.term_names, dtype=object)
+        ng_idx = np.flatnonzero(
+            np.frompyfunc(lambda s: NGRAM_SEP in s, 1, 1)(names)
+            .astype(bool))
+        if not len(ng_idx):
+            continue
+        T_l = len(l.term_hash)
+        offs = np.asarray(l.term_offset, np.int64)
+        counts = np.diff(offs)
+        # a level's postings are globally sorted by (term, docid): every
+        # constituent join below is ONE vectorized searchsorted over this
+        # key array (the per-(ngram, constituent) python joins cost 20+
+        # minutes per 1M-doc n-gram build)
+        keys = ((np.repeat(np.arange(T_l, dtype=np.int64), counts) << 16)
+                | l.docid.astype(np.int64))
+        tf_lvl = np.asarray(l.tf)
+
+        split_parts = [names[t].split(NGRAM_SEP) for t in ng_idx]
+        max_parts = max(len(p) for p in split_parts)
+        parts_by_j: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for j in range(max_parts):
+            tlist, hl = [], []
+            for t, p in zip(ng_idx, split_parts):
+                if len(p) > j and offs[t + 1] > offs[t]:
+                    tlist.append(int(t))
+                    hl.append(_h(p[j]))
+            parts_by_j[j] = (np.asarray(tlist, np.int64),
+                            np.asarray(hl, np.uint64))
+
+        for j in range(max_parts):
+            tsel, phash = parts_by_j[j]
+            if not len(tsel):
                 continue
-            a, b = int(l.term_offset[t]), int(l.term_offset[t + 1])
-            if b <= a:
+            a_t = offs[tsel]
+            n_t = counts[tsel]
+            total = int(n_t.sum())
+            if total == 0:
                 continue
-            gdoc = l.docid[a:b]
-            comps_g = comp[i * BLOCK_SIZE + gdoc.astype(np.int64)]
-            parts = name.split(NGRAM_SEP)
-            for j, part in enumerate(parts):
-                tf_c = constituent_tf(l, term_hash(part), gdoc, a, b)
-                imp_c = term_impacts(tf_c, comps_g, boosts)
-                if j == 0:
-                    # rewrite the main segment in place
-                    sh.pl_tf[base[i] + a : base[i] + b] = tf_c
-                    pl_impact[base[i] + a : base[i] + b] = imp_c
-                    # entry index in level-ordered arrays
-                    ei = int(np.sum([len(x.term_hash) for x in levels[:i]])) + t
-                    all_max[ei] = imp_c.max()
-                else:
-                    v_hash.append(ngram_virtual_hash(int(l.term_hash[t]), j + 1))
+            # flat posting rows of the n-gram segments
+            rows_g = (np.repeat(a_t, n_t)
+                      + np.arange(total, dtype=np.int64)
+                      - np.repeat(np.cumsum(n_t) - n_t, n_t))
+            gdoc = l.docid[rows_g].astype(np.int64)
+            # constituent term index per n-gram (vectorized hash lookup)
+            ci = np.searchsorted(l.term_hash, phash)
+            cic = np.minimum(ci, max(T_l - 1, 0))
+            cfound = (ci < T_l) & (l.term_hash[cic] == phash)
+            # one join: row of (constituent, doc) in the level postings
+            qkey = (np.repeat(np.where(cfound, cic, 0), n_t) << 16) | gdoc
+            pos = np.searchsorted(keys, qkey)
+            posc = np.minimum(pos, len(keys) - 1)
+            found = ((pos < len(keys)) & (keys[posc] == qkey)
+                     & np.repeat(cfound, n_t))
+            tf_c = np.where(found[:, None], tf_lvl[posc],
+                            tf_lvl[rows_g])
+            comps_g = comp[i * BLOCK_SIZE + gdoc]
+            imp_c = term_impacts(tf_c, comps_g, boosts)
+            seg_starts = np.cumsum(n_t) - n_t
+            seg_max = np.maximum.reduceat(imp_c, seg_starts)
+            if j == 0:
+                flat_rows = base[i] + rows_g
+                sh.pl_tf[flat_rows] = tf_c
+                pl_impact[flat_rows] = imp_c
+                all_max[t0_of_level[i] + tsel] = seg_max
+            else:
+                for e in range(len(tsel)):
+                    t = int(tsel[e])
+                    s, n = int(seg_starts[e]), int(n_t[e])
+                    v_hash.append(
+                        ngram_virtual_hash(int(l.term_hash[t]), j + 1))
                     v_level.append(i)
                     v_off.append(vpos)
-                    v_len.append(b - a)
-                    v_max.append(float(imp_c.max()))
-                    v_docid.append(gdoc)
-                    v_tf.append(tf_c)
-                    v_imp.append(imp_c)
-                    vpos += b - a
+                    v_len.append(n)
+                    v_max.append(float(seg_max[e]))
+                    v_docid.append(l.docid[rows_g[s : s + n]])
+                    v_tf.append(tf_c[s : s + n])
+                    v_imp.append(imp_c[s : s + n])
+                    vpos += n
 
     if v_hash:
         sh.pl_docid = np.concatenate([sh.pl_docid] + v_docid)
