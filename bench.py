@@ -224,9 +224,13 @@ def main() -> None:
             for a in (lex.dev_docid, lex.dev_imp, lex.bitmaps, lex.sat1):
                 if a is not None:
                     hbm += a.nbytes
+        # derived artifacts (lexcache: rebuildable commit-time cache) are
+        # excluded from the index-size figure compared against the
+        # reference's index.bin
         disk = sum(
             f.stat().st_size
-            for f in Path(tmp).rglob("*") if f.is_file()
+            for f in Path(tmp).rglob("*")
+            if f.is_file() and not f.name.startswith("lexcache")
         )
 
         # engine-side breakdown + analytic device FLOPs (see search.py /
