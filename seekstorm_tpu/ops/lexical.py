@@ -316,13 +316,15 @@ def _topk_block(rank, k: int):
     bmax = xb.max(axis=1)                        # [B, nb]
     _, bti = jax.lax.top_k(bmax, k)              # [B, k] bucket ids
     oh = (bti[:, :, None] == jnp.arange(nb, dtype=jnp.int32)
-          ).astype(jnp.float32)                  # [B, k, nb]
+          ).astype(rank.dtype)                   # [B, k, nb]
     # -inf * 0 = NaN in the extraction matmul: clamp, then restore
-    xf = jnp.maximum(xb, jnp.float32(-3e38))
+    # (values pass through the 0/1 matmul exactly in either dtype)
+    xf = jnp.maximum(xb, jnp.finfo(rank.dtype).min)
     cand = jnp.einsum("bsn,bjn->bsj", xf, oh,
                       preferred_element_type=jnp.float32)
     ts, tf_ = jax.lax.top_k(cand.reshape(B, sub * k), k)
-    ts = jnp.where(ts <= -1e38, -jnp.inf, ts)
+    ts = jnp.where(ts <= jnp.float32(jnp.finfo(rank.dtype).min),
+                   -jnp.inf, ts)
     i = tf_ // k
     jj = tf_ % k
     ti = i * nb + jnp.take_along_axis(bti, jj, axis=1)
@@ -437,6 +439,11 @@ def _block_step_imp(
     matched = (S > 0) & (C >= nreq[:, None].astype(jnp.float32)) \
         & ~del_block[None, :] & sel[:, None]
     scores = jnp.where(matched, S, -jnp.inf)
+    if fast:
+        # bf16 rank halves the [B, 64K] top-k epilogue traffic (the
+        # per-block HBM floor); extracted values restore to f32 and the
+        # added rounding is the same order as the bf16 score matmuls
+        scores = scores.astype(jnp.bfloat16)
     return scores, matched
 
 
