@@ -116,6 +116,10 @@ def main() -> None:
     ap.add_argument("--index-dir", default=None,
                     help="persist/reuse the built index here (iteration "
                          "aid; the default builds fresh in a temp dir)")
+    ap.add_argument("--result-type", choices=["Topk", "TopkCount"],
+                    default="Topk",
+                    help="TopkCount adds exact total-hit counting (full "
+                         "coverage + per-block count accumulation)")
     args = ap.parse_args()
 
     import seekstorm_tpu as st
@@ -162,7 +166,8 @@ def main() -> None:
             qs = make_queries(args.batch, np.random.default_rng(100 + t))
             req_sets.append([
                 st.SearchRequest(
-                    query=q, length=10, result_type=st.ResultType.Topk,
+                    query=q, length=10,
+                    result_type=st.ResultType(args.result_type),
                     realtime=True, query_type_default=st.QueryType(ty),
                 )
                 for q, ty in qs
@@ -263,8 +268,9 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "metric": "bm25_top10_qps_5m" if args.docs >= 5_000_000
-                    else f"bm25_top10_qps_{args.docs}",
+                    "metric": ("bm25_top10_qps_5m" if args.docs >= 5_000_000
+                               else f"bm25_top10_qps_{args.docs}")
+                    + ("_count" if args.result_type == "TopkCount" else ""),
                     "value": round(qps, 1),
                     "unit": "qps",
                     "vs_baseline": round(qps / BASELINE_QPS, 2),

@@ -333,8 +333,19 @@ class IndexVectors:
         # the cluster start rows in both the per-level and global layouts)
         row_of_cluster_start = np.asarray(med_rows + [N], np.int64)
 
+        def _put_big(arr, limit=256 << 20):
+            """Chunked device upload: single POSTs through the device
+            tunnel fail above ~250 MB, and f32 stores at GIST scale are
+            ~4 GB.  Upload tile-aligned slabs and concatenate on device."""
+            if arr.nbytes <= limit:
+                return jnp.asarray(arr)
+            rows = max(limit // max(arr[0].nbytes, 1), 1)
+            return jnp.concatenate(
+                [jnp.asarray(arr[a : a + rows])
+                 for a in range(0, len(arr), rows)], axis=0)
+
         sv._dev = {
-            "data": jnp.asarray(data.reshape(n_tiles, TILE, d)),
+            "data": _put_big(data.reshape(n_tiles, TILE, d)),
             "scale": jnp.asarray(scale.reshape(n_tiles, TILE)),
             "zp": jnp.asarray(zp.reshape(n_tiles, TILE)),
             "qsum": jnp.asarray(qsum.reshape(n_tiles, TILE)),
