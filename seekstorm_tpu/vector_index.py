@@ -232,6 +232,17 @@ class IndexVectors:
     def commit(self) -> None:  # flush handled per shard during Index.commit
         pass
 
+    def _global_recluster(self, levels, n_rows: int) -> bool:
+        """Whether the device build re-clusters the committed union
+        (single-level stores already have one global cluster space)."""
+        from .schema import ClusteringMode
+
+        return (
+            len(levels) > 1
+            and self.cfg.clustering.mode != ClusteringMode.Null
+            and n_rows >= max(self.cfg.clustering.min_points, 4)
+        )
+
     # ------------------------------------------------------------------
     def device(self, shard):
         """Stacked device tensors for a shard's committed vectors."""
@@ -293,13 +304,7 @@ class IndexVectors:
         # re-clusters the committed union at device-build time — levels
         # stay the durability unit on disk, exactly like the lexical
         # rebuild (lexindex.build_shard_lexical).
-        from .schema import ClusteringMode
-
-        if (
-            len(levels) > 1
-            and self.cfg.clustering.mode != ClusteringMode.Null
-            and N >= max(self.cfg.clustering.min_points, 4)
-        ):
+        if self._global_recluster(levels, N):
             from .clustering import cluster_level
 
             xf = data[:N].astype(np.float32)

@@ -236,3 +236,45 @@ def test_turboquant_qjl_quantizer():
     approx = xh[:50] @ xh[50:100].T
     rel = np.abs(approx - exact).mean() / np.abs(exact).mean()
     assert rel < 0.03, rel
+
+
+def test_global_recluster_field_alignment(tmp_path):
+    """Multi-level commits trigger the global device-build re-cluster;
+    per-row metadata (fieldid, docid) must stay aligned through the
+    permutation — verified via field-filtered nprobe search."""
+    import numpy as np
+
+    import seekstorm_tpu as st
+
+    meta = st.IndexMeta(vector=st.VectorConfig(
+        enabled=True, dim=8, similarity=st.VectorSimilarity.Euclidean,
+        precision=st.Precision.F32, quantization=st.Quantization.Null,
+        inference=st.InferenceType.External,
+        clustering=st.ClusteringConfig(mode=st.ClusteringMode.Auto,
+                                       min_points=32)))
+    schema = [
+        st.SchemaField("a", st.FieldType.Json, index_vector=True),
+        st.SchemaField("b", st.FieldType.Json, index_vector=True),
+    ]
+    idx = st.create_index(tmp_path / "ix", schema, meta=meta, shard_count=1)
+    rng = np.random.default_rng(5)
+    A = rng.normal(0, 5, (200, 8)).astype(np.float32)
+    B = rng.normal(50, 5, (200, 8)).astype(np.float32)
+    idx.index_documents([{"a": A[i], "b": B[i]} for i in range(200)])
+    idx.commit()
+    # levels are 64K-doc-aligned, so force the multi-level re-cluster
+    # gate on the single test level
+    from seekstorm_tpu.vector_index import IndexVectors
+
+    idx.vectors._global_recluster = lambda levels, n: n >= 32
+    q = A[150] + 0.01
+    # unfiltered: nearest is doc 150's field-a vector
+    r = idx.search(st.SearchRequest(search_mode=st.SearchMode.Vector,
+        query_vector=q.tolist(), length=3, top_n=3, ann_mode="Nprobe",
+        nprobe=4, realtime=False))
+    assert r.results and r.results[0].doc_id == 150, r.results[:2]
+    # filtered to field b: the A-cluster rows must be masked out
+    rb = idx.search(st.SearchRequest(search_mode=st.SearchMode.Vector,
+        query_vector=(B[7] + 0.01).tolist(), length=3, top_n=3,
+        ann_mode="Nprobe", nprobe=4, realtime=False, field_filter=["b"]))
+    assert rb.results and rb.results[0].doc_id == 7, rb.results[:2]
