@@ -311,23 +311,28 @@ def _topk_block(rank, k: int):
         ts, ti = jax.lax.top_k(rank, min(k, BLOCK_SIZE))
         return ts, ti
     nb = _TOPK_BUCKETS
-    sub = BLOCK_SIZE // nb                       # 128 sublanes
-    xb = rank.reshape(B, sub, nb)                # doc = i * nb + j
-    bmax = xb.max(axis=1)                        # [B, nb]
+    sub = BLOCK_SIZE // nb                       # 128 docs per bucket
+    # bucket-major layout (doc = j * sub + i) + ascending-sorted selected
+    # buckets make the flat candidate order equal global docid order, so
+    # lax.top_k's lowest-index tie rule yields EXACT oracle tie semantics
+    # (score desc, docid asc membership AND order; oracle.topk_from_scores)
+    xb = rank.reshape(B, nb, sub)
+    bmax = xb.max(axis=2)                        # [B, nb]
     _, bti = jax.lax.top_k(bmax, k)              # [B, k] bucket ids
+    bti = jnp.sort(bti, axis=1)                  # docid-ordered extraction
     oh = (bti[:, :, None] == jnp.arange(nb, dtype=jnp.int32)
           ).astype(rank.dtype)                   # [B, k, nb]
     # -inf * 0 = NaN in the extraction matmul: clamp, then restore
     # (values pass through the 0/1 matmul exactly in either dtype)
     xf = jnp.maximum(xb, jnp.finfo(rank.dtype).min)
-    cand = jnp.einsum("bsn,bjn->bsj", xf, oh,
+    cand = jnp.einsum("bns,bjn->bjs", xf, oh,
                       preferred_element_type=jnp.float32)
-    ts, tf_ = jax.lax.top_k(cand.reshape(B, sub * k), k)
+    ts, tf_ = jax.lax.top_k(cand.reshape(B, k * sub), k)
     ts = jnp.where(ts <= jnp.float32(jnp.finfo(rank.dtype).min),
                    -jnp.inf, ts)
-    i = tf_ // k
-    jj = tf_ % k
-    ti = i * nb + jnp.take_along_axis(bti, jj, axis=1)
+    jj = tf_ // sub
+    i = tf_ % sub
+    ti = jnp.take_along_axis(bti, jj, axis=1) * sub + i
     return ts, ti
 
 

@@ -309,6 +309,63 @@ def _build_specs(
     return slots, specs
 
 
+def _shard_idf(shard: Shard, slots: list[_Slot], realtime: bool,
+               hs: np.ndarray | None = None,
+               found: np.ndarray | None = None,
+               ti_c: np.ndarray | None = None) -> np.ndarray:
+    """Per-shard per-slot BM25 idf, realtime-df aware — the single source of
+    truth for the dense planner (_plan_shard) and the WAND path (ops/wand.py).
+
+    hs/found/ti_c are _plan_shard's already-computed directory lookups for
+    the slots' own hashes; recomputed when absent."""
+    lex = shard.lexical
+    d = lex.directory
+    T = len(d.hash)
+    if hs is None:
+        hs = np.array([sl.hash for sl in slots], dtype=np.uint64)
+        ti_all = np.searchsorted(d.hash, hs)
+        found = ti_all < T
+        ti_c = np.minimum(ti_all, max(T - 1, 0))
+        found &= (d.hash[ti_c] == hs) if T else False
+
+    # idf df: n-gram slots redirect to their constituent's df (reference
+    # posting_count_ngram_N, search.rs:3235-3260)
+    df = np.where(found, d.df[ti_c], 0)
+    idf_hs = np.array(
+        [sl.idf_hash if sl.idf_hash is not None else sl.hash
+         for sl in slots], dtype=np.uint64)
+    if not np.array_equal(idf_hs, hs):
+        ci_all = np.searchsorted(d.hash, idf_hs)
+        cfound = (ci_all < T)
+        ci_c = np.minimum(ci_all, max(T - 1, 0))
+        cfound &= (d.hash[ci_c] == idf_hs) if T else False
+        df = np.where(cfound, d.df[ci_c], df)
+
+    # doc counts / dfs incl. realtime tail for idf
+    n_docs = lex.doc_count
+    df_total = df.copy()
+    if realtime:
+        l0 = shard.level0
+        start = shard.partial_on_disk
+        n_docs += l0.doc_count - start
+        acc = getattr(l0, "acc", None)
+        for v, sl in enumerate(slots):
+            h = sl.idf_hash if sl.idf_hash is not None else sl.hash
+            if acc is not None:
+                hit = acc.term_postings(h)
+                if hit is not None:
+                    df_total[v] += int(np.sum(hit[0] >= start))
+            else:
+                tp = l0.terms.get(h)
+                if tp is not None:
+                    df_total[v] += int(np.sum(np.asarray(tp.docids) >= start))
+    return np.where(
+        df_total > 0,
+        np.log1p((n_docs - df_total + 0.5) / (df_total + 0.5)),
+        0.0,
+    ).astype(np.float32)
+
+
 @dataclass
 class _ShardPlan:
     block_ids: np.ndarray       # i32[NB]
@@ -385,42 +442,8 @@ def _plan_shard(
            else np.full(total_segs, -1, np.int32))
     fdl = (d.seg_dev_len[flat] if d.seg_dev_len is not None else fl)
 
-    # idf df: n-gram slots redirect to their constituent's df (reference
-    # posting_count_ngram_N, search.rs:3235-3260)
-    df = np.where(found, d.df[ti_c], 0)
-    idf_hs = np.array(
-        [sl.idf_hash if sl.idf_hash is not None else sl.hash
-         for sl in slots], dtype=np.uint64)
-    if not np.array_equal(idf_hs, hs):
-        ci_all = np.searchsorted(d.hash, idf_hs)
-        cfound = (ci_all < T)
-        ci_c = np.minimum(ci_all, max(T - 1, 0))
-        cfound &= (d.hash[ci_c] == idf_hs) if T else False
-        df = np.where(cfound, d.df[ci_c], df)
-
-    # doc counts / dfs incl. realtime tail for idf
-    n_docs = lex.doc_count
-    df_total = df.copy()
-    if realtime:
-        l0 = shard.level0
-        start = shard.partial_on_disk
-        n_docs += l0.doc_count - start
-        acc = getattr(l0, "acc", None)
-        for v, sl in enumerate(slots):
-            h = sl.idf_hash if sl.idf_hash is not None else sl.hash
-            if acc is not None:
-                hit = acc.term_postings(h)
-                if hit is not None:
-                    df_total[v] += int(np.sum(hit[0] >= start))
-            else:
-                tp = l0.terms.get(h)
-                if tp is not None:
-                    df_total[v] += int(np.sum(np.asarray(tp.docids) >= start))
-    idf = np.where(
-        df_total > 0,
-        np.log1p((n_docs - df_total + 0.5) / (df_total + 0.5)),
-        0.0,
-    ).astype(np.float32)
+    idf = _shard_idf(shard, slots, realtime,
+                     hs=hs, found=found, ti_c=ti_c)
 
     # per-query masks over slots, built once (the per-query python loops
     # here were the serving bottleneck: host planning ran ~16 ms per
@@ -1407,6 +1430,37 @@ def _lexical_search_batch(
     prune_ok = stats[1] < 8 or stats[0] * 2 < stats[1]
     cover_full = need_full or not prune_ok
 
+    # bucket-WAND path (ops/wand.py): Topk/TopkCount/Count batches at
+    # reference scale ride a packed-bitmap upper-bound scan + exact host
+    # rescore — per-batch device work is ~1/50th of the dense kernels and
+    # counts stay exact (phase-1 popcount).  Ineligible rows (phrases,
+    # > T_MAX slots) fall through to the join/dense paths below.
+    wanded = np.zeros(B, bool)
+    if (
+        mode == "imp"
+        and not req0.query_facets and not req0.facet_filter
+        and not req0.result_sort
+        and need <= 1024
+    ):
+        from .ops import wand as wand_mod
+
+        if wand_mod.wand_auto(index):
+            wrows = [i for i in range(B)
+                     if wand_mod.query_ok(live_specs[i])]
+            if wrows:
+                idf_ps = np.stack([
+                    _shard_idf(sh, slots, req0.realtime)
+                    for sh in index.shards])          # [S, V]
+                wsc, wgid, wcnt, whandled = wand_mod.run_batch(
+                    index, slots, [live_specs[i] for i in wrows],
+                    idf_ps, max(need, 1), with_counts)
+                for r, qi in enumerate(wrows):
+                    if whandled[r]:
+                        merged_scores[qi] = wsc[r]
+                        merged_ids[qi] = wgid[r]
+                        counts[qi] = wcnt[r]
+                        wanded[qi] = True
+
     # posting-space join path: Topk-only batches whose queries fit posting
     # windows ride ops/join.py — per-query work tracks its terms' posting
     # counts (the reference's galloping-intersection cost model), results
@@ -1425,7 +1479,7 @@ def _lexical_search_batch(
         if infos is not None:
             with METRICS.timer("lex_plan"):
                 jrows = [i for i, sp in enumerate(live_specs)
-                         if _join_query_ok(sp, infos)]
+                         if not wanded[i] and _join_query_ok(sp, infos)]
                 if jrows:
                     jspecs = [live_specs[i] for i in jrows]
                     bufs, statics = _build_join_plans(
@@ -1439,7 +1493,7 @@ def _lexical_search_batch(
                     merged_ids[qi] = gid_j[r][valid].astype(np.int64)
                     joined[qi] = True
 
-    rest_rows = [i for i in range(B) if not joined[i]]
+    rest_rows = [i for i in range(B) if not joined[i] and not wanded[i]]
     live_specs_rest = [live_specs[i] for i in rest_rows]
 
     # Topk-only PRUNED batches on large shards ride the query-tiled kernel:
