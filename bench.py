@@ -245,6 +245,8 @@ def main() -> None:
         tm = METRICS.snapshot()
         escalations = int(tm.get("plan_escalations_total", 0))
         dispatches = int(tm.get("device_dispatch_total", 0))
+        wand_esc = int(tm.get("wand_escalations_total", 0))
+        wand_fb = int(tm.get("wand_fallbacks_total", 0))
         plan_s = tm.get("lex_plan_seconds_total", 0.0)
         dev_s = tm.get("lex_device_seconds_total", 0.0)
         fetch_s = 0.0  # folded into device_s (one D2H sync fetches results)
@@ -294,6 +296,8 @@ def main() -> None:
                     "realtime": True,
                     "plan_escalations": escalations,
                     "device_dispatches": dispatches,
+                    "wand_escalations": wand_esc,
+                    "wand_fallbacks": wand_fb,
                     "hbm_scoring_bytes": int(hbm),
                     "disk_index_bytes": int(disk),
                 }

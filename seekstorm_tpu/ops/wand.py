@@ -9,25 +9,27 @@ granularity, in three phases:
 
   1. device UB scan (one dispatch): every (term, block) segment is cached in
      HBM as a packed 64K-bit presence bitmap (u32[2048]: word w = docs
-     [32w, 32w+32)) plus C impact-band rows (one bit per *bucket* = per
-     word, u32[64]) with each band's exact max impact.  Per scan step
-     (block) the kernel computes, fully packed:
+     [32w, 32w+32)) plus a per-bucket exact max-impact row (f32[2048]).
+     Per scan step (block) the kernel computes, fully packed:
        * matched words  = AND(required) & OR(positive) & ~OR(negated)
                           & ~deleted           (reference boolean semantics,
                           search.rs:59-69, add_result.rs matched checks)
        * exact result counts = popcount(matched)  (Count/TopkCount,
                           reference add_result.rs count paths)
-       * per-bucket score upper bound UB = sum_t idf_t * max_band(present)
-         via a [B, V] x [V, 2048] matmul — the bucket-granular analog of
-         max_block_score (index.rs:781-789)
-  2. hierarchical exact top-(M+1) buckets per query over all blocks
-     (fewer than M buckets can hold the true top-k if the (M+1)-th UB is
-     below the k-th exact score — the WAND termination criterion);
-  3. host exact rescore of the <= 32*M candidate docs per query from the
-     full CSR (f32, oracle-identical accumulation), with an escalation
-     ladder M=64 -> 256 -> 1024 and a final fallback to the dense kernel.
+       * per-bucket score upper bound UB = sum_t idf_t * bucket_max_t,
+         accumulated in f32 in the host rescore's term order so UB >= exact
+         score holds bit-wise WITH equality when a doc's impacts hit its
+         buckets' maxima — the bucket-granular analog of max_block_score
+         (index.rs:781-789), but exact per 32-doc bucket
+  2. exact top-(K_SEL+1) regions per query at three coarsening factors
+     (F_LADDER: 32/128/512-doc regions), all from the one dispatch
+     (fewer than K_SEL regions can hold the true top-k iff the
+     (K_SEL+1)-th UB is <= the k-th exact score — WAND termination);
+  3. host exact rescore of the selected regions' docs from the full CSR
+     (f32, oracle-identical accumulation); escalation = rescoring the next
+     coarser rung (no device round trip), then a dense-kernel fallback.
 
-All per-slot device state (presence row ids, band row ids, band maxima)
+All per-slot device state (presence rows, bucket-max rows)
 lives in HBM pools uploaded once per (query term); the per-batch upload is
 a single packed i32 buffer of a few KB (slot map + term table + weights) —
 per-transfer latency through the TPU tunnel dominates small transfers, the
@@ -51,15 +53,13 @@ import numpy as np
 from ..schema import BLOCK_SIZE
 
 NW = BLOCK_SIZE // 32          # packed words per block == buckets per block
-NZW = NW // 32                 # words per band bucket-nz row
 BUCKET = 32                    # docs per bucket (one u32 word)
-C_BANDS = 8                    # impact bands per (term, block) segment
 T_MAX = 8                      # max term slots per query on this path
-M_LADDER = (64, 256, 1024)     # candidate-bucket escalation ladder
-# UB inflation: phase-1 UBs are computed with a bf16 matmul; inflating the
-# band maxima keeps UB >= exact under rounding, so the WAND termination
-# check (kth_exact >= next_ub) stays sound.
-UB_INFLATE = np.float32(1.02)
+K_SEL = 64                     # selected regions per query per resolution
+# escalation ladder = coarsening factors: rung i selects K_SEL regions of
+# F*BUCKET docs each (2K / 8K / 32K candidate docs).  All three rungs come
+# back from ONE device dispatch — escalation is host-side only.
+F_LADDER = (1, 4, 16)
 # default-on threshold: blocks per largest shard (16 blocks = 1M docs);
 # below it the dense kernels win (one decode serves the whole batch)
 WAND_MIN_BLOCKS = int(os.environ.get("SEEKSTORM_TPU_WAND_MIN_BLOCKS", "16"))
@@ -89,56 +89,50 @@ def wand_auto(index) -> bool:
 # device kernel
 
 
-@functools.partial(jax.jit, static_argnames=("V", "Bq", "T", "S", "M",
+@functools.partial(jax.jit, static_argnames=("V", "Bq", "T", "S",
                                              "with_counts"))
 def wand_scan(
     ppool,      # u32[PR, NW]         presence rows
-    cpool,      # u32[PC, NZW]        band bucket-nz rows
-    sp_prow,    # i32[NS, NBLK]       presence row per (slot row, block), -1
-    sp_crow,    # i32[NS, NBLK, C]    band row per (slot row, block, band)
-    sp_bandub,  # f32[NS, NBLK, C]    band max impact (0 for empty)
+    vpool,      # f32[PR, NW]         per-bucket exact max impact rows
+    sp_prow,    # i32[NS, NBLK]       row per (slot row, block), -1 pad
     delw,       # u32[NBLK, NW]       deleted-doc words
     sid,        # i32[NBLK]           shard of each block
     qargs,      # i32[...]            packed per-batch args (see _pack_qargs)
     *,
     V: int, Bq: int, T: int, S: int,
-    M: int,
     with_counts: bool,
 ):
-    """Phase 1+2.  Returns packed f32[Bq, 2(M+1)+1]:
-    [ub_s | ub_i | count] per query.  ub_i are global bucket ids
-    block*NW + word (exact in f32 below 2^24); ub_s is sorted descending
-    with -inf padding; entry M is the best UNSELECTED bucket's UB (the
-    escalation threshold)."""
+    """Phase 1+2.  Returns packed f32[Bq, 3*2*(K_SEL+1)+1]: for each
+    coarsening factor F in F_LADDER, [ub_s | ub_i] of the top-(K_SEL+1)
+    F-bucket regions, then [count].  ub_i are region ids (global bucket id
+    // F, exact in f32 below 2^24); ub_s is sorted descending with -inf
+    padding; entry K_SEL is the best UNSELECTED region's UB (the WAND
+    termination threshold for that rung)."""
     NBLK = sp_prow.shape[1]
     slotmap, tslot, treq, tneg, wshard = _unpack_qargs(qargs, V, Bq, T, S)
 
-    # slot-table gather: [V, NBLK...] once per dispatch (device-side join
+    # slot-table gather: [V, NBLK] once per dispatch (device-side join
     # of the batch's slots against the resident per-slot pools)
     sm_ok = slotmap >= 0
     sm_c = jnp.maximum(slotmap, 0)
     prow = jnp.where(sm_ok[:, None], jnp.take(sp_prow, sm_c, axis=0), -1).T
-    crow = jnp.where(sm_ok[:, None, None],
-                     jnp.take(sp_crow, sm_c, axis=0), -1)
-    crow = jnp.swapaxes(crow, 0, 1)                   # [NBLK, V, C]
-    bandub = jnp.where(sm_ok[:, None, None],
-                       jnp.take(sp_bandub, sm_c, axis=0), 0.0)
-    bandub = jnp.swapaxes(bandub, 0, 1)               # [NBLK, V, C]
 
     ts_ok = tslot >= 0
     ts_c = jnp.maximum(tslot, 0)
-    bit32 = jnp.arange(32, dtype=jnp.uint32)
-
-    # per-query slot weight matrix for the UB matmul (one-hot scatter of
-    # idf weights; negated slots contribute no UB)
-    oh = (ts_c[:, :, None] == jnp.arange(V, dtype=jnp.int32)) \
-        & ts_ok[:, :, None] & (~tneg)[:, :, None]
 
     def step(cnt, xs):
-        prow_b, crow_b, bandub_b, delw_b, sid_b = xs
+        prow_b, delw_b, sid_b = xs
 
-        pres = jnp.take(ppool, jnp.maximum(prow_b, 0), axis=0)
-        pres = jnp.where((prow_b >= 0)[:, None], pres, 0)        # [V, NW]
+        rows_ok = prow_b >= 0
+        rows_c = jnp.maximum(prow_b, 0)
+        pres = jnp.take(ppool, rows_c, axis=0)
+        pres = jnp.where(rows_ok[:, None], pres, 0)              # [V, NW]
+        # per-bucket exact max impact per slot — UB is this bucket's own
+        # achievable max, not a segment-wide band max (segment-granular
+        # maxima leave hundreds of buckets claiming a block's top impact,
+        # and K_SEL regions can then never cover every UB > kth)
+        vub = jnp.take(vpool, rows_c, axis=0)
+        vub = jnp.where(rows_ok[:, None], vub, 0.0)              # [V, NW]
 
         pt = jnp.take(pres, ts_c.reshape(-1), axis=0).reshape(Bq, T, NW)
         pt = jnp.where(ts_ok[:, :, None], pt, 0)
@@ -159,52 +153,72 @@ def wand_scan(
             cnt = cnt + jnp.sum(jax.lax.population_count(matched),
                                 axis=1, dtype=jnp.int32)
 
-        crows = jnp.take(cpool, jnp.maximum(crow_b, 0).reshape(-1), axis=0)
-        crows = jnp.where((crow_b >= 0).reshape(-1)[:, None], crows, 0)
-        nz = ((crows[:, :, None] >> bit32) & 1).reshape(V, C_BANDS, NW)
-        ubv = jnp.max(nz.astype(jnp.float32) * bandub_b[:, :, None], axis=1)
-
+        # exact f32 UB, accumulated per term in the SAME order as the host
+        # rescore (_rescore_query iterates spec.slots = the tslot columns):
+        # f32 rounding is monotone, so ub >= any member doc's f32 score,
+        # with EQUALITY when the doc's impacts hit the bucket maxima — the
+        # WAND termination test (kth >= next_ub) then fires on exact ties.
+        # (A bf16/matmul UB either breaks soundness or, inflated, never
+        # terminates on tie-dense tops.)
         w_b = jnp.take(wshard, sid_b, axis=0)                     # [Bq, T]
-        wv = jnp.sum(w_b[:, :, None] * oh.astype(jnp.float32), axis=1)
-        ub = jnp.dot(wv.astype(jnp.bfloat16), ubv.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)          # [Bq, NW]
-        ubm = jnp.where(matched != 0, ub, -jnp.inf).astype(jnp.bfloat16)
+        ubt = jnp.take(vub, ts_c.reshape(-1), axis=0).reshape(Bq, T, NW)
+        ubt = jnp.where((ts_ok & ~tneg)[:, :, None], ubt, 0.0)
+        ub = jnp.zeros((Bq, NW), jnp.float32)
+        for t in range(T):
+            ub = ub + w_b[:, t, None] * ubt[:, t]
+        ubm = jnp.where(matched != 0, ub, -jnp.inf)
         return cnt, ubm
 
     cnt, ubs = jax.lax.scan(
         step, jnp.zeros((Bq,), jnp.int32),
-        (prow, crow, bandub, delw, sid))
+        (prow, delw, sid))
 
-    # phase 2: exact global top-(M+1) buckets (2-stage bucket reduction —
-    # lax.top_k over the full 157K-lane axis is ~100x slower on v5e)
+    # phase 2: for each coarsening factor, exact top-(K_SEL+1) regions via
+    # a 2-stage bucket reduction — K stays 65 at every rung, so no top_k
+    # ever runs over more than ~8K candidate lanes (lax.top_k over 32K
+    # lanes costs ~54 ms on v5e and would dominate the whole scan)
     allub = jnp.swapaxes(ubs, 0, 1).reshape(Bq, NBLK * NW)
-    G = 128
-    ng = NBLK * NW // G
-    K = min(M + 1, NBLK * NW)
-    gmax = allub.reshape(Bq, ng, G).max(axis=2)
-    kg = min(K, ng)
+    parts = []
+    for F in F_LADDER:
+        L = NBLK * NW // F
+        ubf = allub.reshape(Bq, L, F).max(axis=2) if F > 1 else allub
+        ub_s, ub_i = _topk_lanes(ubf, K_SEL + 1)
+        parts.append(ub_s)
+        parts.append(ub_i.astype(jnp.float32))
+    parts.append(cnt[:, None].astype(jnp.float32))
+    # single-fetch packing (region ids < 2^24 are exact in f32)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _topk_lanes(x, K: int):
+    """Exact top-K (values desc, -inf padded) over x[Bq, L] with a 2-stage
+    group-max reduction; ids returned alongside."""
+    Bq, L = x.shape
+    K_eff = min(K, L)
+    G = min(128, L)
+    ng = L // G
+    # f32 throughout: UB values must reach the host bit-exact (the WAND
+    # termination test compares them against exact f32 rescore sums)
+    neg_min = jnp.finfo(jnp.float32).min / 2
+    gmax = x.reshape(Bq, ng, G).max(axis=2)
+    kg = min(K_eff, ng)
     _, gi = jax.lax.top_k(gmax, kg)
-    oh2 = (gi[:, :, None] == jnp.arange(ng, dtype=jnp.int32)).astype(
-        jnp.bfloat16)
-    neg_min = jnp.finfo(jnp.bfloat16).min
-    xf = jnp.maximum(allub.reshape(Bq, ng, G), neg_min)
-    cand = jnp.einsum("bng,bmn->bmg", xf, oh2,
+    oh = (gi[:, :, None] == jnp.arange(ng, dtype=jnp.int32)).astype(
+        jnp.float32)
+    xf = jnp.maximum(x.reshape(Bq, ng, G), neg_min)
+    cand = jnp.einsum("bng,bmn->bmg", xf, oh,
                       preferred_element_type=jnp.float32)
-    ub_s, ti = jax.lax.top_k(cand.reshape(Bq, kg * G), K)
+    vals, ti = jax.lax.top_k(cand.reshape(Bq, kg * G), K_eff)
     gsel = jnp.take_along_axis(gi, ti // G, axis=1)
-    ub_i = gsel * G + ti % G
-    ub_s = jnp.where(ub_s <= jnp.float32(neg_min), -jnp.inf, ub_s)
-    if K < M + 1:
-        pad = M + 1 - K
-        ub_s = jnp.concatenate(
-            [ub_s, jnp.full((Bq, pad), -jnp.inf)], axis=1)
-        ub_i = jnp.concatenate([ub_i, jnp.zeros((Bq, pad), jnp.int32)],
-                               axis=1)
-    # single-fetch packing: [Bq, 2(M+1)+1] f32 (bucket ids < 2^24 are exact)
-    packed = jnp.concatenate(
-        [ub_s, ub_i.astype(jnp.float32), cnt[:, None].astype(jnp.float32)],
-        axis=1)
-    return packed
+    ids = gsel * G + ti % G
+    vals = jnp.where(vals <= jnp.float32(neg_min), -jnp.inf, vals)
+    if K_eff < K:
+        pad = K - K_eff
+        vals = jnp.concatenate(
+            [vals, jnp.full((Bq, pad), -jnp.inf)], axis=1)
+        ids = jnp.concatenate([ids, jnp.zeros((Bq, pad), jnp.int32)],
+                              axis=1)
+    return vals, ids
 
 
 def _pack_qargs(slotmap, tslot, treq, tneg, wshard):
@@ -264,28 +278,6 @@ class _SlotRows:
         self.df = 0
 
 
-def _band_assign(imp: np.ndarray):
-    """Split a segment's postings into <= C_BANDS impact-quantile bands.
-
-    Returns (band u8[n], ubs f32[C] actual per-band max, nonempty bool[C]).
-    Band 0 holds the highest impacts (tight UB where it matters)."""
-    n = len(imp)
-    srt = np.sort(imp)                       # ascending
-    cut = np.ceil(n * (C_BANDS - np.arange(C_BANDS)) / C_BANDS).astype(
-        np.int64) - 1
-    edges = srt[np.clip(cut, 0, n - 1)]      # edges[0] = max, descending
-    band = np.searchsorted(-edges, -imp, side="left").astype(np.int64)
-    band = np.clip(band, 0, C_BANDS - 1)
-    # postings exactly at a duplicated edge can land one band off; the UB
-    # only needs each band's true max, so recompute maxima from the actual
-    # assignment
-    ubs = np.zeros(C_BANDS, np.float32)
-    np.maximum.at(ubs, band, imp)
-    nonempty = np.zeros(C_BANDS, bool)
-    nonempty[band] = True
-    return band.astype(np.uint8), ubs, nonempty
-
-
 class WandState:
     """Device pools + host caches for one committed index generation.
 
@@ -339,33 +331,27 @@ class WandState:
 
         cap_mb = int(os.environ.get("SEEKSTORM_TPU_WAND_MB", "1536"))
         cap_bytes = cap_mb * 1024 * 1024
-        self.cap_prows = max(cap_bytes * 3 // 4 // (NW * 4), 64)
-        self.cap_crows = max(cap_bytes // 5 // (NZW * 4), 64)
-        slot_bytes = self.nblk_pad * (4 + C_BANDS * 8)
-        self.cap_slots = max(cap_bytes // 20 // slot_bytes, 64)
+        # presence (u32) + per-bucket max impact (f32) rows, 8 KB each
+        self.cap_prows = max(cap_bytes * 9 // 10 // (NW * 8), 64)
+        self.cap_slots = max(cap_bytes // 10 // (self.nblk_pad * 4), 64)
         self._reset(init=True)
 
     # -- row building -------------------------------------------------------
 
     def _reset(self, init=False):
         self.ppool = jnp.zeros((64, NW), jnp.uint32)
-        self.cpool = jnp.zeros((64, NZW), jnp.uint32)
+        self.vpool = jnp.zeros((64, NW), jnp.float32)
         self.sp_prow = jnp.full((16, self.nblk_pad), -1, jnp.int32)
-        self.sp_crow = jnp.full((16, self.nblk_pad, C_BANDS), -1, jnp.int32)
-        self.sp_bandub = jnp.zeros((16, self.nblk_pad, C_BANDS), jnp.float32)
         self.n_prows = 0
-        self.n_crows = 0
         self.n_slots = 0
         self.slot_cache: dict[int, _SlotRows] = {}
         self._pend_prow: list[np.ndarray] = []     # stacked at upload
-        self._pend_crow: list[np.ndarray] = []
-        self._pend_slot: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._pend_vrow: list[np.ndarray] = []
+        self._pend_slot: list[np.ndarray] = []
 
     def _build_slot(self, h: int) -> _SlotRows:
         sr = _SlotRows()
         prow_vec = np.full(self.nblk_pad, -1, np.int32)
-        crow_mat = np.full((self.nblk_pad, C_BANDS), -1, np.int32)
-        bandub_mat = np.zeros((self.nblk_pad, C_BANDS), np.float32)
         keys_parts, imp_parts = [], []
         any_seg = False
         for s, sh in enumerate(self.index.shards):
@@ -389,28 +375,24 @@ class WandState:
                 np.bitwise_or.at(
                     pw, ids >> 5,
                     np.uint32(1) << (ids & 31).astype(np.uint32))
+                # per-bucket exact max impact (docids are sorted, so each
+                # bucket is a contiguous run -> maximum.reduceat)
+                buckets = (ids >> 5).astype(np.int64)
+                starts = np.flatnonzero(
+                    np.r_[True, np.diff(buckets) != 0])
+                vrow = np.zeros(NW, np.float32)
+                vrow[buckets[starts]] = np.maximum.reduceat(imp, starts)
                 prow_vec[g] = self.n_prows
                 self._pend_prow.append(pw)
+                self._pend_vrow.append(vrow)
                 self.n_prows += 1
-                band, ubs, nonempty = _band_assign(imp)
-                buckets = (ids >> 5).astype(np.int64)
-                for c in np.flatnonzero(nonempty):
-                    nzrow = np.zeros(NZW, np.uint32)
-                    bc = buckets[band == c]
-                    np.bitwise_or.at(
-                        nzrow, bc >> 5,
-                        np.uint32(1) << (bc & 31).astype(np.uint32))
-                    crow_mat[g, c] = self.n_crows
-                    bandub_mat[g, c] = ubs[c] * UB_INFLATE
-                    self._pend_crow.append(nzrow)
-                    self.n_crows += 1
                 keys_parts.append((np.uint32(g) << np.uint32(16))
                                   | ids.astype(np.uint32))
                 imp_parts.append(imp)
                 sr.df += ln
         if any_seg:
             sr.row = self.n_slots
-            self._pend_slot.append((prow_vec, crow_mat, bandub_mat))
+            self._pend_slot.append(prow_vec)
             self.n_slots += 1
         if keys_parts:
             sr.keys = np.concatenate(keys_parts)
@@ -428,8 +410,7 @@ class WandState:
             return
         for h in missing:
             self.slot_cache[h] = self._build_slot(h)
-        if (self.n_prows > self.cap_prows or self.n_crows > self.cap_crows
-                or self.n_slots > self.cap_slots):
+        if self.n_prows > self.cap_prows or self.n_slots > self.cap_slots:
             self._reset()
             for h in hashes:
                 self.slot_cache[h] = self._build_slot(h)
@@ -449,32 +430,22 @@ class WandState:
     def _upload_pending(self):
         if self._pend_prow:
             n0 = self.n_prows - len(self._pend_prow)
-            self.ppool = self._grow(self.ppool, self.n_prows)
             rows = jnp.asarray(
                 np.arange(n0, self.n_prows, dtype=np.int32))
-            self.ppool = _pool_set(self.ppool, rows,
+            self.ppool = _pool_set(self._grow(self.ppool, self.n_prows),
+                                   rows,
                                    jnp.asarray(np.stack(self._pend_prow)))
+            self.vpool = _pool_set(self._grow(self.vpool, self.n_prows),
+                                   rows,
+                                   jnp.asarray(np.stack(self._pend_vrow)))
             self._pend_prow.clear()
-        if self._pend_crow:
-            n0 = self.n_crows - len(self._pend_crow)
-            self.cpool = self._grow(self.cpool, self.n_crows)
-            rows = jnp.asarray(
-                np.arange(n0, self.n_crows, dtype=np.int32))
-            self.cpool = _pool_set(self.cpool, rows,
-                                   jnp.asarray(np.stack(self._pend_crow)))
-            self._pend_crow.clear()
+            self._pend_vrow.clear()
         if self._pend_slot:
             n0 = self.n_slots - len(self._pend_slot)
             rows = jnp.asarray(np.arange(n0, self.n_slots, dtype=np.int32))
             self.sp_prow = _pool_set(
                 self._grow(self.sp_prow, self.n_slots), rows,
-                jnp.asarray(np.stack([p for p, _, _ in self._pend_slot])))
-            self.sp_crow = _pool_set(
-                self._grow(self.sp_crow, self.n_slots), rows,
-                jnp.asarray(np.stack([c for _, c, _ in self._pend_slot])))
-            self.sp_bandub = _pool_set(
-                self._grow(self.sp_bandub, self.n_slots), rows,
-                jnp.asarray(np.stack([b for _, _, b in self._pend_slot])))
+                jnp.asarray(np.stack(self._pend_slot)))
             self._pend_slot.clear()
 
 
@@ -622,33 +593,48 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
                     wsh[:, qi, j] = idf_per_shard[:, s]
 
         qargs = jnp.asarray(_pack_qargs(slotmap, tslot, treq, tneg, wsh))
-        pools = (state.ppool, state.cpool, state.sp_prow, state.sp_crow,
-                 state.sp_bandub, state.delw_dev, state.sid_dev)
+        pools = (state.ppool, state.vpool, state.sp_prow,
+                 state.delw_dev, state.sid_dev)
 
+    METRICS.inc("device_dispatch_total")
+    with METRICS.timer("lex_device"):
+        packed = np.asarray(wand_scan(
+            *pools, qargs, V=V, Bq=Bq, T=T, S=S,
+            with_counts=with_counts))
+    KP = K_SEL + 1
+    cnt = packed[:, -1].astype(np.int64)
+
+    # host-side ladder: rung f rescores the top-K_SEL regions of
+    # F_LADDER[f]*32 docs; all rungs came back from the one dispatch, so
+    # escalation costs host rescore time only
     pending = list(range(B))
-    for M in M_LADDER:
+    for f, F in enumerate(F_LADDER):
         if not pending:
             break
-        METRICS.inc("device_dispatch_total")
-        with METRICS.timer("lex_device"):
-            packed = np.asarray(wand_scan(
-                *pools, qargs, V=V, Bq=Bq, T=T, S=S,
-                M=M, with_counts=with_counts))
-        ub_s = packed[:, : M + 1]
-        ub_i = packed[:, M + 1: 2 * (M + 1)].astype(np.int64)
-        cnt = packed[:, -1].astype(np.int64)
+        ub_s = packed[:, 2 * KP * f: 2 * KP * f + KP]
+        ub_i = packed[:, 2 * KP * f + KP: 2 * KP * (f + 1)].astype(np.int64)
         still = []
         for qi in pending:
             spec = specs[qi]
-            sel = ub_s[qi, :M] > -np.inf
-            buckets = ub_i[qi, :M][sel]
-            next_ub = float(ub_s[qi, M])
+            sel = ub_s[qi, :K_SEL] > -np.inf
+            regions = ub_i[qi, :K_SEL][sel]
+            buckets = (regions[:, None] * F
+                       + np.arange(F, dtype=np.int64)[None, :]).reshape(-1)
+            next_ub = float(ub_s[qi, K_SEL])
             sc, gid = _rescore_query(
                 state, slots, spec, idf_per_shard, buckets, S)
             n_found = len(gid)
             kth = float(sc[need - 1]) if n_found >= need else -np.inf
-            exact = (next_ub == -np.inf) or (n_found >= need
-                                             and kth >= next_ub)
+            # STRICT comparison: with kth == next_ub an unselected bucket
+            # can hold an equal-score doc with a smaller docid, which
+            # oracle tie ordering (score desc, gid asc) must include in
+            # the page.  kth > next_ub guarantees no unseen doc belongs.
+            # The 3e-7 relative margin absorbs XLA fma contraction in the
+            # device UB sum (can round 1 ulp below the host's two-rounding
+            # np-f32 sum); exact ties fail the strict test either way and
+            # escalate to the dense path.
+            exact = (next_ub == -np.inf) or (
+                n_found >= need and kth > next_ub * (1.0 + 3e-7))
             if exact:
                 out_scores[qi] = sc[: max(need * 4, 64)]
                 out_gids[qi] = gid[: max(need * 4, 64)]
@@ -656,7 +642,7 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
             else:
                 still.append(qi)
         pending = still
-        if pending:
+        if pending and f + 1 < len(F_LADDER):
             METRICS.inc("wand_escalations_total")
     for qi in pending:
         handled[qi] = False

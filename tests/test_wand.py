@@ -1,9 +1,12 @@
 """Bucket-WAND engine (ops/wand.py): end-to-end parity vs the dense kernels.
 
-The WAND path is an upper-bound scan + exact host rescore, so results must be
-bit-identical to the dense path (same scores, same ordering, same counts) on
-every eligible query shape: union/intersection, required (+) and negated (-)
-terms, single-term, TopkCount exact counts, deleted docs, multi-shard.
+The WAND path is an upper-bound scan + exact host rescore.  Scores may
+differ from the dense kernels by ~1 f32 ulp (XLA contracts mul+add to fma;
+numpy rounds twice), so pages are compared canonically: counts and the
+rounded score sequence must match exactly, and doc-id membership must match
+for every score group except the page-boundary tie group (membership inside
+a tie class split by 1-ulp noise is arithmetic-path-dependent — the
+reference has the same property across its SIMD/scalar paths).
 """
 
 import importlib
@@ -36,15 +39,26 @@ def wand_index(tmp_path_factory):
     return idx
 
 
+def _canon(rs):
+    """Order-robust page summary: (rounded score sequence, doc-id sets per
+    score group excluding the boundary group, total count)."""
+    page = [(r.doc_id, round(float(r.score), 3)) for r in rs.results]
+    scores = [s for _, s in page]
+    groups: dict = {}
+    for d, s in page:
+        groups.setdefault(s, set()).add(d)
+    last = scores[-1] if scores else None
+    inner = {s: ids for s, ids in groups.items() if s != last}
+    return scores, inner, rs.result_count_total
+
+
 def _run(idx, queries, qtype, result_type=None, realtime=False):
     result_type = result_type or st.ResultType.Topk
     reqs = [st.SearchRequest(query=q, length=10,
                              result_type=result_type,
                              realtime=realtime, query_type_default=qtype)
             for q in queries]
-    out = st.search_batch(idx, reqs)
-    return [([(r.doc_id, round(float(r.score), 3)) for r in rs.results],
-             rs.result_count) for rs in out]
+    return [_canon(rs) for rs in st.search_batch(idx, reqs)]
 
 
 def _queries(n=24, seed=5):
@@ -75,21 +89,19 @@ def test_wand_matches_dense(wand_index, qtype, rtype, monkeypatch):
 
 def test_wand_with_deletes(wand_index, monkeypatch):
     idx = wand_index
-    # delete a spread of docs, including some likely top hits
     monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
-    pre = _run(idx, ["w001 w002"], st.QueryType.Union)
-    victims = [d for d, _ in pre[0][0][:3]]
+    pre = st.search_batch(idx, [st.SearchRequest(
+        query="w001 w002", length=10)])[0]
+    victims = [r.doc_id for r in pre.results[:3]]
     victims += list(range(0, 3000, 617))
     idx.delete_documents(victims)
-    try:
-        queries = _queries(12, seed=9)
-        monkeypatch.setenv("SEEKSTORM_TPU_NO_WAND", "1")
-        base = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
-        monkeypatch.delenv("SEEKSTORM_TPU_NO_WAND")
-        wand = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
-        assert base == wand
-        for d, _ in wand[0][0]:
-            assert d not in victims
-    finally:
-        # restore index state for other tests (module-scoped fixture)
-        idx.delete_documents([])  # no-op flush
+    queries = _queries(12, seed=9)
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_WAND", "1")
+    base = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
+    monkeypatch.delenv("SEEKSTORM_TPU_NO_WAND")
+    wand = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
+    assert base == wand
+    post = st.search_batch(idx, [st.SearchRequest(
+        query="w001 w002", length=10)])[0]
+    for r in post.results:
+        assert r.doc_id not in victims
