@@ -154,10 +154,11 @@ def wand_scan(
                                 axis=1, dtype=jnp.int32)
 
         # exact f32 UB, accumulated per term in the SAME order as the host
-        # rescore (_rescore_query iterates spec.slots = the tslot columns):
+        # rescore (_rescore_many adds scoring slots in ascending slot id;
+        # run_batch packs positive slots ascending into the tslot columns):
         # f32 rounding is monotone, so ub >= any member doc's f32 score,
         # with EQUALITY when the doc's impacts hit the bucket maxima — the
-        # WAND termination test (kth >= next_ub) then fires on exact ties.
+        # WAND termination test then fires on exact ties.
         # (A bf16/matmul UB either breaks soundness or, inflated, never
         # terminates on tie-dense tops.)
         w_b = jnp.take(wshard, sid_b, axis=0)                     # [Bq, T]
@@ -166,6 +167,26 @@ def wand_scan(
         ub = jnp.zeros((Bq, NW), jnp.float32)
         for t in range(T):
             ub = ub + w_b[:, t, None] * ubt[:, t]
+        # 2-term doc-granular refinement: the plain sum adds both terms'
+        # bucket maxima even when they come from DIFFERENT docs, which on
+        # frequent-frequent unions inflates ~40% of buckets above the true
+        # kth and blocks termination.  With exactly 2 positive slots the
+        # presence bitmaps split each bucket into both/only-t0/only-t1 doc
+        # classes: every member doc is bounded by its class bound, and a
+        # class bound only applies when such a doc exists in the bucket.
+        # (Reference analog: union_docid_2's MAXSCORE split, union.rs:1168.)
+        pos2 = jnp.sum((ts_ok & ~tneg).astype(jnp.int32), axis=1) == 2
+        both = pt[:, 0] & pt[:, 1]
+        only0 = pt[:, 0] & ~pt[:, 1]
+        only1 = pt[:, 1] & ~pt[:, 0]
+        b0 = w_b[:, 0, None] * ubt[:, 0]
+        b1 = w_b[:, 1, None] * ubt[:, 1]
+        ninf = -jnp.inf
+        cand_b = jnp.where(both != 0, b0 + b1, ninf)
+        cand_0 = jnp.where((only0 != 0) & ~treq[:, 1, None], b0, ninf)
+        cand_1 = jnp.where((only1 != 0) & ~treq[:, 0, None], b1, ninf)
+        ub2 = jnp.maximum(cand_b, jnp.maximum(cand_0, cand_1))
+        ub = jnp.where(pos2[:, None], ub2, ub)
         ubm = jnp.where(matched != 0, ub, -jnp.inf)
         return cnt, ubm
 
@@ -469,61 +490,94 @@ def query_ok(spec) -> bool:
     return (not spec.phrases) and 0 < len(spec.slots) <= T_MAX
 
 
-def _rescore_query(state: WandState, slots, spec, idf_per_shard,
-                   buckets: np.ndarray, S: int):
-    """Exact host rescore of one query's candidate buckets.
+def _rescore_many(state: WandState, slots, specs_sel, idf_per_shard,
+                  buckets_list, S: int):
+    """Exact host rescore of many queries' candidate buckets in one pass.
 
-    Returns (scores f32[n], gids i64[n]) sorted by (score desc, global
-    docid asc) — oracle ordering (oracle.topk_from_scores)."""
-    nb = len(buckets)
-    if nb == 0:
-        return np.zeros(0, np.float32), np.zeros(0, np.int64)
-    buckets = np.sort(buckets)
+    specs_sel[i] / buckets_list[i] pair up; returns a list of
+    (scores f32[n], gids i64[n]) sorted by (score desc, global docid asc)
+    — oracle ordering (oracle.topk_from_scores).
+
+    All numpy work is batched across queries: per distinct slot ONE
+    searchsorted over the concatenated candidate key ranges of its owning
+    queries (the per-query loop version cost ~350 us/query in fancy-index
+    overhead — the serving bottleneck at batch 128).  Scoring slots are
+    visited in ascending slot id, the same accumulation order the device
+    UB sum uses (run_batch sorts positive slots), so UB >= score stays
+    bit-consistent for the termination test."""
+    nq = len(specs_sel)
+    empty = (np.zeros(0, np.float32), np.zeros(0, np.int64))
+    nbs = np.array([len(b) for b in buckets_list], dtype=np.int64)
+    qoff = np.zeros(nq + 1, np.int64)
+    np.cumsum(nbs, out=qoff[1:])
+    NB = int(qoff[-1])
+    if NB == 0:
+        return [empty] * nq
+    buckets = np.concatenate([np.sort(b) for b in buckets_list])
+    qmap = np.repeat(np.arange(nq, dtype=np.int64), nbs)
     blk = (buckets // NW).astype(np.int64)
     word = (buckets % NW).astype(np.int64)
     lo_key = ((blk.astype(np.uint32)) << np.uint32(16)) \
         | (word * 32).astype(np.uint32)
     hi_key = lo_key + np.uint32(32)
 
-    scores = np.zeros((nb, BUCKET), np.float32)
-    reqc = np.zeros((nb, BUCKET), np.int16)
-    anyh = np.zeros((nb, BUCKET), bool)
-    negh = np.zeros((nb, BUCKET), bool)
-    nreq = 0
-    for s in spec.slots:
-        sr = state.slot_cache.get(slots[s].hash)
-        neg = spec.negated.get(s, False)
-        scoring = s in spec.weights
-        req = spec.required.get(s, False) and not neg
-        if req:
-            nreq += 1
+    scores = np.zeros((NB, BUCKET), np.float32)
+    reqc = np.zeros((NB, BUCKET), np.int16)
+    anyh = np.zeros((NB, BUCKET), bool)
+    negh = np.zeros((NB, BUCKET), bool)
+    nreq = np.array(
+        [sum(1 for t in sp.slots
+             if sp.required.get(t, False) and not sp.negated.get(t, False))
+         for sp in specs_sel], dtype=np.int16)
+
+    slot_q: dict[int, list[int]] = {}
+    for qi, sp in enumerate(specs_sel):
+        for t in sp.slots:
+            slot_q.setdefault(t, []).append(qi)
+
+    for t in sorted(slot_q):
+        sr = state.slot_cache.get(slots[t].hash)
         if sr is None or not len(sr.keys):
             continue
-        lo = np.searchsorted(sr.keys, lo_key)
-        hi = np.searchsorted(sr.keys, hi_key)
+        qlist = slot_q[t]
+        rows_sel = np.concatenate(
+            [np.arange(qoff[qi], qoff[qi + 1]) for qi in qlist])
+        lo = np.searchsorted(sr.keys, lo_key[rows_sel])
+        hi = np.searchsorted(sr.keys, hi_key[rows_sel])
         cnts = hi - lo
         tot = int(cnts.sum())
         if tot == 0:
             continue
-        rows = np.repeat(np.arange(nb, dtype=np.int64), cnts)
+        rows = np.repeat(rows_sel, cnts)
         idxs = (np.repeat(lo, cnts)
                 + np.arange(tot, dtype=np.int64)
                 - np.repeat(np.cumsum(cnts) - cnts, cnts))
         local = (sr.keys[idxs] & 31).astype(np.int64)
-        if neg:
-            negh[rows, local] = True
-            continue
-        anyh[rows, local] = True
-        if req:
-            reqc[rows, local] += 1
-        if scoring:
-            g = blk[rows]
-            sid = state.blk_shard[g]
-            w = idf_per_shard[sid, s]
-            scores[rows, local] += w.astype(np.float32) * sr.imps[idxs]
+        q_of = qmap[rows]
+        negf = np.array([specs_sel[qi].negated.get(t, False)
+                         for qi in range(nq)], dtype=bool)
+        reqf = np.array([specs_sel[qi].required.get(t, False)
+                         for qi in range(nq)], dtype=bool) & ~negf
+        scf = np.array([t in specs_sel[qi].weights
+                        for qi in range(nq)], dtype=bool) & ~negf
+        m = negf[q_of]
+        if m.any():
+            negh[rows[m], local[m]] = True
+        m = ~negf[q_of]
+        if m.any():
+            anyh[rows[m], local[m]] = True
+        m = reqf[q_of]
+        if m.any():
+            reqc[rows[m], local[m]] += 1
+        m = scf[q_of]
+        if m.any():
+            rm, lm, im = rows[m], local[m], idxs[m]
+            w = idf_per_shard[state.blk_shard[blk[rm]], t]
+            # (row, local) pairs are unique within one slot, so plain
+            # fancy-index += is collision-free
+            scores[rm, lm] += w.astype(np.float32) * sr.imps[im]
 
-    matched = anyh & ~negh & (reqc >= nreq)
-    # deleted docs inside matched buckets
+    matched = anyh & ~negh & (reqc >= nreq[qmap][:, None])
     shard_of = state.blk_shard[blk]
     base_arr = np.asarray(state.block_base, np.int64)
     lvl_local0 = ((blk - base_arr[shard_of]) * BLOCK_SIZE + word * 32)
@@ -541,13 +595,24 @@ def _rescore_query(state: WandState, slots, spec, idf_per_shard,
         mm &= ~hit.reshape(mm.shape)
         matched[m] = mm
 
-    if not matched.any():
-        return np.zeros(0, np.float32), np.zeros(0, np.int64)
     rows, local = np.nonzero(matched)
+    if not len(rows):
+        return [empty] * nq
     sc = scores[rows, local]
     gid = ((lvl_local0[rows] + local) * S + shard_of[rows]).astype(np.int64)
-    order = np.lexsort((gid, -sc))
-    return sc[order].astype(np.float32), gid[order]
+    qi_of = qmap[rows]
+    # one global sort: (query, score desc, gid asc) -> per-query slices
+    order = np.lexsort((gid, -sc, qi_of))
+    sc, gid, qi_of = sc[order], gid[order], qi_of[order]
+    counts = np.bincount(qi_of, minlength=nq)
+    ends = np.cumsum(counts)
+    out = []
+    a = 0
+    for qi in range(nq):
+        b = int(ends[qi])
+        out.append((sc[a:b].astype(np.float32), gid[a:b]))
+        a = b
+    return out
 
 
 def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
@@ -585,7 +650,16 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         tneg = np.zeros((Bq, T), bool)
         wsh = np.zeros((S, Bq, T), np.float32)
         for qi, spec in enumerate(specs):
-            for j, s in enumerate(spec.slots):
+            # partition: positive slots first, ascending slot id (the
+            # kernel's 2-term refinement reads positives from columns 0-1,
+            # and _rescore_many accumulates scores in ascending-slot-id
+            # order — the UB sum must follow the same order for the
+            # bit-consistent termination test)
+            ordered = (sorted(s for s in spec.slots
+                              if not spec.negated.get(s, False))
+                       + [s for s in spec.slots
+                          if spec.negated.get(s, False)])
+            for j, s in enumerate(ordered):
                 tslot[qi, j] = s
                 treq[qi, j] = spec.required.get(s, False)
                 tneg[qi, j] = spec.negated.get(s, False)
@@ -613,16 +687,20 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
             break
         ub_s = packed[:, 2 * KP * f: 2 * KP * f + KP]
         ub_i = packed[:, 2 * KP * f + KP: 2 * KP * (f + 1)].astype(np.int64)
-        still = []
+        buckets_list = []
         for qi in pending:
-            spec = specs[qi]
             sel = ub_s[qi, :K_SEL] > -np.inf
             regions = ub_i[qi, :K_SEL][sel]
-            buckets = (regions[:, None] * F
-                       + np.arange(F, dtype=np.int64)[None, :]).reshape(-1)
+            buckets_list.append(
+                (regions[:, None] * F
+                 + np.arange(F, dtype=np.int64)[None, :]).reshape(-1))
+        with METRICS.timer("wand_rescore"):
+            rescored = _rescore_many(
+                state, slots, [specs[qi] for qi in pending],
+                idf_per_shard, buckets_list, S)
+        still = []
+        for (sc, gid), qi in zip(rescored, pending):
             next_ub = float(ub_s[qi, K_SEL])
-            sc, gid = _rescore_query(
-                state, slots, spec, idf_per_shard, buckets, S)
             n_found = len(gid)
             kth = float(sc[need - 1]) if n_found >= need else -np.inf
             # STRICT comparison: with kth == next_ub an unselected bucket
