@@ -247,6 +247,9 @@ def main() -> None:
         dispatches = int(tm.get("device_dispatch_total", 0))
         wand_esc = int(tm.get("wand_escalations_total", 0))
         wand_fb = int(tm.get("wand_fallbacks_total", 0))
+        wand_resets = int(tm.get("wand_resets_total", 0))
+        wand_build_s = tm.get("wand_build_seconds_total", 0.0)
+        wand_rescore_s = tm.get("wand_rescore_seconds_total", 0.0)
         plan_s = tm.get("lex_plan_seconds_total", 0.0)
         dev_s = tm.get("lex_device_seconds_total", 0.0)
         fetch_s = 0.0  # folded into device_s (one D2H sync fetches results)
@@ -298,6 +301,9 @@ def main() -> None:
                     "device_dispatches": dispatches,
                     "wand_escalations": wand_esc,
                     "wand_fallbacks": wand_fb,
+                    "wand_resets": wand_resets,
+                    "wand_build_s": round(wand_build_s, 2),
+                    "wand_rescore_s": round(wand_rescore_s, 2),
                     "hbm_scoring_bytes": int(hbm),
                     "disk_index_bytes": int(disk),
                 }

@@ -257,6 +257,30 @@ void porter_stem(CPS& w) {
     }
 }
 
+}  // close anonymous namespace for the cross-TU snowball hook
+
+// Snowball stemmers (snowball.cpp): lang ids 2..N, see native.py
+// _STEMMER_IDS.  NLTK parity requires lowercasing before stemming (the
+// NLTK stem() entry points call word.lower()); tokenize() lowers via the
+// same generated table Python str.lower uses.
+namespace sb_api {
+bool stem_inplace(int lang, std::u32string& w);
+}
+
+namespace {
+
+inline void snowball_stem_cps(int lang, std::vector<uint32_t>& cps) {
+    std::u32string w;
+    w.reserve(cps.size() + 2);
+    uint32_t low[3];
+    for (uint32_t c : cps) {
+        int nl = to_lower(c, low);
+        for (int k = 0; k < nl; k++) w.push_back((char32_t)low[k]);
+    }
+    if (!sb_api::stem_inplace(lang, w)) return;
+    cps.assign(w.begin(), w.end());
+}
+
 // ---------------------------------------------------------------- hashing
 inline uint64_t fnv1a(const std::string& s) {
     uint64_t h = 0xCBF29CE484222325ULL;
@@ -357,6 +381,10 @@ void tokenize(const StCfg& cfg, const uint8_t* text, int64_t len,
         }
         if (cfg.stemmer == 1) {
             porter_stem(cps);
+            tok.clear();
+            for (uint32_t c : cps) utf8_append(tok, c);
+        } else if (cfg.stemmer >= 2) {
+            snowball_stem_cps(cfg.stemmer, cps);
             tok.clear();
             for (uint32_t c : cps) utf8_append(tok, c);
         }
@@ -1020,3 +1048,226 @@ int64_t st_tokenize_text(StCfg* cfg, const uint8_t* text, int64_t len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// WAND exact fallback: full-posting-list evaluation of one query.
+//
+// Replaces both the dense-device fallback (a full-corpus block scan per
+// batch for 1-2 straggler queries) and its numpy port (GIL-bound, stalls
+// every worker thread).  Scores accumulate in f32 in ascending-slot
+// order; the translation unit is compiled with -ffp-contract=off so the
+// sums are bit-identical to the numpy/_rescore_many accumulation the
+// WAND termination test is calibrated against.
+//
+// Inputs are flat concatenations over the query's slots (ascending slot
+// id): keys[p] = global_block << 16 | block_local_docid, sorted per slot.
+extern "C" int64_t st_exact_eval(
+    int n_slots,
+    const uint32_t* keys, const float* imps, const int64_t* slot_off,
+    const float* w_slot_shard,   // f32[n_slots * S] idf per (slot, shard)
+    const uint8_t* flags,        // per slot: 1 negated, 2 required, 4 scoring
+    const int32_t* blk_shard,    // i32[NBLK_pad] shard of global block
+    const int64_t* block_base,   // i64[S] first global block per shard
+    int S, int64_t N,            // gid space size (gid = local * S + shard)
+    const int64_t* deleted, const int64_t* del_off,  // per-shard sorted ids
+    int64_t k,                   // page size to return (<= N)
+    float* out_scores, int64_t* out_gids, int64_t* out_count)
+{
+    std::vector<float> score((size_t)N, 0.0f);
+    std::vector<uint8_t> anyc((size_t)N, 0), reqc((size_t)N, 0),
+        negc((size_t)N, 0);
+    int nreq = 0;
+    for (int t = 0; t < n_slots; t++) {
+        bool neg = flags[t] & 1, req = (flags[t] & 2) && !neg,
+             sc = (flags[t] & 4) && !neg;
+        if (req) nreq++;
+        for (int64_t p = slot_off[t]; p < slot_off[t + 1]; p++) {
+            uint32_t key = keys[p];
+            int64_t blk = key >> 16;
+            int64_t docid = key & 0xFFFF;
+            int32_t sh = blk_shard[blk];
+            int64_t gid = ((blk - block_base[sh]) * 65536 + docid) * S + sh;
+            if (neg) { negc[gid] = 1; continue; }
+            anyc[gid] = 1;
+            if (req) reqc[gid]++;
+            if (sc)
+                score[gid] += w_slot_shard[(int64_t)t * S + sh] * imps[p];
+        }
+    }
+    for (int sh = 0; sh < S; sh++)
+        for (int64_t i = del_off[sh]; i < del_off[sh + 1]; i++) {
+            int64_t gid = deleted[i] * S + sh;
+            if (gid < N) anyc[gid] = 0;
+        }
+
+    // oracle top-k: bounded heap ordered worst-first by
+    // (score asc, gid desc); a candidate replaces the worst when it is
+    // strictly better under (score desc, gid asc)
+    struct Ent { float s; int64_t g; };
+    auto worse = [](const Ent& a, const Ent& b) {
+        // "a is better than b" for max-heap of worst: heap top = worst
+        return a.s > b.s || (a.s == b.s && a.g < b.g);
+    };
+    std::vector<Ent> heap;
+    heap.reserve((size_t)k + 1);
+    int64_t count = 0;
+    for (int64_t gid = 0; gid < N; gid++) {
+        if (!anyc[gid] || negc[gid] || reqc[gid] < nreq) continue;
+        count++;
+        Ent e{score[(size_t)gid], gid};
+        if ((int64_t)heap.size() < k) {
+            heap.push_back(e);
+            std::push_heap(heap.begin(), heap.end(), worse);
+        } else if (worse(e, heap.front())) {
+            std::pop_heap(heap.begin(), heap.end(), worse);
+            heap.back() = e;
+            std::push_heap(heap.begin(), heap.end(), worse);
+        }
+    }
+    std::sort(heap.begin(), heap.end(), [](const Ent& a, const Ent& b) {
+        return a.s > b.s || (a.s == b.s && a.g < b.g);
+    });
+    for (size_t i = 0; i < heap.size(); i++) {
+        out_scores[i] = heap[i].s;
+        out_gids[i] = heap[i].g;
+    }
+    *out_count = count;
+    return (int64_t)heap.size();
+}
+
+// ---------------------------------------------------------------------
+// WAND batched candidate rescore: exact evaluation of each query's
+// selected 32-doc buckets against the host CSR (slot keys sorted by
+// global_block << 16 | docid).
+//
+// Native equivalent of ops/wand._rescore_many's numpy formulation: that
+// version pays ~0.5 ms of fancy-index overhead per (slot, batch) — ~80%
+// of serving wall at 5M docs — where this is one GIL-released call per
+// batch-rung.  Scores accumulate per query in ascending global-slot-id
+// order in f32 (-ffp-contract=off), bit-identical to the numpy path and
+// to the device UB sum the WAND termination test compares against.
+//
+// q_slots holds indices into the used-slot arrays, ascending per query;
+// buckets holds global bucket ids (global_block * NW + word), sorted per
+// query.  Returns per query the top-kmax matched candidates ordered by
+// (score desc, gid asc) — oracle page ordering — plus the total matched
+// candidate count.
+extern "C" void st_rescore(
+    int n_used,
+    const uint64_t* key_ptrs,      // u64[n_used] -> const uint32_t*
+    const uint64_t* imp_ptrs,      // u64[n_used] -> const float*
+    const int64_t* slot_len,       // i64[n_used]
+    const float* w_slot_shard,     // f32[n_used * S]
+    int nq,
+    const int32_t* q_slots,        // used-slot indices, ascending per query
+    const uint8_t* q_flags,        // per (query, slot): 1 neg, 2 req, 4 score
+    const int64_t* qs_off,         // i64[nq + 1]
+    const int64_t* buckets,        // global bucket ids, sorted per query
+    const int64_t* qoff,           // i64[nq + 1]
+    const int32_t* blk_shard,      // i32[NBLK_pad]
+    const int64_t* block_base,     // i64[S]
+    int S, int nw,                 // words (buckets) per block
+    const int64_t* deleted, const int64_t* del_off,  // per-shard sorted ids
+    int64_t kmax,
+    float* out_scores,             // f32[nq * kmax]
+    int64_t* out_gids,             // i64[nq * kmax]
+    int64_t* out_m,                // i64[nq] page entries written
+    int64_t* out_found)            // i64[nq] total matched candidates
+{
+    bool any_del = del_off[S] > 0;
+    std::vector<float> score;
+    std::vector<uint8_t> anyh, negh, reqc;
+    struct Ent { float s; int64_t g; };
+    auto worse = [](const Ent& a, const Ent& b) {
+        return a.s > b.s || (a.s == b.s && a.g < b.g);
+    };
+    std::vector<Ent> heap;
+    for (int q = 0; q < nq; q++) {
+        int64_t b0 = qoff[q], nb = qoff[q + 1] - qoff[q];
+        out_m[q] = 0;
+        out_found[q] = 0;
+        if (nb == 0) continue;
+        size_t cells = (size_t)nb * 32;
+        score.assign(cells, 0.0f);
+        anyh.assign(cells, 0);
+        negh.assign(cells, 0);
+        reqc.assign(cells, 0);
+        int nreq = 0;
+        for (int64_t e = qs_off[q]; e < qs_off[q + 1]; e++) {
+            uint8_t fl = q_flags[e];
+            if ((fl & 2) && !(fl & 1)) nreq++;
+        }
+        for (int64_t e = qs_off[q]; e < qs_off[q + 1]; e++) {
+            int si = q_slots[e];
+            const uint32_t* keys =
+                reinterpret_cast<const uint32_t*>(key_ptrs[si]);
+            const float* imps =
+                reinterpret_cast<const float*>(imp_ptrs[si]);
+            int64_t len = slot_len[si];
+            if (len == 0) continue;
+            uint8_t fl = q_flags[e];
+            bool neg = fl & 1, req = (fl & 2) && !neg, sc = (fl & 4) && !neg;
+            const float* w_sh = w_slot_shard + (int64_t)si * S;
+            int64_t pos = 0;
+            for (int64_t bi = 0; bi < nb; bi++) {
+                int64_t bucket = buckets[b0 + bi];
+                int64_t blk = bucket / nw, word = bucket % nw;
+                uint32_t lo_key = ((uint32_t)blk << 16)
+                                  | (uint32_t)(word * 32);
+                uint32_t hi_key = lo_key + 32;
+                const uint32_t* p = std::lower_bound(
+                    keys + pos, keys + len, lo_key);
+                pos = p - keys;
+                float w = sc ? w_sh[blk_shard[blk]] : 0.0f;
+                for (; pos < len && keys[pos] < hi_key; pos++) {
+                    size_t cell = (size_t)bi * 32 + (keys[pos] & 31);
+                    if (neg) { negh[cell] = 1; continue; }
+                    anyh[cell] = 1;
+                    if (req) reqc[cell]++;
+                    if (sc) score[cell] += w * imps[pos];
+                }
+            }
+        }
+        // matched cells -> (score, gid); bounded heap ordered worst-first
+        heap.clear();
+        int64_t found = 0;
+        for (int64_t bi = 0; bi < nb; bi++) {
+            int64_t bucket = buckets[b0 + bi];
+            int64_t blk = bucket / nw, word = bucket % nw;
+            int32_t sh = blk_shard[blk];
+            int64_t lvl0 = (blk - block_base[sh]) * 65536 + word * 32;
+            for (int lc = 0; lc < 32; lc++) {
+                size_t cell = (size_t)bi * 32 + lc;
+                if (!anyh[cell] || negh[cell] || reqc[cell] < nreq)
+                    continue;
+                int64_t lvl = lvl0 + lc;
+                if (any_del) {
+                    const int64_t* d0 = deleted + del_off[sh];
+                    const int64_t* d1 = deleted + del_off[sh + 1];
+                    const int64_t* it = std::lower_bound(d0, d1, lvl);
+                    if (it != d1 && *it == lvl) continue;
+                }
+                found++;
+                Ent en{score[cell], lvl * S + sh};
+                if ((int64_t)heap.size() < kmax) {
+                    heap.push_back(en);
+                    std::push_heap(heap.begin(), heap.end(), worse);
+                } else if (worse(en, heap.front())) {
+                    std::pop_heap(heap.begin(), heap.end(), worse);
+                    heap.back() = en;
+                    std::push_heap(heap.begin(), heap.end(), worse);
+                }
+            }
+        }
+        std::sort(heap.begin(), heap.end(),
+                  [](const Ent& a, const Ent& b) {
+                      return a.s > b.s || (a.s == b.s && a.g < b.g);
+                  });
+        for (size_t i = 0; i < heap.size(); i++) {
+            out_scores[(int64_t)q * kmax + (int64_t)i] = heap[i].s;
+            out_gids[(int64_t)q * kmax + (int64_t)i] = heap[i].g;
+        }
+        out_m[q] = (int64_t)heap.size();
+        out_found[q] = found;
+    }
+}

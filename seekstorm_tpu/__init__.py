@@ -15,6 +15,22 @@ import os as _os
 # Persistent XLA compilation cache: query-plan shapes are bucketed, so a few
 # dozen compiled executables cover steady-state serving; caching them across
 # processes removes cold-start compiles.  Disable with SEEKSTORM_TPU_NO_CACHE.
+# Pin the backend when the caller asks for one via env.  Some TPU plugin
+# stacks (axon) register themselves regardless of JAX_PLATFORMS, so the
+# env var alone does not stick — it must be applied through jax.config.
+# Without this, a subprocess meant to run on CPU (tests' server e2e,
+# sidecar tools) silently grabs the machine's one TPU and deadlocks any
+# concurrent TPU user.
+_want = (_os.environ.get("JAX_PLATFORMS")
+         or _os.environ.get("JAX_PLATFORM_NAME"))
+if _want:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _want.lower())
+    except Exception:  # pragma: no cover - best-effort pin
+        pass
+
 if not _os.environ.get("SEEKSTORM_TPU_NO_CACHE"):
     try:
         import jax as _jax

@@ -460,14 +460,14 @@ class Index:
 
         from .schema import TokenizerType as _TT
 
-        # The C++ tokenizer implements None/English(Porter) stemming only —
-        # other stemmer languages (stemmers.py) take the Python ingest path.
+        # The C++ tokenizer implements None/English(Porter) stemming plus
+        # the native Snowball ports (snowball.cpp; native._STEMMER_IDS) —
+        # remaining stemmer languages (stemmers.py light tier) take the
+        # Python ingest path.
         # ZH dictionary segmentation IS ported to C++ (zh_segment in
         # seekstorm_native.cpp, the same DP as word_segmentation.py); ZH
         # falls back to Python only when no dictionary file resolves (the
         # Python seed lexicon differs from the C++ char-level fallback).
-        from .schema import StemmerType as _ST
-
         zh_ok = True
         if meta.tokenizer == _TT.UnicodeAlphanumericZH:
             from .word_segmentation import resolve_dict_path
@@ -476,7 +476,7 @@ class Index:
         self._native = (
             native_mod.available()
             and zh_ok
-            and meta.stemmer in (_ST.Null, _ST.English, _ST.Porter)
+            and native_mod.stemmer_supported(meta.stemmer.value)
         )
         self._native_cfg = None
         self._facet_tab_lock = threading.Lock()

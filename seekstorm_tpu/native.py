@@ -25,10 +25,53 @@ _TOKENIZER_IDS = {
     "WhitespaceLowercase": 4,
     "UnicodeAlphanumericZH": 5,
 }
-# C++ tokenizer stemmer support: None + English/Porter.  Other languages
-# (schema.StemmerType / stemmers.py) run the Python ingest path — index.py
-# gates _native on this set.
-_STEMMER_IDS = {"None": 0, "English": 1, "Porter": 1}
+# C++ tokenizer stemmer support: None, English/Porter (porter_stem), and
+# the Snowball ports in native/snowball.cpp (ids >= 2, byte-exact vs NLTK;
+# validated in tests/test_stemmers.py).  Languages NOT in this map run the
+# Python ingest path — index.py gates _native on it.
+_STEMMER_IDS = {
+    "None": 0, "English": 1, "Porter": 1,
+    "Danish": 2, "Norwegian": 3, "Swedish": 4, "German": 5, "Dutch": 6,
+    "DutchPorter": 6, "French": 7, "Spanish": 8, "Italian": 9,
+    "Portuguese": 10, "Romanian": 11, "Russian": 12, "Finnish": 13,
+    "Hungarian": 14, "Arabic": 15,
+}
+
+
+def stemmer_supported(stemmer_value: str) -> bool:
+    """True when the C++ ingest fast path implements this stemmer."""
+    lid = _STEMMER_IDS.get(stemmer_value, -1)
+    if lid < 0:
+        return False
+    if lid < 2:
+        return True
+    lib = load()
+    return lib is not None and bool(lib.st_snowball_has(lid))
+
+
+def snowball_stem_fn(stemmer_value: str):
+    """Per-word ctypes wrapper over the native Snowball stemmer for one
+    language, or None when unavailable.  Lowercases first (the NLTK stem()
+    entry points the Python tier mirrors do word.lower() internally), so
+    the returned callable is a drop-in for an NLTK stemmer's .stem."""
+    lid = _STEMMER_IDS.get(stemmer_value, -1)
+    lib = load()
+    if lib is None or lid < 2 or not lib.st_snowball_has(lid):
+        return None
+
+    def stem(word: str, _lid=lid, _lib=lib) -> str:
+        w = word.lower()
+        n = len(w)
+        cap = 2 * n + 8
+        buf = (C.c_uint32 * cap)()
+        for i, ch in enumerate(w):
+            buf[i] = ord(ch)
+        m = _lib.st_snowball_stem(_lid, buf, n, cap)
+        if m < 0:
+            return w
+        return "".join(chr(buf[i]) for i in range(m))
+
+    return stem
 
 
 def _find_lib() -> Path | None:
@@ -116,6 +159,25 @@ def load() -> C.CDLL | None:
     lib.st_lz4_compress.argtypes = [u8p, C.c_int64, u8p, C.c_int64]
     lib.st_lz4_decompress.restype = C.c_int64
     lib.st_lz4_decompress.argtypes = [u8p, C.c_int64, u8p, C.c_int64]
+    u32p = C.POINTER(C.c_uint32)
+    f32p = C.POINTER(C.c_float)
+    lib.st_snowball_stem.restype = C.c_int
+    lib.st_snowball_stem.argtypes = [C.c_int, u32p, C.c_int, C.c_int]
+    lib.st_snowball_has.restype = C.c_int
+    lib.st_snowball_has.argtypes = [C.c_int]
+    lib.st_exact_eval.restype = C.c_int64
+    lib.st_exact_eval.argtypes = [
+        C.c_int, u32p, f32p, i64p, f32p, u8p, i32p, i64p,
+        C.c_int, C.c_int64, i64p, i64p, C.c_int64, f32p, i64p, i64p,
+    ]
+    u64p = C.POINTER(C.c_uint64)
+    lib.st_rescore.restype = None
+    lib.st_rescore.argtypes = [
+        C.c_int, u64p, u64p, i64p, f32p,
+        C.c_int, i32p, u8p, i64p, i64p, i64p,
+        i32p, i64p, C.c_int, C.c_int, i64p, i64p,
+        C.c_int64, f32p, i64p, i64p, i64p,
+    ]
     _LIB = lib
     return lib
 

@@ -57,9 +57,14 @@ BUCKET = 32                    # docs per bucket (one u32 word)
 T_MAX = 8                      # max term slots per query on this path
 K_SEL = 64                     # selected regions per query per resolution
 # escalation ladder = coarsening factors: rung i selects K_SEL regions of
-# F*BUCKET docs each (2K / 8K / 32K candidate docs).  All three rungs come
+# F*BUCKET docs each (2K / 8K / 32K candidate docs).  All rungs come
 # back from ONE device dispatch — escalation is host-side only.
+# (An F=64 rung was measured 1,817 vs 2,293 qps at 5M: the 128K-doc
+# rescores cost more than the dense fallbacks they rarely avoid.)
 F_LADDER = (1, 4, 16)
+BSTEP = 8                      # blocks processed per scan step (overhead
+                               # amortization: per-step cost has a fixed
+                               # component, and 5M docs = 80 blocks)
 # default-on threshold: blocks per largest shard (16 blocks = 1M docs);
 # below it the dense kernels win (one decode serves the whole batch)
 WAND_MIN_BLOCKS = int(os.environ.get("SEEKSTORM_TPU_WAND_MIN_BLOCKS", "16"))
@@ -109,6 +114,7 @@ def wand_scan(
     padding; entry K_SEL is the best UNSELECTED region's UB (the WAND
     termination threshold for that rung)."""
     NBLK = sp_prow.shape[1]
+    NS = NBLK // BSTEP
     slotmap, tslot, treq, tneg, wshard = _unpack_qargs(qargs, V, Bq, T, S)
 
     # slot-table gather: [V, NBLK] once per dispatch (device-side join
@@ -120,38 +126,45 @@ def wand_scan(
     ts_ok = tslot >= 0
     ts_c = jnp.maximum(tslot, 0)
 
+    # BSTEP blocks per scan step: per-step cost has a fixed overhead
+    # component, and reference scale is 80 blocks
+    prow_s = prow.reshape(NS, BSTEP, V)
+    delw_s = delw.reshape(NS, BSTEP, NW)
+    sid_s = sid.reshape(NS, BSTEP)
+
     def step(cnt, xs):
-        prow_b, delw_b, sid_b = xs
+        prow_b, delw_b, sid_b = xs                # [BS,V] [BS,NW] [BS]
 
         rows_ok = prow_b >= 0
-        rows_c = jnp.maximum(prow_b, 0)
-        pres = jnp.take(ppool, rows_c, axis=0)
-        pres = jnp.where(rows_ok[:, None], pres, 0)              # [V, NW]
+        rows_c = jnp.maximum(prow_b, 0).reshape(-1)
+        pres = jnp.take(ppool, rows_c, axis=0).reshape(BSTEP, V, NW)
+        pres = jnp.where(rows_ok[:, :, None], pres, 0)
         # per-bucket exact max impact per slot — UB is this bucket's own
         # achievable max, not a segment-wide band max (segment-granular
         # maxima leave hundreds of buckets claiming a block's top impact,
         # and K_SEL regions can then never cover every UB > kth)
-        vub = jnp.take(vpool, rows_c, axis=0)
-        vub = jnp.where(rows_ok[:, None], vub, 0.0)              # [V, NW]
+        vub = jnp.take(vpool, rows_c, axis=0).reshape(BSTEP, V, NW)
+        vub = jnp.where(rows_ok[:, :, None], vub, 0.0)
 
-        pt = jnp.take(pres, ts_c.reshape(-1), axis=0).reshape(Bq, T, NW)
-        pt = jnp.where(ts_ok[:, :, None], pt, 0)
+        pt = jnp.take(pres, ts_c.reshape(-1), axis=1)
+        pt = pt.reshape(BSTEP, Bq, T, NW)
+        pt = jnp.where(ts_ok[None, :, :, None], pt, 0)
 
         ones = jnp.uint32(0xFFFFFFFF)
-        andw = jnp.full((Bq, NW), ones)
-        posw = jnp.zeros((Bq, NW), jnp.uint32)
-        negw = jnp.zeros((Bq, NW), jnp.uint32)
+        andw = jnp.full((BSTEP, Bq, NW), ones)
+        posw = jnp.zeros((BSTEP, Bq, NW), jnp.uint32)
+        negw = jnp.zeros((BSTEP, Bq, NW), jnp.uint32)
         for t in range(T):
-            req_t = (treq[:, t] & ~tneg[:, t] & ts_ok[:, t])[:, None]
-            andw = jnp.where(req_t, andw & pt[:, t], andw)
-            posw = posw | jnp.where((~tneg[:, t] & ts_ok[:, t])[:, None],
-                                    pt[:, t], 0)
-            negw = negw | jnp.where((tneg[:, t] & ts_ok[:, t])[:, None],
-                                    pt[:, t], 0)
-        matched = andw & posw & ~negw & ~delw_b[None, :]          # [Bq, NW]
+            req_t = (treq[:, t] & ~tneg[:, t] & ts_ok[:, t])[None, :, None]
+            andw = jnp.where(req_t, andw & pt[:, :, t], andw)
+            posw = posw | jnp.where(
+                (~tneg[:, t] & ts_ok[:, t])[None, :, None], pt[:, :, t], 0)
+            negw = negw | jnp.where(
+                (tneg[:, t] & ts_ok[:, t])[None, :, None], pt[:, :, t], 0)
+        matched = andw & posw & ~negw & ~delw_b[:, None, :]  # [BS, Bq, NW]
         if with_counts:
             cnt = cnt + jnp.sum(jax.lax.population_count(matched),
-                                axis=1, dtype=jnp.int32)
+                                axis=(0, 2), dtype=jnp.int32)
 
         # exact f32 UB, accumulated per term in the SAME order as the host
         # rescore (_rescore_many adds scoring slots in ascending slot id;
@@ -161,12 +174,13 @@ def wand_scan(
         # WAND termination test then fires on exact ties.
         # (A bf16/matmul UB either breaks soundness or, inflated, never
         # terminates on tie-dense tops.)
-        w_b = jnp.take(wshard, sid_b, axis=0)                     # [Bq, T]
-        ubt = jnp.take(vub, ts_c.reshape(-1), axis=0).reshape(Bq, T, NW)
-        ubt = jnp.where((ts_ok & ~tneg)[:, :, None], ubt, 0.0)
-        ub = jnp.zeros((Bq, NW), jnp.float32)
+        w_b = jnp.take(wshard, sid_b, axis=0)                 # [BS, Bq, T]
+        ubt = jnp.take(vub, ts_c.reshape(-1), axis=1)
+        ubt = ubt.reshape(BSTEP, Bq, T, NW)
+        ubt = jnp.where((ts_ok & ~tneg)[None, :, :, None], ubt, 0.0)
+        ub = jnp.zeros((BSTEP, Bq, NW), jnp.float32)
         for t in range(T):
-            ub = ub + w_b[:, t, None] * ubt[:, t]
+            ub = ub + w_b[:, :, t, None] * ubt[:, :, t]
         # 2-term doc-granular refinement: the plain sum adds both terms'
         # bucket maxima even when they come from DIFFERENT docs, which on
         # frequent-frequent unions inflates ~40% of buckets above the true
@@ -176,29 +190,29 @@ def wand_scan(
         # class bound only applies when such a doc exists in the bucket.
         # (Reference analog: union_docid_2's MAXSCORE split, union.rs:1168.)
         pos2 = jnp.sum((ts_ok & ~tneg).astype(jnp.int32), axis=1) == 2
-        both = pt[:, 0] & pt[:, 1]
-        only0 = pt[:, 0] & ~pt[:, 1]
-        only1 = pt[:, 1] & ~pt[:, 0]
-        b0 = w_b[:, 0, None] * ubt[:, 0]
-        b1 = w_b[:, 1, None] * ubt[:, 1]
+        both = pt[:, :, 0] & pt[:, :, 1]
+        only0 = pt[:, :, 0] & ~pt[:, :, 1]
+        only1 = pt[:, :, 1] & ~pt[:, :, 0]
+        b0 = w_b[:, :, 0, None] * ubt[:, :, 0]
+        b1 = w_b[:, :, 1, None] * ubt[:, :, 1]
         ninf = -jnp.inf
         cand_b = jnp.where(both != 0, b0 + b1, ninf)
-        cand_0 = jnp.where((only0 != 0) & ~treq[:, 1, None], b0, ninf)
-        cand_1 = jnp.where((only1 != 0) & ~treq[:, 0, None], b1, ninf)
+        cand_0 = jnp.where((only0 != 0) & ~treq[None, :, 1, None], b0, ninf)
+        cand_1 = jnp.where((only1 != 0) & ~treq[None, :, 0, None], b1, ninf)
         ub2 = jnp.maximum(cand_b, jnp.maximum(cand_0, cand_1))
-        ub = jnp.where(pos2[:, None], ub2, ub)
+        ub = jnp.where(pos2[None, :, None], ub2, ub)
         ubm = jnp.where(matched != 0, ub, -jnp.inf)
         return cnt, ubm
 
     cnt, ubs = jax.lax.scan(
         step, jnp.zeros((Bq,), jnp.int32),
-        (prow, delw, sid))
+        (prow_s, delw_s, sid_s))
 
     # phase 2: for each coarsening factor, exact top-(K_SEL+1) regions via
     # a 2-stage bucket reduction — K stays 65 at every rung, so no top_k
     # ever runs over more than ~8K candidate lanes (lax.top_k over 32K
     # lanes costs ~54 ms on v5e and would dominate the whole scan)
-    allub = jnp.swapaxes(ubs, 0, 1).reshape(Bq, NBLK * NW)
+    allub = jnp.moveaxis(ubs, 2, 0).reshape(Bq, NBLK * NW)
     parts = []
     for F in F_LADDER:
         L = NBLK * NW // F
@@ -350,7 +364,14 @@ class WandState:
             for sh in index.shards
         ]
 
-        cap_mb = int(os.environ.get("SEEKSTORM_TPU_WAND_MB", "1536"))
+        # default cap sized for reference scale: a 5M-doc working set of
+        # ~2K distinct query terms needs ~2.5 GB of presence+bucket-max
+        # rows (80 blocks x 16 KB per term); v5e HBM is 16 GB with ~1 GB
+        # used by the dense-path tensors.  Exceeding the cap flushes and
+        # rebuilds the whole cache — at 5M that rebuild uploads ~250 MB
+        # through the tunnel per batch and collapses throughput 100x, so
+        # headroom matters far more than HBM thrift here.
+        cap_mb = int(os.environ.get("SEEKSTORM_TPU_WAND_MB", "6144"))
         cap_bytes = cap_mb * 1024 * 1024
         # presence (u32) + per-bucket max impact (f32) rows, 8 KB each
         self.cap_prows = max(cap_bytes * 9 // 10 // (NW * 8), 64)
@@ -426,16 +447,22 @@ class WandState:
 
     def ensure_slots(self, hashes: list[int]) -> None:
         """Build + upload any missing slots' rows (call under self.lock)."""
+        from ..metrics import METRICS
+
         missing = [h for h in hashes if h not in self.slot_cache]
         if not missing:
             return
-        for h in missing:
-            self.slot_cache[h] = self._build_slot(h)
-        if self.n_prows > self.cap_prows or self.n_slots > self.cap_slots:
-            self._reset()
-            for h in hashes:
+        with METRICS.timer("wand_build"):
+            for h in missing:
                 self.slot_cache[h] = self._build_slot(h)
-        self._upload_pending()
+            if (self.n_prows > self.cap_prows
+                    or self.n_slots > self.cap_slots):
+                METRICS.inc("wand_resets_total")
+                self._reset()
+                for h in hashes:
+                    self.slot_cache[h] = self._build_slot(h)
+            METRICS.inc("wand_rows_built_total", len(missing))
+            self._upload_pending()
 
     def _grow(self, pool, n_rows):
         from ..utils import ceil_pow2
@@ -491,7 +518,137 @@ def query_ok(spec) -> bool:
 
 
 def _rescore_many(state: WandState, slots, specs_sel, idf_per_shard,
-                  buckets_list, S: int):
+                  buckets_list, S: int, need: int = 0):
+    """Exact host rescore of many queries' candidate buckets in one pass.
+
+    Dispatches to the C++ st_rescore (GIL-released, one call per
+    batch-rung) when the native library is available; the numpy
+    formulation below is the portable fallback and the parity oracle
+    (tests/test_wand.py::test_rescore_native_parity)."""
+    if not os.environ.get("SEEKSTORM_TPU_NO_NATIVE_RESCORE"):
+        out = _rescore_many_native(state, slots, specs_sel, idf_per_shard,
+                                   buckets_list, S, need)
+        if out is not None:
+            return out
+    return _rescore_many_np(state, slots, specs_sel, idf_per_shard,
+                            buckets_list, S)
+
+
+def _rescore_many_native(state: WandState, slots, specs_sel, idf_per_shard,
+                         buckets_list, S: int, need: int):
+    """st_rescore (C++) path: one GIL-released call per batch-rung.
+
+    Returns None when the native library is unavailable.  Output is
+    truncated to the page size kmax = max(need*4, 64) per query — every
+    caller consumes at most that many entries plus the total matched
+    length, which is returned by padding the score/gid arrays' LENGTH
+    only when found > kmax would change the `n_found >= need` test (it
+    can't: kmax >= need)."""
+    from .. import native as native_mod
+    import ctypes as C
+
+    lib = native_mod.load()
+    if lib is None or not hasattr(lib, "st_rescore"):
+        return None
+    nq = len(specs_sel)
+    empty = (np.zeros(0, np.float32), np.zeros(0, np.int64))
+    if nq == 0:
+        return []
+    used = sorted({t for sp in specs_sel for t in sp.slots})
+    uidx = {t: i for i, t in enumerate(used)}
+    n_used = len(used)
+    key_ptrs = np.zeros(n_used, np.uint64)
+    imp_ptrs = np.zeros(n_used, np.uint64)
+    slot_len = np.zeros(n_used, np.int64)
+    keep = []  # keep numpy refs alive across the call
+    zu32 = np.zeros(1, np.uint32)
+    zf32 = np.zeros(1, np.float32)
+    for i, t in enumerate(used):
+        sr = state.slot_cache.get(slots[t].hash)
+        k = sr.keys if sr is not None and len(sr.keys) else zu32
+        im = sr.imps if sr is not None and len(sr.imps) else zf32
+        keep.append((k, im))
+        key_ptrs[i] = k.ctypes.data
+        imp_ptrs[i] = im.ctypes.data
+        slot_len[i] = 0 if sr is None else len(sr.keys)
+    w_slot_shard = np.ascontiguousarray(
+        idf_per_shard[:, used].T, np.float32)
+
+    q_slots, q_flags, qs_off = [], [], [0]
+    for sp in specs_sel:
+        for t in sorted(sp.slots):
+            q_slots.append(uidx[t])
+            fl = 0
+            if sp.negated.get(t, False):
+                fl |= 1
+            if sp.required.get(t, False):
+                fl |= 2
+            if t in sp.weights:
+                fl |= 4
+            q_flags.append(fl)
+        qs_off.append(len(q_slots))
+    q_slots = np.asarray(q_slots, np.int32)
+    q_flags = np.asarray(q_flags, np.uint8)
+    qs_off = np.asarray(qs_off, np.int64)
+
+    nbs = np.array([len(b) for b in buckets_list], dtype=np.int64)
+    qoff = np.zeros(nq + 1, np.int64)
+    np.cumsum(nbs, out=qoff[1:])
+    if int(qoff[-1]) == 0:
+        return [empty] * nq
+    buckets = np.ascontiguousarray(
+        np.concatenate([np.sort(b) for b in buckets_list]), np.int64)
+
+    blk_shard = np.ascontiguousarray(state.blk_shard, np.int32)
+    base = np.asarray(state.block_base, np.int64)
+    dels = state.deleted_sorted
+    del_off = np.zeros(S + 1, np.int64)
+    for s_, d in enumerate(dels):
+        del_off[s_ + 1] = del_off[s_] + len(d)
+    del_flat = np.ascontiguousarray(
+        np.concatenate(dels) if any(len(d) for d in dels)
+        else np.zeros(1, np.int64), np.int64)
+
+    kmax = max(need * 4, 64)
+    out_s = np.zeros(nq * kmax, np.float32)
+    out_g = np.zeros(nq * kmax, np.int64)
+    out_m = np.zeros(nq, np.int64)
+    out_f = np.zeros(nq, np.int64)
+
+    def p(a, ct):
+        return a.ctypes.data_as(C.POINTER(ct))
+
+    lib.st_rescore(
+        n_used, p(key_ptrs, C.c_uint64), p(imp_ptrs, C.c_uint64),
+        p(slot_len, C.c_int64), p(w_slot_shard, C.c_float),
+        nq, p(q_slots, C.c_int32), p(q_flags, C.c_uint8),
+        p(qs_off, C.c_int64), p(buckets, C.c_int64), p(qoff, C.c_int64),
+        p(blk_shard, C.c_int32), p(base, C.c_int64), S, NW,
+        p(del_flat, C.c_int64), p(del_off, C.c_int64),
+        kmax, p(out_s, C.c_float), p(out_g, C.c_int64),
+        p(out_m, C.c_int64), p(out_f, C.c_int64))
+    del keep
+    out = []
+    for qi in range(nq):
+        m = int(out_m[qi])
+        found = int(out_f[qi])
+        sc = out_s[qi * kmax: qi * kmax + m].copy()
+        gid = out_g[qi * kmax: qi * kmax + m].copy()
+        if found > m:
+            # callers use len(gid) only as "n_found >= need" (need <= kmax)
+            # and never index past kmax; pad with -inf sentinels so the
+            # length reports the true matched count without materializing
+            # the full candidate set
+            sc = np.concatenate(
+                [sc, np.full(found - m, -np.inf, np.float32)])
+            gid = np.concatenate(
+                [gid, np.full(found - m, -1, np.int64)])
+        out.append((sc, gid))
+    return out
+
+
+def _rescore_many_np(state: WandState, slots, specs_sel, idf_per_shard,
+                     buckets_list, S: int):
     """Exact host rescore of many queries' candidate buckets in one pass.
 
     specs_sel[i] / buckets_list[i] pair up; returns a list of
@@ -615,6 +772,147 @@ def _rescore_many(state: WandState, slots, specs_sel, idf_per_shard,
     return out
 
 
+def _exact_eval_native(state, slots, spec, idf_per_shard, S, N, need):
+    """st_exact_eval (C++) version of the exact fallback: GIL-released,
+    bit-identical accumulation (-ffp-contract=off).  Returns None when the
+    native library is unavailable."""
+    from .. import native as native_mod
+    import ctypes as C
+
+    lib = native_mod.load()
+    if lib is None or not hasattr(lib, "st_exact_eval"):
+        return None
+    order = sorted(spec.slots)
+    keys_parts, imps_parts, offs, flags, ws = [], [], [0], [], []
+    for t in order:
+        sr = state.slot_cache.get(slots[t].hash)
+        k = sr.keys if sr is not None else np.zeros(0, np.uint32)
+        im = sr.imps if sr is not None else np.zeros(0, np.float32)
+        keys_parts.append(k)
+        imps_parts.append(im)
+        offs.append(offs[-1] + len(k))
+        fl = 0
+        if spec.negated.get(t, False):
+            fl |= 1
+        if spec.required.get(t, False):
+            fl |= 2
+        if t in spec.weights:
+            fl |= 4
+        flags.append(fl)
+        ws.append(idf_per_shard[:, t])
+    keys = np.ascontiguousarray(
+        np.concatenate(keys_parts) if keys_parts else np.zeros(0),
+        np.uint32)
+    imps = np.ascontiguousarray(
+        np.concatenate(imps_parts) if imps_parts else np.zeros(0),
+        np.float32)
+    offs = np.asarray(offs, np.int64)
+    flags = np.asarray(flags, np.uint8)
+    # w per (slot, shard)
+    wss = np.ascontiguousarray(np.stack(ws), np.float32) if ws \
+        else np.zeros((0, S), np.float32)
+    blk_shard = np.ascontiguousarray(state.blk_shard, np.int32)
+    base = np.asarray(state.block_base, np.int64)
+    dels = [d for d in state.deleted_sorted]
+    del_off = np.zeros(S + 1, np.int64)
+    for s_, d in enumerate(dels):
+        del_off[s_ + 1] = del_off[s_] + len(d)
+    del_flat = np.ascontiguousarray(
+        np.concatenate(dels) if any(len(d) for d in dels)
+        else np.zeros(0), np.int64)
+    k = max(need * 4, 64)
+    out_s = np.zeros(k, np.float32)
+    out_g = np.zeros(k, np.int64)
+    out_c = np.zeros(1, np.int64)
+
+    def p(a, ct):
+        return a.ctypes.data_as(C.POINTER(ct))
+
+    m = lib.st_exact_eval(
+        len(order), p(keys, C.c_uint32), p(imps, C.c_float),
+        p(offs, C.c_int64), p(wss, C.c_float), p(flags, C.c_uint8),
+        p(blk_shard, C.c_int32), p(base, C.c_int64), S, N,
+        p(del_flat, C.c_int64), p(del_off, C.c_int64), k,
+        p(out_s, C.c_float), p(out_g, C.c_int64), p(out_c, C.c_int64))
+    m = int(m)
+    return out_s[:m], out_g[:m], int(out_c[0])
+
+
+def _exact_fallback(state: WandState, slots, spec, idf_per_shard,
+                    S: int, need: int):
+    """Exact full-evaluation of one query on the host CSR.
+
+    Queries whose candidate UBs saturate (frequent-frequent unions: every
+    region holds a near-max pair) cannot terminate at any rung; running
+    the dense device kernel for 1-2 such stragglers costs a full-corpus
+    block scan per batch (~70% of the 5M device budget measured).  A host
+    bincount merge over the terms' full posting lists is exact, ~50 ms,
+    and contention-free.  Accumulation matches _rescore_many (ascending
+    slot id, f32) so scores are bit-identical to the WAND page scores.
+
+    Returns (scores, gids, count)."""
+    # flat doc-score array indexed by global docid (lvl_local * S + shard)
+    N = 0
+    for s_, sh in enumerate(state.index.shards):
+        N = max(N, int(sh.committed_doc_count) * S + s_ + 1)
+    N = max(N, 1)
+    native = _exact_eval_native(state, slots, spec, idf_per_shard, S, N,
+                                need)
+    if native is not None:
+        return native
+    score = np.zeros(N, np.float32)
+    any_cnt = np.zeros(N, np.int16)
+    req_cnt = np.zeros(N, np.int16)
+    neg_cnt = np.zeros(N, np.int16)
+    base_arr = np.asarray(state.block_base, np.int64)
+    nreq = 0
+    for t in sorted(spec.slots):
+        sr = state.slot_cache.get(slots[t].hash)
+        neg = spec.negated.get(t, False)
+        req = spec.required.get(t, False) and not neg
+        if req:
+            nreq += 1
+        if sr is None or not len(sr.keys):
+            continue
+        blk = (sr.keys >> np.uint32(16)).astype(np.int64)
+        docid = (sr.keys & np.uint32(0xFFFF)).astype(np.int64)
+        shard_of = state.blk_shard[blk]
+        gid = ((blk - base_arr[shard_of]) * BLOCK_SIZE + docid) * S \
+            + shard_of
+        if neg:
+            neg_cnt += np.bincount(gid, minlength=N).astype(np.int16)
+            continue
+        any_cnt += np.bincount(gid, minlength=N).astype(np.int16)
+        if req:
+            req_cnt += np.bincount(gid, minlength=N).astype(np.int16)
+        if t in spec.weights:
+            w = idf_per_shard[shard_of, t].astype(np.float32)
+            score += np.bincount(
+                gid, weights=(w * sr.imps).astype(np.float64),
+                minlength=N).astype(np.float32)
+    matched = (any_cnt > 0) & (neg_cnt == 0) & (req_cnt >= nreq)
+    for s_, dels in enumerate(state.deleted_sorted):
+        if len(dels):
+            g = dels * S + s_
+            matched[g[g < N]] = False
+    count = int(matched.sum())
+    if count == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int64), 0
+    k = min(max(need * 4, 64), count)
+    sc_m = np.where(matched, score, -np.inf)
+    # oracle tie membership: everything strictly above the kth value, then
+    # the smallest gids within the kth tie class (argpartition alone picks
+    # arbitrary tie members)
+    neg_s = -sc_m
+    kthv = np.partition(neg_s, k - 1)[k - 1]
+    above = np.flatnonzero(neg_s < kthv)
+    ties = np.flatnonzero(neg_s == kthv)
+    sel = np.concatenate([above, ties[: k - len(above)]])
+    order = np.lexsort((sel, -sc_m[sel]))
+    gids = sel[order].astype(np.int64)
+    return sc_m[gids].astype(np.float32), gids, count
+
+
 def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
               need: int, with_counts: bool):
     """Execute eligible queries on the WAND path.
@@ -682,7 +980,9 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
     # F_LADDER[f]*32 docs; all rungs came back from the one dispatch, so
     # escalation costs host rescore time only
     pending = list(range(B))
-    for f, F in enumerate(F_LADDER):
+    ladder = (() if os.environ.get("SEEKSTORM_TPU_WAND_FORCE_FALLBACK")
+              else F_LADDER)
+    for f, F in enumerate(ladder):
         if not pending:
             break
         ub_s = packed[:, 2 * KP * f: 2 * KP * f + KP]
@@ -697,7 +997,7 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         with METRICS.timer("wand_rescore"):
             rescored = _rescore_many(
                 state, slots, [specs[qi] for qi in pending],
-                idf_per_shard, buckets_list, S)
+                idf_per_shard, buckets_list, S, need)
         still = []
         for (sc, gid), qi in zip(rescored, pending):
             next_ub = float(ub_s[qi, K_SEL])
@@ -723,6 +1023,11 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         if pending and f + 1 < len(F_LADDER):
             METRICS.inc("wand_escalations_total")
     for qi in pending:
-        handled[qi] = False
         METRICS.inc("wand_fallbacks_total")
+        with METRICS.timer("wand_exact_fallback"):
+            sc, gid, count = _exact_fallback(
+                state, slots, specs[qi], idf_per_shard, S, need)
+        out_scores[qi] = sc
+        out_gids[qi] = gid
+        counts[qi] = count
     return out_scores, out_gids, counts, handled

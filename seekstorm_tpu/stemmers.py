@@ -2,13 +2,18 @@
 StemmerType — 38 languages via the snowball_stemmers_rs crate, applied in
 tokenizer.rs:576-589).
 
-Two implementation tiers, chosen per language:
+Three implementation tiers, chosen per language:
 
-* **Exact Snowball** — languages with a Snowball implementation shipped in
-  NLTK (pure-Python, offline): Arabic, Danish, Dutch, English(Snowball
-  option), Finnish, French, German, Hungarian, Italian, Norwegian, Porter,
-  Portuguese, Romanian, Russian, Spanish, Swedish.  `DutchPorter` aliases
-  the Snowball Dutch algorithm (itself Porter-derived).
+* **Native Snowball (C++)** — native/snowball.cpp ports of the published
+  Snowball algorithms for Arabic, Danish, Dutch (+DutchPorter alias),
+  Finnish, French, German, Hungarian, Italian, Norwegian, Portuguese,
+  Romanian, Russian, Spanish, Swedish — byte-exact against NLTK's
+  Snowball implementations (validated per language in
+  tests/test_stemmers.py and on 4K-word random fuzz vectors), applied
+  both by the C++ ingest fast path and, via ctypes, by the Python
+  analyzer, so every path emits identical tokens.
+* **Exact Snowball via NLTK** — pure-Python fallback for the same
+  languages when the native library isn't built.
 * **Light rule-based stemmers** — the remaining languages, implemented here
   as published light-stemmer rule sets (suffix/prefix stripping with
   minimum-stem guards): the CLEF light-stemmer family (Savoy; Dolamic &
@@ -22,8 +27,8 @@ Two implementation tiers, chosen per language:
 ingest paths stay byte-identical; `Porter` maps to the same algorithm.
 
 All stemmers here are host-side CPU text processing (SURVEY §7: tokenizer
-family stays on the host); non-English stemmers currently run the Python
-ingest path (index.py gates the C++ fast path on native stemmer support).
+family stays on the host); light-tier languages run the Python ingest
+path (index.py gates the C++ fast path on native stemmer support).
 """
 
 from __future__ import annotations
@@ -528,6 +533,14 @@ def get_stem_fn(st: StemmerType):
         from .tokenizer import porter_stem
 
         return porter_stem
+    # native Snowball port (snowball.cpp) when built: byte-exact vs NLTK
+    # (tests/test_stemmers.py golden vectors) and ~30x faster per token,
+    # and identical to what the C++ ingest fast path applies
+    from .native import snowball_stem_fn
+
+    fn = snowball_stem_fn(st.value)
+    if fn is not None:
+        return fn
     lang = _NLTK_LANG.get(st)
     if lang is not None:
         return _nltk_stem_fn(lang)

@@ -14,6 +14,12 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# BOTH pins are required: the config update fixes the default backend, but
+# only the env var stops jax.backends() from eagerly INITIALIZING the axon
+# TPU plugin — that init opens the TPU tunnel and blocks forever if any
+# other process (a bench run) holds it.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -18,7 +18,11 @@ from seekstorm_tpu.client import RestClient, RestError
 def server(tmp_path_factory):
     root = tmp_path_factory.mktemp("server_ix")
     env = dict(os.environ)
+    # JAX_PLATFORMS (not just PLATFORM_NAME) so the axon TPU plugin is
+    # never initialized in the subprocess — its tunnel init blocks behind
+    # any concurrent TPU holder (see conftest.py)
     env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
     env["MASTER_KEY_SECRET"] = "test_master_secret"
     proc = subprocess.Popen(
         [sys.executable, "-m", "seekstorm_tpu.server",

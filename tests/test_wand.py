@@ -105,3 +105,45 @@ def test_wand_with_deletes(wand_index, monkeypatch):
         query="w001 w002", length=10)])[0]
     for r in post.results:
         assert r.doc_id not in victims
+
+
+def test_rescore_native_parity(wand_index, monkeypatch):
+    """st_rescore (C++) and the numpy rescore must yield identical pages —
+    bit-identical scores (the WAND termination test depends on it), same
+    doc membership, same counts.  Runs after the delete test in module
+    order, so the deleted-doc filter path is exercised too."""
+    from seekstorm_tpu import native as native_mod
+    if native_mod.load() is None:
+        pytest.skip("native library not built")
+    idx = wand_index
+    queries = _queries(24, seed=11)
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_NATIVE_RESCORE", "1")
+    base = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
+    basei = _run(idx, queries, st.QueryType.Intersection,
+                 st.ResultType.TopkCount)
+    monkeypatch.delenv("SEEKSTORM_TPU_NO_NATIVE_RESCORE")
+    nat = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
+    nati = _run(idx, queries, st.QueryType.Intersection,
+                st.ResultType.TopkCount)
+    assert base == nat
+    assert basei == nati
+
+
+def test_exact_fallback_matches_dense(wand_index, monkeypatch):
+    """The host exact-fallback path (saturated-UB queries) must match the
+    dense kernels on every eligible query shape."""
+    idx = wand_index
+    queries = _queries(16, seed=3)
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_WAND", "1")
+    base = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
+    basei = _run(idx, queries, st.QueryType.Intersection,
+                 st.ResultType.TopkCount)
+    monkeypatch.delenv("SEEKSTORM_TPU_NO_WAND")
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND_FORCE_FALLBACK", "1")
+    fb = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
+    fbi = _run(idx, queries, st.QueryType.Intersection,
+               st.ResultType.TopkCount)
+    assert base == fb
+    assert basei == fbi
