@@ -1070,6 +1070,10 @@ extern "C" int64_t st_exact_eval(
     const int64_t* block_base,   // i64[S] first global block per shard
     int S, int64_t N,            // gid space size (gid = local * S + shard)
     const int64_t* deleted, const int64_t* del_off,  // per-shard sorted ids
+    const uint32_t* filtw,       // facet-filter DISALLOWED packed words
+                                 // u32[NBLK_pad * 2048], NULL = no filter
+    const float* rankkey,        // f32[NBLK_pad * 65536] sort keys
+                                 // (rank-by-key mode), NULL = BM25 rank
     int64_t k,                   // page size to return (<= N)
     float* out_scores, int64_t* out_gids, int64_t* out_count)
 {
@@ -1085,6 +1089,10 @@ extern "C" int64_t st_exact_eval(
             uint32_t key = keys[p];
             int64_t blk = key >> 16;
             int64_t docid = key & 0xFFFF;
+            if (filtw
+                && ((filtw[blk * 2048 + (docid >> 5)] >> (docid & 31))
+                    & 1u))
+                continue;  // facet-filtered doc: never matches
             int32_t sh = blk_shard[blk];
             int64_t gid = ((blk - block_base[sh]) * 65536 + docid) * S + sh;
             if (neg) { negc[gid] = 1; continue; }
@@ -1114,7 +1122,12 @@ extern "C" int64_t st_exact_eval(
     for (int64_t gid = 0; gid < N; gid++) {
         if (!anyc[gid] || negc[gid] || reqc[gid] < nreq) continue;
         count++;
-        Ent e{score[(size_t)gid], gid};
+        float rank = score[(size_t)gid];
+        if (rankkey) {
+            int64_t sh = gid % S, lvl = gid / S;
+            rank = rankkey[lvl + block_base[sh] * 65536];
+        }
+        Ent e{rank, gid};
         if ((int64_t)heap.size() < k) {
             heap.push_back(e);
             std::push_heap(heap.begin(), heap.end(), worse);
@@ -1168,6 +1181,10 @@ extern "C" void st_rescore(
     const int64_t* block_base,     // i64[S]
     int S, int nw,                 // words (buckets) per block
     const int64_t* deleted, const int64_t* del_off,  // per-shard sorted ids
+    const uint32_t* filtw,         // DISALLOWED words u32[NBLK_pad * nw],
+                                   // NULL = no facet filter
+    const float* rankkey,          // f32[NBLK_pad * nw * 32] sort keys
+                                   // (rank-by-key mode), NULL = BM25 rank
     int64_t kmax,
     float* out_scores,             // f32[nq * kmax]
     int64_t* out_gids,             // i64[nq * kmax]
@@ -1236,10 +1253,12 @@ extern "C" void st_rescore(
             int64_t blk = bucket / nw, word = bucket % nw;
             int32_t sh = blk_shard[blk];
             int64_t lvl0 = (blk - block_base[sh]) * 65536 + word * 32;
+            uint32_t fw = filtw ? filtw[bucket] : 0u;
             for (int lc = 0; lc < 32; lc++) {
                 size_t cell = (size_t)bi * 32 + lc;
                 if (!anyh[cell] || negh[cell] || reqc[cell] < nreq)
                     continue;
+                if ((fw >> lc) & 1u) continue;
                 int64_t lvl = lvl0 + lc;
                 if (any_del) {
                     const int64_t* d0 = deleted + del_off[sh];
@@ -1248,7 +1267,9 @@ extern "C" void st_rescore(
                     if (it != d1 && *it == lvl) continue;
                 }
                 found++;
-                Ent en{score[cell], lvl * S + sh};
+                float rank = rankkey ? rankkey[bucket * 32 + lc]
+                                     : score[cell];
+                Ent en{rank, lvl * S + sh};
                 if ((int64_t)heap.size() < kmax) {
                     heap.push_back(en);
                     std::push_heap(heap.begin(), heap.end(), worse);

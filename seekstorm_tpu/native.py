@@ -168,14 +168,15 @@ def load() -> C.CDLL | None:
     lib.st_exact_eval.restype = C.c_int64
     lib.st_exact_eval.argtypes = [
         C.c_int, u32p, f32p, i64p, f32p, u8p, i32p, i64p,
-        C.c_int, C.c_int64, i64p, i64p, C.c_int64, f32p, i64p, i64p,
+        C.c_int, C.c_int64, i64p, i64p, u32p, f32p,
+        C.c_int64, f32p, i64p, i64p,
     ]
     u64p = C.POINTER(C.c_uint64)
     lib.st_rescore.restype = None
     lib.st_rescore.argtypes = [
         C.c_int, u64p, u64p, i64p, f32p,
         C.c_int, i32p, u8p, i64p, i64p, i64p,
-        i32p, i64p, C.c_int, C.c_int, i64p, i64p,
+        i32p, i64p, C.c_int, C.c_int, i64p, i64p, u32p, f32p,
         C.c_int64, f32p, i64p, i64p, i64p,
     ]
     _LIB = lib

@@ -95,7 +95,8 @@ def wand_auto(index) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("V", "Bq", "T", "S",
-                                             "with_counts"))
+                                             "with_counts", "NF", "FCM",
+                                             "with_filter", "rank_by_key"))
 def wand_scan(
     ppool,      # u32[PR, NW]         presence rows
     vpool,      # f32[PR, NW]         per-bucket exact max impact rows
@@ -103,16 +104,33 @@ def wand_scan(
     delw,       # u32[NBLK, NW]       deleted-doc words
     sid,        # i32[NBLK]           shard of each block
     qargs,      # i32[...]            packed per-batch args (see _pack_qargs)
+    fcod,       # i32[NF, NBLK*BLOCK] facet codes ([1, 1] dummy if NF == 0)
+    filtw,      # u32[NBLK, NW]       facet-filter DISALLOWED words
+                #                     ([1, 1] dummy unless with_filter)
+    skeyb,      # f32[NBLK, NW]       per-bucket MAX rank key (sort mode;
+                #                     [1, 1] dummy unless rank_by_key)
     *,
     V: int, Bq: int, T: int, S: int,
     with_counts: bool,
+    NF: int = 0, FCM: int = 1,
+    with_filter: bool = False,
+    rank_by_key: bool = False,
 ):
-    """Phase 1+2.  Returns packed f32[Bq, 3*2*(K_SEL+1)+1]: for each
-    coarsening factor F in F_LADDER, [ub_s | ub_i] of the top-(K_SEL+1)
-    F-bucket regions, then [count].  ub_i are region ids (global bucket id
-    // F, exact in f32 below 2^24); ub_s is sorted descending with -inf
-    padding; entry K_SEL is the best UNSELECTED region's UB (the WAND
-    termination threshold for that rung)."""
+    """Phase 1+2.  Returns (packed f32[Bq, 3*2*(K_SEL+1)+1], fc) where
+    packed holds, for each coarsening factor F in F_LADDER, [ub_s | ub_i]
+    of the top-(K_SEL+1) F-bucket regions, then [count].  ub_i are region
+    ids (global bucket id // F, exact in f32 below 2^24); ub_s is sorted
+    descending with -inf padding; entry K_SEL is the best UNSELECTED
+    region's UB (the WAND termination threshold for that rung).
+
+    fc is the exact facet-count histogram f32[NF, Bq, FCM] over ALL
+    matched (post-filter, post-delete) committed docs — phase-1 covers
+    every block, so facet counts are exact regardless of which rung the
+    page terminates at (reference add_result.rs:487 facet_count).  The
+    histogram is an MXU matmul of the unpacked match bits against the
+    one-hot facet-code matrix — 0/1 bf16 inputs with f32 accumulation are
+    exact counts (<< 2^24), and the matmul replaces a doc-granular
+    scatter-add that costs ~50x more on TPU."""
     NBLK = sp_prow.shape[1]
     NS = NBLK // BSTEP
     slotmap, tslot, treq, tneg, wshard = _unpack_qargs(qargs, V, Bq, T, S)
@@ -131,20 +149,32 @@ def wand_scan(
     prow_s = prow.reshape(NS, BSTEP, V)
     delw_s = delw.reshape(NS, BSTEP, NW)
     sid_s = sid.reshape(NS, BSTEP)
+    soff_s = jnp.arange(NS, dtype=jnp.int32) * (BSTEP * NW * 32)
+    if with_filter:
+        filtw_s = filtw.reshape(NS, BSTEP, NW)
+    else:
+        filtw_s = jnp.zeros((NS, 1), jnp.uint32)  # unused placeholder
+    if rank_by_key:
+        skeyb_s = skeyb.reshape(NS, BSTEP, NW)
+    else:
+        skeyb_s = jnp.zeros((NS, 1), jnp.float32)  # unused placeholder
 
-    def step(cnt, xs):
-        prow_b, delw_b, sid_b = xs                # [BS,V] [BS,NW] [BS]
+    def step(carry, xs):
+        cnt, fc = carry
+        prow_b, delw_b, sid_b, soff, filtw_b, skeyb_b = xs
 
         rows_ok = prow_b >= 0
         rows_c = jnp.maximum(prow_b, 0).reshape(-1)
         pres = jnp.take(ppool, rows_c, axis=0).reshape(BSTEP, V, NW)
         pres = jnp.where(rows_ok[:, :, None], pres, 0)
-        # per-bucket exact max impact per slot — UB is this bucket's own
-        # achievable max, not a segment-wide band max (segment-granular
-        # maxima leave hundreds of buckets claiming a block's top impact,
-        # and K_SEL regions can then never cover every UB > kth)
-        vub = jnp.take(vpool, rows_c, axis=0).reshape(BSTEP, V, NW)
-        vub = jnp.where(rows_ok[:, :, None], vub, 0.0)
+        if not rank_by_key:
+            # per-bucket exact max impact per slot — UB is this bucket's
+            # own achievable max, not a segment-wide band max
+            # (segment-granular maxima leave hundreds of buckets claiming
+            # a block's top impact, and K_SEL regions can then never
+            # cover every UB > kth)
+            vub = jnp.take(vpool, rows_c, axis=0).reshape(BSTEP, V, NW)
+            vub = jnp.where(rows_ok[:, :, None], vub, 0.0)
 
         pt = jnp.take(pres, ts_c.reshape(-1), axis=1)
         pt = pt.reshape(BSTEP, Bq, T, NW)
@@ -162,10 +192,45 @@ def wand_scan(
             negw = negw | jnp.where(
                 (tneg[:, t] & ts_ok[:, t])[None, :, None], pt[:, :, t], 0)
         matched = andw & posw & ~negw & ~delw_b[:, None, :]  # [BS, Bq, NW]
+        if with_filter:
+            matched = matched & ~filtw_b[:, None, :]
         if with_counts:
             cnt = cnt + jnp.sum(jax.lax.population_count(matched),
                                 axis=(0, 2), dtype=jnp.int32)
+        if NF:
+            # unpack to doc granularity: doc d of the step = (sub-block,
+            # word, bit) in row-major order, matching fcod's global
+            # block-major code layout
+            bits = (matched[:, :, :, None]
+                    >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
+            mf = jnp.moveaxis(bits, 1, 0).reshape(Bq, BSTEP * NW * 32)
+            mf = mf.astype(jnp.bfloat16)
+            for fi in range(NF):
+                codes_b = jax.lax.dynamic_slice(
+                    fcod[fi], (soff,), (BSTEP * NW * 32,))
+                if FCM <= 512:
+                    oh = (codes_b[:, None]
+                          == jnp.arange(FCM, dtype=jnp.int32)[None, :]
+                          ).astype(jnp.bfloat16)
+                    upd = jax.lax.dot_general(
+                        mf, oh, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    # wide code spaces (raw numeric facets): scatter-add
+                    upd = jnp.zeros((Bq, FCM), jnp.float32).at[
+                        :, jnp.clip(codes_b, 0, FCM - 1)
+                    ].add(mf.astype(jnp.float32))
+                fc = fc.at[fi].add(upd)
 
+        if rank_by_key:
+            # sort mode: regions rank by the bucket's best SORT KEY among
+            # any doc (upper bound on any matched member's rank; the host
+            # rescore ranks candidates by their exact keys).  Scores play
+            # no part — the reference orders by facet value the same way
+            # (search.rs result_sort).
+            ub = jnp.broadcast_to(skeyb_b[:, None, :], (BSTEP, Bq, NW))
+            ubm = jnp.where(matched != 0, ub, -jnp.inf)
+            return (cnt, fc), ubm
         # exact f32 UB, accumulated per term in the SAME order as the host
         # rescore (_rescore_many adds scoring slots in ascending slot id;
         # run_batch packs positive slots ascending into the tslot columns):
@@ -202,11 +267,13 @@ def wand_scan(
         ub2 = jnp.maximum(cand_b, jnp.maximum(cand_0, cand_1))
         ub = jnp.where(pos2[None, :, None], ub2, ub)
         ubm = jnp.where(matched != 0, ub, -jnp.inf)
-        return cnt, ubm
+        return (cnt, fc), ubm
 
-    cnt, ubs = jax.lax.scan(
-        step, jnp.zeros((Bq,), jnp.int32),
-        (prow_s, delw_s, sid_s))
+    (cnt, fc), ubs = jax.lax.scan(
+        step,
+        (jnp.zeros((Bq,), jnp.int32),
+         jnp.zeros((max(NF, 1), Bq, FCM), jnp.float32)),
+        (prow_s, delw_s, sid_s, soff_s, filtw_s, skeyb_s))
 
     # phase 2: for each coarsening factor, exact top-(K_SEL+1) regions via
     # a 2-stage bucket reduction — K stays 65 at every rung, so no top_k
@@ -222,7 +289,7 @@ def wand_scan(
         parts.append(ub_i.astype(jnp.float32))
     parts.append(cnt[:, None].astype(jnp.float32))
     # single-fetch packing (region ids < 2^24 are exact in f32)
-    return jnp.concatenate(parts, axis=1)
+    return jnp.concatenate(parts, axis=1), fc
 
 
 def _topk_lanes(x, K: int):
@@ -376,7 +443,20 @@ class WandState:
         # presence (u32) + per-bucket max impact (f32) rows, 8 KB each
         self.cap_prows = max(cap_bytes * 9 // 10 // (NW * 8), 64)
         self.cap_slots = max(cap_bytes // 10 // (self.nblk_pad * 4), 64)
+        # facet codes / filter bitmaps in the WAND global-block layout,
+        # keyed by spec signature; lifecycle = this state's (dropped on
+        # commit/delete with the rest of the device tensors)
+        self._aux: dict = {}
         self._reset(init=True)
+
+    def aux(self, key, builder, device=True):
+        """(host, device) pair of an auxiliary array, built once."""
+        hit = self._aux.get(key)
+        if hit is None:
+            host = builder()
+            hit = self._aux[key] = (
+                host, jnp.asarray(host) if device else None)
+        return hit
 
     # -- row building -------------------------------------------------------
 
@@ -518,24 +598,31 @@ def query_ok(spec) -> bool:
 
 
 def _rescore_many(state: WandState, slots, specs_sel, idf_per_shard,
-                  buckets_list, S: int, need: int = 0):
+                  buckets_list, S: int, need: int = 0, filt_host=None,
+                  rank_key=None):
     """Exact host rescore of many queries' candidate buckets in one pass.
 
     Dispatches to the C++ st_rescore (GIL-released, one call per
     batch-rung) when the native library is available; the numpy
     formulation below is the portable fallback and the parity oracle
-    (tests/test_wand.py::test_rescore_native_parity)."""
+    (tests/test_wand.py::test_rescore_native_parity).  filt_host
+    (u32[NBLK_pad, NW] disallowed words) mirrors the device-side facet
+    filter so pages never include filtered docs.  rank_key
+    (f32[NBLK_pad*BLOCK], sort mode) ranks matched candidates by their
+    gathered key instead of the BM25 sum."""
     if not os.environ.get("SEEKSTORM_TPU_NO_NATIVE_RESCORE"):
         out = _rescore_many_native(state, slots, specs_sel, idf_per_shard,
-                                   buckets_list, S, need)
+                                   buckets_list, S, need, filt_host,
+                                   rank_key)
         if out is not None:
             return out
     return _rescore_many_np(state, slots, specs_sel, idf_per_shard,
-                            buckets_list, S)
+                            buckets_list, S, filt_host, rank_key)
 
 
 def _rescore_many_native(state: WandState, slots, specs_sel, idf_per_shard,
-                         buckets_list, S: int, need: int):
+                         buckets_list, S: int, need: int, filt_host=None,
+                         rank_key=None):
     """st_rescore (C++) path: one GIL-released call per batch-rung.
 
     Returns None when the native library is unavailable.  Output is
@@ -618,15 +705,28 @@ def _rescore_many_native(state: WandState, slots, specs_sel, idf_per_shard,
     def p(a, ct):
         return a.ctypes.data_as(C.POINTER(ct))
 
+    if filt_host is not None:
+        filt_c = np.ascontiguousarray(filt_host, np.uint32)
+        filt_p = p(filt_c, C.c_uint32)
+    else:
+        filt_c = None
+        filt_p = C.POINTER(C.c_uint32)()
+    if rank_key is not None:
+        rank_c = np.ascontiguousarray(rank_key, np.float32)
+        rank_p = p(rank_c, C.c_float)
+    else:
+        rank_c = None
+        rank_p = C.POINTER(C.c_float)()
     lib.st_rescore(
         n_used, p(key_ptrs, C.c_uint64), p(imp_ptrs, C.c_uint64),
         p(slot_len, C.c_int64), p(w_slot_shard, C.c_float),
         nq, p(q_slots, C.c_int32), p(q_flags, C.c_uint8),
         p(qs_off, C.c_int64), p(buckets, C.c_int64), p(qoff, C.c_int64),
         p(blk_shard, C.c_int32), p(base, C.c_int64), S, NW,
-        p(del_flat, C.c_int64), p(del_off, C.c_int64),
+        p(del_flat, C.c_int64), p(del_off, C.c_int64), filt_p, rank_p,
         kmax, p(out_s, C.c_float), p(out_g, C.c_int64),
         p(out_m, C.c_int64), p(out_f, C.c_int64))
+    del filt_c, rank_c
     del keep
     out = []
     for qi in range(nq):
@@ -648,7 +748,7 @@ def _rescore_many_native(state: WandState, slots, specs_sel, idf_per_shard,
 
 
 def _rescore_many_np(state: WandState, slots, specs_sel, idf_per_shard,
-                     buckets_list, S: int):
+                     buckets_list, S: int, filt_host=None, rank_key=None):
     """Exact host rescore of many queries' candidate buckets in one pass.
 
     specs_sel[i] / buckets_list[i] pair up; returns a list of
@@ -735,6 +835,11 @@ def _rescore_many_np(state: WandState, slots, specs_sel, idf_per_shard,
             scores[rm, lm] += w.astype(np.float32) * sr.imps[im]
 
     matched = anyh & ~negh & (reqc >= nreq[qmap][:, None])
+    if filt_host is not None:
+        fw = filt_host[blk, word]
+        fbits = (fw[:, None] >> np.arange(32, dtype=np.uint32)) \
+            & np.uint32(1)
+        matched &= fbits == 0
     shard_of = state.blk_shard[blk]
     base_arr = np.asarray(state.block_base, np.int64)
     lvl_local0 = ((blk - base_arr[shard_of]) * BLOCK_SIZE + word * 32)
@@ -755,7 +860,11 @@ def _rescore_many_np(state: WandState, slots, specs_sel, idf_per_shard,
     rows, local = np.nonzero(matched)
     if not len(rows):
         return [empty] * nq
-    sc = scores[rows, local]
+    if rank_key is not None:
+        sc = rank_key[blk[rows] * BLOCK_SIZE + word[rows] * 32 + local]
+        sc = sc.astype(np.float32)
+    else:
+        sc = scores[rows, local]
     gid = ((lvl_local0[rows] + local) * S + shard_of[rows]).astype(np.int64)
     qi_of = qmap[rows]
     # one global sort: (query, score desc, gid asc) -> per-query slices
@@ -772,7 +881,8 @@ def _rescore_many_np(state: WandState, slots, specs_sel, idf_per_shard,
     return out
 
 
-def _exact_eval_native(state, slots, spec, idf_per_shard, S, N, need):
+def _exact_eval_native(state, slots, spec, idf_per_shard, S, N, need,
+                       filt_host=None, rank_key=None):
     """st_exact_eval (C++) version of the exact fallback: GIL-released,
     bit-identical accumulation (-ffp-contract=off).  Returns None when the
     native library is unavailable."""
@@ -828,18 +938,31 @@ def _exact_eval_native(state, slots, spec, idf_per_shard, S, N, need):
     def p(a, ct):
         return a.ctypes.data_as(C.POINTER(ct))
 
+    if filt_host is not None:
+        filt_c = np.ascontiguousarray(filt_host, np.uint32)
+        filt_p = p(filt_c, C.c_uint32)
+    else:
+        filt_c = None
+        filt_p = C.POINTER(C.c_uint32)()
+    if rank_key is not None:
+        rank_c = np.ascontiguousarray(rank_key, np.float32)
+        rank_p = p(rank_c, C.c_float)
+    else:
+        rank_c = None
+        rank_p = C.POINTER(C.c_float)()
     m = lib.st_exact_eval(
         len(order), p(keys, C.c_uint32), p(imps, C.c_float),
         p(offs, C.c_int64), p(wss, C.c_float), p(flags, C.c_uint8),
         p(blk_shard, C.c_int32), p(base, C.c_int64), S, N,
-        p(del_flat, C.c_int64), p(del_off, C.c_int64), k,
+        p(del_flat, C.c_int64), p(del_off, C.c_int64), filt_p, rank_p, k,
         p(out_s, C.c_float), p(out_g, C.c_int64), p(out_c, C.c_int64))
+    del filt_c, rank_c
     m = int(m)
     return out_s[:m], out_g[:m], int(out_c[0])
 
 
 def _exact_fallback(state: WandState, slots, spec, idf_per_shard,
-                    S: int, need: int):
+                    S: int, need: int, filt_host=None, rank_key=None):
     """Exact full-evaluation of one query on the host CSR.
 
     Queries whose candidate UBs saturate (frequent-frequent unions: every
@@ -857,7 +980,7 @@ def _exact_fallback(state: WandState, slots, spec, idf_per_shard,
         N = max(N, int(sh.committed_doc_count) * S + s_ + 1)
     N = max(N, 1)
     native = _exact_eval_native(state, slots, spec, idf_per_shard, S, N,
-                                need)
+                                need, filt_host, rank_key)
     if native is not None:
         return native
     score = np.zeros(N, np.float32)
@@ -876,6 +999,14 @@ def _exact_fallback(state: WandState, slots, spec, idf_per_shard,
             continue
         blk = (sr.keys >> np.uint32(16)).astype(np.int64)
         docid = (sr.keys & np.uint32(0xFFFF)).astype(np.int64)
+        imps_t = sr.imps
+        if filt_host is not None:
+            fw = filt_host[blk, docid >> 5]
+            keep = ((fw >> (docid & 31).astype(np.uint32))
+                    & np.uint32(1)) == 0
+            blk, docid, imps_t = blk[keep], docid[keep], imps_t[keep]
+            if not len(blk):
+                continue
         shard_of = state.blk_shard[blk]
         gid = ((blk - base_arr[shard_of]) * BLOCK_SIZE + docid) * S \
             + shard_of
@@ -888,7 +1019,7 @@ def _exact_fallback(state: WandState, slots, spec, idf_per_shard,
         if t in spec.weights:
             w = idf_per_shard[shard_of, t].astype(np.float32)
             score += np.bincount(
-                gid, weights=(w * sr.imps).astype(np.float64),
+                gid, weights=(w * imps_t).astype(np.float64),
                 minlength=N).astype(np.float32)
     matched = (any_cnt > 0) & (neg_cnt == 0) & (req_cnt >= nreq)
     for s_, dels in enumerate(state.deleted_sorted):
@@ -899,6 +1030,11 @@ def _exact_fallback(state: WandState, slots, spec, idf_per_shard,
     if count == 0:
         return np.zeros(0, np.float32), np.zeros(0, np.int64), 0
     k = min(max(need * 4, 64), count)
+    if rank_key is not None:
+        gidx = np.flatnonzero(matched)
+        score = np.zeros(N, np.float32)
+        score[gidx] = rank_key[
+            gidx // S + base_arr[gidx % S] * BLOCK_SIZE]
     sc_m = np.where(matched, score, -np.inf)
     # oracle tie membership: everything strictly above the kth value, then
     # the smallest gids within the kth tie class (argpartition alone picks
@@ -914,13 +1050,21 @@ def _exact_fallback(state: WandState, slots, spec, idf_per_shard,
 
 
 def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
-              need: int, with_counts: bool):
+              need: int, with_counts: bool,
+              fcod_dev=None, n_facets: int = 0, fcm: int = 1,
+              filtw_dev=None, filt_host=None,
+              skeyb_dev=None, rank_key_host=None):
     """Execute eligible queries on the WAND path.
 
     slots: batch slot list; specs: eligible _QuerySpec per row;
     idf_per_shard: f32[S, V] per-shard idf per slot (realtime-df aware).
-    Returns (scores list, gids list, counts i64[B], handled bool[B]) —
-    handled=False rows must fall back to the dense path."""
+    fcod_dev (i32[NF, NBLK*BLOCK], wand global-block layout) +
+    n_facets/fcm enable exact facet counting in the device scan;
+    filtw_dev/filt_host (u32[NBLK_pad, NW] DISALLOWED packed words, device
+    + host copies) apply a batch-shared facet filter to matching, counts,
+    facet histograms and the host rescores.
+    Returns (scores list, gids list, counts i64[B], handled bool[B],
+    fc f32[NF, B, fcm] or None)."""
     from ..metrics import METRICS
     from ..utils import ceil_pow2
 
@@ -968,11 +1112,23 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         pools = (state.ppool, state.vpool, state.sp_prow,
                  state.delw_dev, state.sid_dev)
 
+    dummy_i = jnp.zeros((1, 1), jnp.int32)
+    dummy_u = jnp.zeros((1, 1), jnp.uint32)
+    dummy_f = jnp.zeros((1, 1), jnp.float32)
+    rank_mode = rank_key_host is not None
     METRICS.inc("device_dispatch_total")
     with METRICS.timer("lex_device"):
-        packed = np.asarray(wand_scan(
-            *pools, qargs, V=V, Bq=Bq, T=T, S=S,
-            with_counts=with_counts))
+        packed_d, fc_d = wand_scan(
+            *pools, qargs,
+            fcod_dev if n_facets else dummy_i,
+            filtw_dev if filtw_dev is not None else dummy_u,
+            skeyb_dev if rank_mode else dummy_f,
+            V=V, Bq=Bq, T=T, S=S,
+            with_counts=with_counts, NF=n_facets, FCM=fcm,
+            with_filter=filtw_dev is not None,
+            rank_by_key=rank_mode)
+        packed = np.asarray(packed_d)
+        fc = np.asarray(fc_d)[:, :B] if n_facets else None
     KP = K_SEL + 1
     cnt = packed[:, -1].astype(np.int64)
 
@@ -997,7 +1153,8 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         with METRICS.timer("wand_rescore"):
             rescored = _rescore_many(
                 state, slots, [specs[qi] for qi in pending],
-                idf_per_shard, buckets_list, S, need)
+                idf_per_shard, buckets_list, S, need, filt_host,
+                rank_key_host)
         still = []
         for (sc, gid), qi in zip(rescored, pending):
             next_ub = float(ub_s[qi, K_SEL])
@@ -1010,9 +1167,15 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
             # The 3e-7 relative margin absorbs XLA fma contraction in the
             # device UB sum (can round 1 ulp below the host's two-rounding
             # np-f32 sum); exact ties fail the strict test either way and
-            # escalate to the dense path.
-            exact = (next_ub == -np.inf) or (
-                n_found >= need and kth > next_ub * (1.0 + 3e-7))
+            # escalate to the dense path.  Rank-by-key mode compares raw
+            # gathered f32 keys on both sides — no margin needed or sound
+            # (keys can be negative, where a relative margin flips sign).
+            if rank_mode:
+                exact = (next_ub == -np.inf) or (
+                    n_found >= need and kth > next_ub)
+            else:
+                exact = (next_ub == -np.inf) or (
+                    n_found >= need and kth > next_ub * (1.0 + 3e-7))
             if exact:
                 out_scores[qi] = sc[: max(need * 4, 64)]
                 out_gids[qi] = gid[: max(need * 4, 64)]
@@ -1026,8 +1189,9 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         METRICS.inc("wand_fallbacks_total")
         with METRICS.timer("wand_exact_fallback"):
             sc, gid, count = _exact_fallback(
-                state, slots, specs[qi], idf_per_shard, S, need)
+                state, slots, specs[qi], idf_per_shard, S, need,
+                filt_host, rank_key_host)
         out_scores[qi] = sc
         out_gids[qi] = gid
         counts[qi] = count
-    return out_scores, out_gids, counts, handled
+    return out_scores, out_gids, counts, handled, fc

@@ -223,6 +223,60 @@ class RewriteOutcome:
     rewritten: bool
 
 
+def _complete_multiterm(index, trie, query: str, length: int) -> list[str]:
+    """Query completion with the reference's windowing + continuation
+    heuristics (search.rs:1152-1314):
+
+    * lookup window = the last <=3 query terms (the trie stores 1..3-gram
+      phrases); an intact earlier prefix is re-prepended to every
+      suggestion.  A trailing space shifts the window (the user finished
+      the last term — complete the NEXT one).
+    * continuation: when the window lookup can't fill the page and the
+      query has >=2 terms, the first >=3-word completion's tail seeds a
+      second lookup whose results (skipping frequent-word endings) are
+      spliced in right after it, under a 1-2 term shorter prefix.
+    """
+    terms = query.lower().split()
+    if not terms:
+        return []
+    sufflen = 1 if query.endswith(" ") else 0
+    if len(terms) + sufflen > 3:
+        cut = len(terms) - 3 + sufflen
+        prefix = " ".join(terms[:cut]) + " "
+        window = " ".join(terms[cut:]) + (" " if sufflen else "")
+    else:
+        prefix = ""
+        window = " ".join(terms) + (" " if sufflen else "")
+    comp = trie.top_k(window, length)
+    out = [prefix + t for t, _ in comp]
+
+    if comp and len(out) < length and len(terms) >= 2:
+        position = 0
+        tail_vec: list[str] = []
+        for i, (t, _) in enumerate(comp):
+            tv = t.split(" ")
+            if len(tv) >= 3:
+                position = i + 1
+                tail_vec = tv
+                break
+        if len(tail_vec) >= 3:
+            cont = " ".join(tail_vec[1:]) + " "
+            additional = trie.top_k(cont, length - len(out) + 5)
+            drop = 1 if len(terms) == 2 else 2
+            prefix2 = " ".join(terms[: len(terms) - drop])
+            prefix2 = prefix2 + " " if prefix2 else ""
+            frequent = getattr(index, "_frequent_words", set()) or set()
+            j = 0
+            for t, _ in additional:
+                if " " in t and t.rsplit(" ", 1)[1] in frequent:
+                    continue
+                out.insert(position + j, prefix2 + t)
+                j += 1
+                if len(out) >= length:
+                    break
+    return out[:length]
+
+
 def rewrite_query(
     index, query: str, mode, analyzer
 ) -> RewriteOutcome:
@@ -242,12 +296,14 @@ def rewrite_query(
 
     suggestions: list[str] = []
     corrected = query
-    # completion of the whole query prefix
+    # completion: the trie holds 1..3-gram phrases, so the lookup window
+    # is the LAST <=3 terms; earlier terms are re-prepended verbatim, and
+    # a multi-term continuation fills the page when the window alone can't
+    # (reference search.rs:1254-1314)
     trie = getattr(index, "completions", None)
     if trie is not None and complete_thr is not None and \
             len(query) >= complete_thr:
-        comp = trie.top_k(query.lower(), length)
-        suggestions.extend(t for t, _ in comp)
+        suggestions.extend(_complete_multiterm(index, trie, query, length))
     # spelling correction term-wise
     spell = getattr(index, "spell", None)
     if spell is not None and correct_thr is not None and \

@@ -309,6 +309,55 @@ def _build_specs(
     return slots, specs
 
 
+def _wand_facet_codes(index, wstate, codes_list) -> np.ndarray:
+    """Facet code columns [S, nb*BLOCK] -> WAND global-block layout
+    i32[NF, nblk_pad*BLOCK].  Both sides are block-aligned (facet columns
+    are stored per level = per block), so this is a per-shard copy."""
+    nf = len(codes_list)
+    out = np.zeros((nf, wstate.nblk_pad * BLOCK_SIZE), np.int32)
+    for fi, codes in enumerate(codes_list):
+        for s, sh in enumerate(index.shards):
+            n = sh.lexical.n_blocks * BLOCK_SIZE
+            g0 = wstate.block_base[s] * BLOCK_SIZE
+            out[fi, g0: g0 + n] = codes[s, :n]
+    return out
+
+
+def _wand_rank_key(index, wstate, skey_host, sort_desc: bool) -> np.ndarray:
+    """Sort-key column [S, nb*BLOCK] -> WAND global rank array
+    f32[nblk_pad*BLOCK] (rank DESC convention: ascending orders negate).
+    Positions with no committed doc are -inf so per-bucket rank maxima
+    stay tight (column padding is 0.0, which would dominate negative
+    ranks and kill region selection)."""
+    out = np.full(wstate.nblk_pad * BLOCK_SIZE, -np.inf, np.float32)
+    for s, sh in enumerate(index.shards):
+        g0 = wstate.block_base[s] * BLOCK_SIZE
+        for li, lvl in enumerate(sh.lexical.levels):
+            n = lvl.doc_count
+            seg = skey_host[s, li * BLOCK_SIZE: li * BLOCK_SIZE + n]
+            seg = seg.astype(np.float32)
+            out[g0 + li * BLOCK_SIZE: g0 + li * BLOCK_SIZE + n] = \
+                seg if sort_desc else -seg
+    return out
+
+
+def _wand_filter_words(index, wstate, mask) -> np.ndarray:
+    """Facet-filter allowed mask bool[S, nb*BLOCK] -> packed DISALLOWED
+    words u32[nblk_pad, BLOCK//32] in WAND global-block layout (ANDed into
+    matching exactly like the deleted-doc words)."""
+    nw = BLOCK_SIZE // 32
+    out = np.zeros((wstate.nblk_pad, nw), np.uint32)
+    for s, sh in enumerate(index.shards):
+        n = sh.lexical.n_blocks * BLOCK_SIZE
+        dis = np.ascontiguousarray(~mask[s, :n])
+        # bit j of word w = doc w*32+j (little-endian, same as delw)
+        words = np.packbits(dis, bitorder="little").view(np.uint32)
+        out[wstate.block_base[s]:
+            wstate.block_base[s] + sh.lexical.n_blocks] = \
+            words.reshape(sh.lexical.n_blocks, nw)
+    return out
+
+
 def _shard_idf(shard: Shard, slots: list[_Slot], realtime: bool,
                hs: np.ndarray | None = None,
                found: np.ndarray | None = None,
@@ -1433,14 +1482,19 @@ def _lexical_search_batch(
     # bucket-WAND path (ops/wand.py): Topk/TopkCount/Count batches at
     # reference scale ride a packed-bitmap upper-bound scan + exact host
     # rescore — per-batch device work is ~1/50th of the dense kernels and
-    # counts stay exact (phase-1 popcount).  Ineligible rows (phrases,
-    # > T_MAX slots) fall through to the join/dense paths below.
+    # counts stay exact (phase-1 popcount).  Faceted/filtered batches ride
+    # it too: facet histograms accumulate exactly in the same scan (MXU
+    # one-hot matmul over the unpacked match bits) and the batch-shared
+    # facet filter ANDs in as a packed disallowed bitmap, like deletes.
+    # Ineligible rows (phrases, > T_MAX slots) and facet-ORDERED batches
+    # (result_sort ranks by facet value, not score UB) fall through to the
+    # join/dense paths below.
     wanded = np.zeros(B, bool)
     if (
         mode == "imp"
-        and not req0.query_facets and not req0.facet_filter
-        and not req0.result_sort
         and need <= 1024
+        and not (req0.facet_filter and allowed_dev is None)
+        and len(req0.result_sort) <= 1
     ):
         from .ops import wand as wand_mod
 
@@ -1448,18 +1502,51 @@ def _lexical_search_batch(
             wrows = [i for i in range(B)
                      if wand_mod.query_ok(live_specs[i])]
             if wrows:
+                wstate = wand_mod.get_state(index)
+                wfcod_dev = None
+                if facet_specs:
+                    _, wfcod_dev = wstate.aux(
+                        ("facets", fkey),
+                        lambda: _wand_facet_codes(
+                            index, wstate, [rt.codes_for(qf)[0]
+                                            for qf, _, _ in facet_specs]))
+                wfilt_dev = wfilt_host = None
+                if req0.facet_filter:
+                    wfilt_host, wfilt_dev = wstate.aux(
+                        ("filter", fsig),
+                        lambda: _wand_filter_words(index, wstate, mask))
+                wskeyb_dev = wrank_host = None
+                if sorting:
+                    sk = ("sort", rs0.field,
+                          tuple(rs0.base) if rs0.base is not None
+                          else None, sort_desc)
+                    wrank_host, _ = wstate.aux(
+                        sk + ("flat",),
+                        lambda: _wand_rank_key(
+                            index, wstate, skey_host, sort_desc),
+                        device=False)
+                    _, wskeyb_dev = wstate.aux(
+                        sk + ("bmax",),
+                        lambda: wrank_host.reshape(-1, 32).max(axis=1)
+                        .reshape(wstate.nblk_pad, BLOCK_SIZE // 32))
                 idf_ps = np.stack([
                     _shard_idf(sh, slots, req0.realtime)
                     for sh in index.shards])          # [S, V]
-                wsc, wgid, wcnt, whandled = wand_mod.run_batch(
+                wsc, wgid, wcnt, whandled, wfc = wand_mod.run_batch(
                     index, slots, [live_specs[i] for i in wrows],
-                    idf_ps, max(need, 1), with_counts)
+                    idf_ps, max(need, 1), with_counts,
+                    fcod_dev=wfcod_dev, n_facets=len(facet_specs),
+                    fcm=fcm, filtw_dev=wfilt_dev, filt_host=wfilt_host,
+                    skeyb_dev=wskeyb_dev, rank_key_host=wrank_host)
                 for r, qi in enumerate(wrows):
                     if whandled[r]:
                         merged_scores[qi] = wsc[r]
                         merged_ids[qi] = wgid[r]
                         counts[qi] = wcnt[r]
                         wanded[qi] = True
+                        if wfc is not None:
+                            fc_total[:len(facet_specs), qi] += \
+                                wfc[:, r, :fcm]
 
     # posting-space join path: Topk-only batches whose queries fit posting
     # windows ride ops/join.py — per-query work tracks its terms' posting
@@ -1571,7 +1658,8 @@ def _lexical_search_batch(
         elif with_counts:
             counts_exact[:] = False
         if facet_specs and all_full:
-            fc_total += fcounts
+            # fcounts rows cover the rest (non-wanded) queries only
+            fc_total[:, rest_rows] += fcounts[:, :len(rest_rows)]
 
     for shard in index.shards:
         if req0.realtime and shard.tail_len() > 0:

@@ -97,6 +97,39 @@ def test_query_rewriting_end_to_end(tmp_index_dir):
     assert any(x.startswith(prefix) for x in rs.suggestions)
 
 
+def test_multiterm_completion(tmp_index_dir):
+    """'new yo'-style inputs: the last term completes in the context of
+    the preceding terms (reference search.rs:1254-1314) — the window is
+    the last <=3 terms, earlier terms are re-prepended, and a trailing
+    space completes the NEXT term."""
+    idx = make_index(tmp_index_dir, spelling=False)
+    for _ in range(30):
+        idx.index_document({"t": "new york city subway map"})
+        idx.index_document({"t": "new york yankees schedule today"})
+        idx.index_document({"t": "new jersey transit"})
+    idx.commit()
+
+    # last-term completion in context
+    rs = idx.search(st.SearchRequest(
+        query="new yo",
+        query_rewriting={"SuggestOnly": {"complete": 2, "length": 5}}))
+    assert any(s.startswith("new york") for s in rs.suggestions), \
+        rs.suggestions
+
+    # window beyond 3 terms: prefix re-prepended verbatim
+    rs = idx.search(st.SearchRequest(
+        query="best new york ci",
+        query_rewriting={"SuggestOnly": {"complete": 2, "length": 5}}))
+    assert any(s.startswith("best new york cit") for s in rs.suggestions), \
+        rs.suggestions
+
+    # trailing space completes the next term
+    rs = idx.search(st.SearchRequest(
+        query="york city ",
+        query_rewriting={"SuggestOnly": {"complete": 2, "length": 5}}))
+    assert any("city subway" in s for s in rs.suggestions), rs.suggestions
+
+
 def test_rewrite_persistence(tmp_index_dir):
     idx = make_index(tmp_index_dir)
     for i in range(40):

@@ -130,6 +130,112 @@ def test_rescore_native_parity(wand_index, monkeypatch):
     assert basei == nati
 
 
+@pytest.fixture(scope="module")
+def wand_facet_index(tmp_path_factory):
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i:03d}" for i in range(250)]
+    brands = [f"brand{j}" for j in range(12)]
+    docs = [{"title": " ".join(rng.choice(vocab, 3)),
+             "body": " ".join(rng.choice(vocab, 18)),
+             "brand": str(rng.choice(brands)),
+             "price": int(rng.integers(0, 500))}
+            for _ in range(BLOCK_SIZE + 6_000)]
+    tmp = tmp_path_factory.mktemp("wandf")
+    schema = [
+        st.SchemaField("title", st.FieldType.Text, indexed=True, boost=10.0),
+        st.SchemaField("body", st.FieldType.Text, indexed=True),
+        st.SchemaField("brand", st.FieldType.String16, facet=True),
+        st.SchemaField("price", st.FieldType.U16, facet=True),
+    ]
+    idx = st.create_index(tmp / "ix", schema, shard_count=2)
+    idx.index_documents(docs)
+    idx.commit()
+    return idx
+
+
+def _run_facet(idx, queries, filtered: bool):
+    ranges = st.Ranges(field="price", ranges=[
+        ("cheap", 0), ("mid", 100), ("lux", 300)])
+    reqs = []
+    for q in queries:
+        kw = dict(query=q, length=10,
+                  result_type=st.ResultType.TopkCount,
+                  query_facets=[st.QueryFacet(field="brand"),
+                                st.QueryFacet(field="price", ranges=ranges)])
+        if filtered:
+            kw["facet_filter"] = [st.FacetFilter(
+                field="brand", values=[f"brand{j}" for j in range(6)])]
+        reqs.append(st.SearchRequest(**kw))
+    out = []
+    for rs in st.search_batch(idx, reqs):
+        canon = _canon(rs)
+        fac = tuple(sorted(
+            (field, tuple(sorted(pairs)))
+            for field, pairs in (rs.facets or {}).items()))
+        out.append((canon, fac))
+    return out
+
+
+@pytest.fixture(scope="module")
+def wand_geo_index(tmp_path_factory):
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i:03d}" for i in range(250)]
+    docs = [{"title": " ".join(rng.choice(vocab, 3)),
+             "body": " ".join(rng.choice(vocab, 18)),
+             "loc": [float(rng.uniform(35, 40)),
+                     float(rng.uniform(-125, -120))],
+             "price": int(rng.integers(0, 500))}
+            for _ in range(BLOCK_SIZE + 6_000)]
+    tmp = tmp_path_factory.mktemp("wandg")
+    schema = [
+        st.SchemaField("title", st.FieldType.Text, indexed=True, boost=10.0),
+        st.SchemaField("body", st.FieldType.Text, indexed=True),
+        st.SchemaField("loc", st.FieldType.Point, facet=True),
+        st.SchemaField("price", st.FieldType.U16, facet=True),
+    ]
+    idx = st.create_index(tmp / "ix", schema, shard_count=2)
+    idx.index_documents(docs)
+    idx.commit()
+    return idx
+
+
+@pytest.mark.parametrize("field,order", [("loc", "Ascending"),
+                                         ("price", "Descending")])
+def test_wand_sorted_matches_dense(wand_geo_index, field, order,
+                                   monkeypatch):
+    """Sort-ordered pages (geo distance asc / numeric desc) through the
+    WAND rank-by-key mode must match the dense sort kernel."""
+    idx = wand_geo_index
+    base_pt = [37.7, -122.4] if field == "loc" else None
+    queries = _queries(16, seed=33)
+    reqs = [st.SearchRequest(
+        query=q, length=10, result_type=st.ResultType.Topk,
+        result_sort=[st.ResultSort(field=field, order=order,
+                                   base=base_pt)])
+        for q in queries]
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_WAND", "1")
+    base = [_canon(rs) for rs in st.search_batch(idx, reqs)]
+    monkeypatch.delenv("SEEKSTORM_TPU_NO_WAND")
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    wand = [_canon(rs) for rs in st.search_batch(idx, reqs)]
+    assert base == wand
+
+
+@pytest.mark.parametrize("filtered", [False, True])
+def test_wand_faceted_matches_dense(wand_facet_index, filtered, monkeypatch):
+    """Faceted (and facet-filtered) TopkCount through the WAND path must
+    match the dense kernels: pages, exact counts, and exact per-value
+    facet histograms (device one-hot matmul vs dense scatter-add)."""
+    idx = wand_facet_index
+    queries = _queries(16, seed=21)
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_WAND", "1")
+    base = _run_facet(idx, queries, filtered)
+    monkeypatch.delenv("SEEKSTORM_TPU_NO_WAND")
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    wand = _run_facet(idx, queries, filtered)
+    assert base == wand
+
+
 def test_exact_fallback_matches_dense(wand_index, monkeypatch):
     """The host exact-fallback path (saturated-UB queries) must match the
     dense kernels on every eligible query shape."""
