@@ -72,6 +72,18 @@ def frequent_word_set(meta) -> frozenset:
 
     if meta.frequent_words == FrequentwordType.English:
         return ENGLISH_FREQUENT_WORDS
+    if meta.frequent_words == FrequentwordType.German:
+        from .wordlists import GERMAN_FUNCTION_WORDS
+
+        return GERMAN_FUNCTION_WORDS
+    if meta.frequent_words == FrequentwordType.French:
+        from .wordlists import FRENCH_FUNCTION_WORDS
+
+        return FRENCH_FUNCTION_WORDS
+    if meta.frequent_words == FrequentwordType.Spanish:
+        from .wordlists import SPANISH_FUNCTION_WORDS
+
+        return SPANISH_FUNCTION_WORDS
     if meta.frequent_words == FrequentwordType.Custom:
         return frozenset(meta.custom_frequent_words)
     return frozenset()

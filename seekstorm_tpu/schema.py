@@ -155,6 +155,9 @@ class StopwordType(str, enum.Enum):
 
     Null = "None"
     English = "English"
+    German = "German"
+    French = "French"
+    Spanish = "Spanish"
     Custom = "Custom"
 
 
@@ -163,6 +166,9 @@ class FrequentwordType(str, enum.Enum):
 
     Null = "None"
     English = "English"
+    German = "German"
+    French = "French"
+    Spanish = "Spanish"
     Custom = "Custom"
 
 

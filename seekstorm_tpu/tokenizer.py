@@ -151,6 +151,18 @@ ENGLISH_STOPWORDS = frozenset(
 def stopword_set(kind: StopwordType, custom: tuple = ()) -> frozenset:
     if kind == StopwordType.English:
         return ENGLISH_STOPWORDS
+    if kind == StopwordType.German:
+        from .wordlists import GERMAN_FUNCTION_WORDS
+
+        return GERMAN_FUNCTION_WORDS
+    if kind == StopwordType.French:
+        from .wordlists import FRENCH_FUNCTION_WORDS
+
+        return FRENCH_FUNCTION_WORDS
+    if kind == StopwordType.Spanish:
+        from .wordlists import SPANISH_FUNCTION_WORDS
+
+        return SPANISH_FUNCTION_WORDS
     if kind == StopwordType.Custom:
         return frozenset(custom)
     return frozenset()

@@ -139,3 +139,42 @@ def test_zh_full_dictionary_segmentation():
         "互联网", "搜索引擎", "技术", "的", "发展"]
     assert seg.segment("中华人民共和国成立于一九四九年") == [
         "中华人民共和国", "成立", "于", "一九四九年"]
+
+
+def test_multilingual_stopword_and_frequent_lists():
+    """German/French/Spanish Stopword + Frequentword variants (reference
+    index.rs:1239-1281, assets/dictionaries/frequent_*.txt: one
+    function-word list per language feeds both)."""
+    from seekstorm_tpu.schema import StopwordType, FrequentwordType, IndexMeta
+    from seekstorm_tpu.tokenizer import stopword_set
+    from seekstorm_tpu.ngram import frequent_word_set
+
+    de = stopword_set(StopwordType.German)
+    assert {"der", "die", "das", "und", "ist"} <= de
+    fr = stopword_set(StopwordType.French)
+    assert {"le", "la", "les", "et", "est"} <= fr
+    es = stopword_set(StopwordType.Spanish)
+    assert {"el", "la", "los", "y", "es"} <= es
+    # content words must NOT be swallowed
+    assert "haus" not in de and "maison" not in fr and "casa" not in es
+
+    for ft, probe in ((FrequentwordType.German, "und"),
+                      (FrequentwordType.French, "et"),
+                      (FrequentwordType.Spanish, "y")):
+        meta = IndexMeta(frequent_words=ft)
+        fw = frequent_word_set(meta)
+        assert probe in fw and len(fw) > 100
+
+
+def test_german_stopword_index_roundtrip(tmp_path):
+    import seekstorm_tpu as st
+    from seekstorm_tpu.schema import StopwordType
+
+    schema = [st.SchemaField("b", st.FieldType.Text, indexed=True)]
+    meta = st.IndexMeta(stop_words=StopwordType.German)
+    idx = st.create_index(tmp_path / "ix", schema, meta=meta, shard_count=1)
+    idx.index_document({"b": "der hund und die katze"})
+    idx.commit()
+    assert idx.search(st.SearchRequest(query="hund")).result_count == 1
+    # stopwords are never indexed -> pure-stopword query matches nothing
+    assert idx.search(st.SearchRequest(query="und")).result_count == 0
