@@ -28,6 +28,7 @@ Usage: python bench.py [--docs 5000000] [--batch 128] [--iters 10]
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -156,6 +157,12 @@ def main() -> None:
             t0 = time.time()
             idx.commit()
             commit_s = time.time() - t0
+
+        if os.environ.get("SEEKSTORM_TPU_MESH"):
+            # multi-chip: map shards onto the device mesh (one shard per
+            # device; docs/MULTICHIP.md)
+            idx.attach_mesh()
+            print(f"# mesh attached: {idx._mesh.devices.size} devices")
 
         # pipelined serving: N worker threads each issuing batches — host
         # planning overlaps device execution and tunnel round trips

@@ -13,6 +13,8 @@ the time goes, and on TPU it is a matmul.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .schema import ClusteringConfig, ClusteringMode, VectorSimilarity
@@ -43,6 +45,11 @@ def cluster_level(
     else:
         k = max(1, min(int(2 * np.sqrt(n)), n))
 
+    algo = os.environ.get("SEEKSTORM_TPU_CLUSTER_ALGO", "lloyd")
+    if algo == "pam":
+        order, offsets = _pam_build_order(vecs, k, similarity)
+        if order is not None:
+            return order, offsets
     assign, centers = _kmeans(vecs, k, similarity, cfg.iterations, seed)
 
     # medoid per cluster: nearest real vector to the center.  One argsort
@@ -63,6 +70,120 @@ def cluster_level(
         offsets.append(offsets[-1] + len(rows))
     order = np.concatenate(order_chunks).astype(np.int64)
     return order, np.asarray(offsets, dtype=np.int64)
+
+
+def _pam_build_order(vecs, k, similarity):
+    """Reference-style sampled greedy k-medoid BUILD
+    (clustering.rs:229-500) restated as matmuls:
+
+    * first medoid = the vector most similar to the (strided) mean;
+    * each further medoid = the strided CANDIDATE maximizing
+      sum_j max(0, sim(cand, j) - best_sim_so_far(j)) over a strided
+      gain SAMPLE — the point whose adoption most raises total assigned
+      similarity (facility-location greedy, what PAM's BUILD phase does);
+    * final assignment = exact argmax over all k medoids (the reference's
+      chronological switch-if-closer converges to the same thing: each
+      doc keeps the max over every medoid it was compared against).
+
+    All pairwise similarities are batched matmuls: candidates x sample
+    for gains, docs x medoids (chunked) for assignment.  Returns
+    (order, offsets) like cluster_level, or (None, None) when k < 2.
+    """
+    n = len(vecs)
+    if k < 2:
+        return None, None
+    import jax
+    import jax.numpy as jnp
+
+    x = vecs.astype(np.float32)
+    # reference-derived sampling (clustering.rs:241-247); the candidate
+    # pool is widened to >= 2k so the fixed pool can supply every medoid
+    # (the reference instead rotates a small pool's stride offset per
+    # round, which forces a fresh similarity matrix per medoid — a fixed
+    # wide pool keeps the whole greedy build ONE device program)
+    sample_size = max(int(n / (1.0 + n * 0.0025)), 1)
+    m_step = max(n // max(sample_size, 2 * k), 1)
+    v_step = max(n // sample_size // 16, 1)
+
+    cand = np.arange(0, n, m_step)
+    samp = np.arange(0, n, v_step)
+    mean = x[samp].mean(axis=0, keepdims=True)
+    first = int(np.argmax(_sim(x, mean, similarity)[:, 0]))
+
+    S = jnp.asarray(_sim(x[cand], x[samp], similarity)
+                    .astype(np.float32))            # [nc, ns]
+    cur0 = jnp.asarray(
+        _sim(x[samp], x[first: first + 1], similarity)[:, 0]
+        .astype(np.float32))
+    used0 = jnp.asarray(cand == first)
+    k_eff = int(min(k, len(cand)))
+
+    @jax.jit
+    def _greedy(S, cur, used):
+        def body(i, state):
+            cur, used, meds = state
+            gains = jnp.sum(jnp.maximum(S - cur[None, :], 0.0), axis=1)
+            gains = jnp.where(used, -jnp.inf, gains)
+            ci = jnp.argmax(gains)
+            used = used.at[ci].set(True)
+            meds = meds.at[i].set(ci)
+            cur = jnp.maximum(cur, S[ci])
+            return cur, used, meds
+        meds = jnp.zeros(max(k_eff - 1, 1), jnp.int32)
+        _, _, meds = jax.lax.fori_loop(0, k_eff - 1, body,
+                                       (cur, used, meds))
+        return meds
+
+    meds_ci = np.asarray(_greedy(S, cur0, used0))[: k_eff - 1]
+    med = np.concatenate([[first], cand[meds_ci]]).astype(np.int64)
+    # the used-mask guarantees distinct pool entries; `first` could
+    # coincide with a pool entry only if the mask missed it
+    med = med[np.sort(np.unique(med, return_index=True)[1])]
+    assign = _assign_nearest(x, x[med], similarity)
+    # docs sorted by cluster, medoid first (same layout as cluster_level)
+    order_all = np.argsort(assign, kind="stable")
+    bounds = np.searchsorted(assign[order_all], np.arange(len(med) + 1))
+    order_chunks = []
+    offsets = [0]
+    for c in range(len(med)):
+        rows = order_all[bounds[c]: bounds[c + 1]]
+        if len(rows) == 0:
+            continue
+        mrow = med[c]
+        if (rows == mrow).any():
+            chunk = np.concatenate([[mrow], rows[rows != mrow]])
+        else:
+            # an identical twin medoid won the argmax tie; the cluster's
+            # first row serves as its representative
+            chunk = rows
+        order_chunks.append(chunk)
+        offsets.append(offsets[-1] + len(chunk))
+    order = np.concatenate(order_chunks).astype(np.int64)
+    return order, np.asarray(offsets, np.int64)
+
+
+def _assign_nearest(x, medvecs, similarity):
+    """argmax-similarity assignment of every row to a medoid (chunked
+    device matmuls, same tiling rules as the Lloyd step)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, d = x.shape
+    k = len(medvecs)
+    chunk = n
+    while chunk * k > (1 << 28):
+        chunk //= 2
+    chunk = min(max(chunk, 1 << 14), max((1 << 26) // (d * 4), 1 << 12))
+
+    @jax.jit
+    def _chunk(C, xc):
+        return jnp.argmax(_sim_j(xc, C, similarity), axis=1)
+
+    Cj = jnp.asarray(medvecs.astype(np.float32))
+    assign = np.zeros(n, np.int64)
+    for a in range(0, n, chunk):
+        assign[a: a + chunk] = np.asarray(_chunk(Cj, jnp.asarray(x[a: a + chunk])))
+    return assign
 
 
 def _sim(a: np.ndarray, b: np.ndarray, similarity: VectorSimilarity) -> np.ndarray:

@@ -1671,7 +1671,8 @@ def _lexical_search_batch(
                              slots, merged_scores, merged_ids, counts,
                              counts_exact, with_counts, facet_specs,
                              fc_total, sorting, sort_desc,
-                             tail_phrase_counts=tail_phrase_counts)
+                             tail_phrase_counts=tail_phrase_counts,
+                             phrase_escalate_ok=(mode in ("imp", "qt")))
 
 
 def precompile_scan(
@@ -1843,11 +1844,57 @@ def _phrase_exact_committed(index, slots, spec, request) -> np.ndarray:
     return cand
 
 
+def _score_gids(index, slots, spec, gids, realtime) -> np.ndarray:
+    """Exact imp-mode BM25F scores of arbitrary committed global ids from
+    the host CSR (idf x stored impact, accumulated in ascending slot id,
+    the same arithmetic as the device scorer)."""
+    S = index.shard_count
+    out = np.zeros(len(gids), np.float32)
+    if not len(gids):
+        return out
+    sid = (gids % S).astype(np.int64)
+    loc = (gids // S).astype(np.int64)
+    for t in sorted(spec.weights):
+        if spec.negated.get(t):
+            continue
+        h = slots[t].hash
+        for shard in index.shards:
+            rows = np.flatnonzero(sid == shard.shard_id)
+            if not len(rows):
+                continue
+            idf_t = np.float32(_shard_idf(shard, slots, realtime)[t])
+            lex = shard.lexical
+            d = lex.directory
+            if d is None or lex.pl_docid is None:
+                continue
+            ti = d.lookup(h)
+            if ti < 0:
+                continue
+            blocks = loc[rows] >> 16
+            docids = (loc[rows] & 0xFFFF).astype(lex.pl_docid.dtype)
+            for e in range(int(d.seg_start[ti]), int(d.seg_start[ti + 1])):
+                bl = int(d.seg_block[e])
+                a = int(d.seg_offset[e])
+                ln = int(d.seg_len[e])
+                if ln <= 0:
+                    continue
+                m = np.flatnonzero(blocks == bl)
+                if not len(m):
+                    continue
+                pl = lex.pl_docid[a: a + ln]
+                pos = np.searchsorted(pl, docids[m])
+                pos = np.clip(pos, 0, ln - 1)
+                hit = pl[pos] == docids[m]
+                out[rows[m[hit]]] += idf_t * \
+                    lex.pl_impact[a: a + ln][pos[hit]].astype(np.float32)
+    return out
+
+
 def _finalize_lexical(index, requests, results, live, live_specs, slots,
                       merged_scores, merged_ids, counts, counts_exact,
                       with_counts, facet_specs=(), fc_total=None,
                       sorting=False, sort_desc=True,
-                      tail_phrase_counts=None):
+                      tail_phrase_counts=None, phrase_escalate_ok=True):
     # phrase verification + final assembly
     for bi, qi in enumerate(live):
         spec = live_specs[bi]
@@ -1860,6 +1907,7 @@ def _finalize_lexical(index, requests, results, live, live_specs, slots,
         order = np.lexsort((gids, -scores))
         scores, gids = scores[order], gids[order]
         if spec.phrases:
+            pd = None
             if with_counts:
                 # exact committed phrase-match set (host posting
                 # intersection + vectorized position join, phrase.py);
@@ -1897,6 +1945,38 @@ def _finalize_lexical(index, requests, results, live, live_specs, slots,
                         if len(kept) >= want:
                             break
                 scores, gids = scores[kept], gids[kept]
+            # candidate-cliff escalation (reference parity: phrase checks
+            # run on EVERY intersected doc, add_result.rs:38-92, so a
+            # phrase match can never silently drop off a page): when the
+            # verified page is short, rebuild it from the exact committed
+            # phrase set, scored from the host CSR; verified realtime
+            # tail rows keep their oracle scores.
+            want = requests[qi].offset + requests[qi].length
+            if (phrase_escalate_ok
+                    and len(gids) < want
+                    and not sorting
+                    and not any(slots[s].virtual for s in spec.slots)):
+                if pd is None:
+                    pd = _phrase_exact_committed(index, slots, spec,
+                                                 requests[qi])
+                S_ = index.shard_count
+                if len(gids):
+                    committed = np.array(
+                        [index.shards[int(g % S_)].committed_doc_count
+                         for g in gids])
+                    is_tail = (gids // S_) >= committed
+                    t_sc, t_g = scores[is_tail], gids[is_tail]
+                else:
+                    t_sc = np.zeros(0, np.float32)
+                    t_g = np.zeros(0, np.int64)
+                if len(pd) + len(t_g) > len(gids):
+                    sc_pd = _score_gids(index, slots, spec, pd,
+                                        requests[qi].realtime)
+                    allsc = np.concatenate([sc_pd, t_sc])
+                    allg = np.concatenate([pd, t_g])
+                    order3 = np.lexsort((allg, -allsc))
+                    scores, gids = (allsc[order3].astype(np.float32),
+                                    allg[order3])
         rs = ResultSet()
         rs.query_terms = [slots[s].term for s in spec.weights
                           if not slots[s].virtual]

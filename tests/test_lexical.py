@@ -433,3 +433,37 @@ def test_phrase_counts_exact_at_scale(tmp_path):
     rs = idx.search(st.SearchRequest(query='"alpha beta"', realtime=True,
                                      result_type=st.ResultType.TopkCount))
     assert rs.result_count_total == n_adj + 1 and rs.count_exact
+
+
+def test_phrase_page_no_candidate_cliff(tmp_path):
+    """A phrase match ranked below the device's AND-candidate window must
+    still appear in Topk pages without n-gram indexing (reference parity:
+    the phrase check runs on every intersected doc, add_result.rs:38-92;
+    a page is never silently short while matches exist)."""
+    import seekstorm_tpu as st
+
+    schema = [st.SchemaField("title", st.FieldType.Text, indexed=True,
+                             boost=10.0),
+              st.SchemaField("body", st.FieldType.Text, indexed=True)]
+    idx = st.create_index(tmp_path / "ix", schema, shard_count=1)
+    filler = " ".join(f"f{j:02d}" for j in range(30))
+    # 600 high-scoring docs where the terms co-occur NON-adjacently
+    docs = [{"title": "alpha gap beta", "body": f"alpha {filler} beta"}
+            for _ in range(600)]
+    # the ONLY adjacent occurrence, buried in a long unboosted body
+    docs.append({"title": "none",
+                 "body": f"{filler} {filler} alpha beta {filler} {filler}"})
+    victim = len(docs) - 1
+    idx.index_documents(docs)
+    idx.commit()
+
+    # sanity: the victim ranks far below the AND-candidate window
+    rs_and = idx.search(st.SearchRequest(query="alpha beta", length=10))
+    assert victim not in [r.doc_id for r in rs_and.results]
+
+    for rt in (st.ResultType.Topk, st.ResultType.TopkCount):
+        rs = idx.search(st.SearchRequest(
+            query='"alpha beta"', length=10, result_type=rt))
+        assert [r.doc_id for r in rs.results] == [victim], (rt, rs.results)
+        if rt == st.ResultType.TopkCount:
+            assert rs.result_count_total == 1

@@ -139,6 +139,49 @@ def test_nprobe_recall(tmp_index_dir, rng):
     assert recalls[16] >= 0.8, recalls
 
 
+def test_pam_build_clustering(tmp_index_dir, rng, monkeypatch):
+    """SEEKSTORM_TPU_CLUSTER_ALGO=pam: the reference-style greedy
+    k-medoid BUILD (clustering.rs:229-500) produces a valid layout
+    (permutation, medoid-first clusters) with nprobe recall comparable to
+    the Lloyd default."""
+    monkeypatch.setenv("SEEKSTORM_TPU_CLUSTER_ALGO", "pam")
+    from seekstorm_tpu.clustering import cluster_level
+    from seekstorm_tpu.schema import ClusteringConfig, ClusteringMode
+
+    n, d, n_centers = 2000, 32, 25
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 5.0
+    assign = rng.integers(0, n_centers, size=n)
+    data = (centers[assign] + rng.standard_normal((n, d))).astype(np.float32)
+    cfg = ClusteringConfig(mode=ClusteringMode.Auto, min_points=100)
+    order, offsets = cluster_level(
+        data, st.VectorSimilarity.Euclidean, cfg)
+    # valid permutation + medoid-first ranges
+    assert sorted(order.tolist()) == list(range(n))
+    assert offsets[0] == 0 and offsets[-1] == n
+    assert len(offsets) - 1 > 1
+    # end-to-end recall with PAM layout
+    meta = vec_meta(d, st.VectorSimilarity.Euclidean,
+                    clustering=st.ClusteringMode.Auto, min_points=100)
+    idx = st.create_index(tmp_index_dir, vec_schema(), meta=meta,
+                          shard_count=1)
+    for i in range(n):
+        idx.index_document({"vector": data[i].tolist(), "label": str(i)})
+    idx.commit()
+    queries = (centers[rng.integers(0, n_centers, size=5)]
+               + rng.standard_normal((5, d))).astype(np.float32)
+    sims = -((queries * queries).sum(1)[:, None]
+             + (data * data).sum(1)[None, :] - 2 * queries @ data.T)
+    hits = 0
+    for qi in range(len(queries)):
+        truth = set(np.argsort(-sims[qi])[:10].tolist())
+        rs = idx.search(st.SearchRequest(
+            search_mode=st.SearchMode.Vector,
+            query_vector=queries[qi].tolist(),
+            length=10, ann_mode="Nprobe", nprobe=16))
+        hits += len({r.doc_id for r in rs.results} & truth)
+    assert hits / 50 >= 0.8, hits / 50
+
+
 def test_realtime_tail_and_multivector(tmp_index_dir, rng):
     d = 16
     meta = vec_meta(d, st.VectorSimilarity.Cosine,
