@@ -24,6 +24,13 @@ class Metrics:
         self._counters: dict[str, float] = {}
         self._timer_count: dict[str, int] = {}
         self._timer_sum: dict[str, float] = {}
+        # busy accounting: union of wall intervals with >= 1 timer of the
+        # name open.  Under multithread serving the plain sums double-
+        # count queue waits (N threads timing one serialized resource);
+        # busy seconds are the honest utilization figure.
+        self._busy_active: dict[str, int] = {}
+        self._busy_start: dict[str, float] = {}
+        self._busy_sum: dict[str, float] = {}
 
     def inc(self, name: str, n: float = 1.0) -> None:
         with self._lock:
@@ -37,6 +44,22 @@ class Metrics:
     def timer(self, name: str) -> "_Timer":
         return _Timer(self, name)
 
+    def _busy_enter(self, name: str, now: float) -> None:
+        with self._lock:
+            n = self._busy_active.get(name, 0)
+            if n == 0:
+                self._busy_start[name] = now
+            self._busy_active[name] = n + 1
+
+    def _busy_exit(self, name: str, now: float) -> None:
+        with self._lock:
+            n = self._busy_active.get(name, 1) - 1
+            self._busy_active[name] = n
+            if n == 0:
+                self._busy_sum[name] = (
+                    self._busy_sum.get(name, 0.0)
+                    + now - self._busy_start.get(name, now))
+
     def snapshot(self) -> dict:
         with self._lock:
             out = {k: v for k, v in self._counters.items()}
@@ -47,6 +70,8 @@ class Metrics:
                     out[f"{k}_seconds_avg"] = (
                         self._timer_sum[k] / self._timer_count[k]
                     )
+            for k, v in self._busy_sum.items():
+                out[f"{k}_busy_seconds_total"] = v
             return out
 
     def render_prometheus(self) -> str:
@@ -62,6 +87,12 @@ class Metrics:
                 )
                 lines.append(
                     f"seekstorm_{k}_seconds_sum {self._timer_sum[k]:.6f}"
+                )
+            for k in sorted(self._busy_sum):
+                lines.append(
+                    f"# TYPE seekstorm_{k}_busy_seconds counter")
+                lines.append(
+                    f"seekstorm_{k}_busy_seconds {self._busy_sum[k]:.6f}"
                 )
         return "\n".join(lines) + "\n"
 
@@ -81,10 +112,13 @@ class _Timer:
 
     def __enter__(self):
         self._t0 = time.perf_counter()
+        self._m._busy_enter(self._name, self._t0)
         return self
 
     def __exit__(self, *exc):
-        self._m.observe(self._name, time.perf_counter() - self._t0)
+        now = time.perf_counter()
+        self._m.observe(self._name, now - self._t0)
+        self._m._busy_exit(self._name, now)
         return False
 
 

@@ -593,8 +593,12 @@ def get_state(index) -> WandState:
 
 
 def query_ok(spec) -> bool:
-    """Eligibility: no phrase groups, bounded slot count."""
-    return (not spec.phrases) and 0 < len(spec.slots) <= T_MAX
+    """Eligibility: bounded slot count.  Phrase specs are eligible too —
+    they need the top AND-candidates by BM25 (which is exactly what the
+    UB scan + exact rescore returns); positional verification and exact
+    phrase counting happen downstream in search._finalize_lexical, same
+    as for the dense path."""
+    return 0 < len(spec.slots) <= T_MAX
 
 
 def _rescore_many(state: WandState, slots, specs_sel, idf_per_shard,

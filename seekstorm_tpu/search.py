@@ -1486,9 +1486,9 @@ def _lexical_search_batch(
     # it too: facet histograms accumulate exactly in the same scan (MXU
     # one-hot matmul over the unpacked match bits) and the batch-shared
     # facet filter ANDs in as a packed disallowed bitmap, like deletes.
-    # Ineligible rows (phrases, > T_MAX slots) and facet-ORDERED batches
-    # (result_sort ranks by facet value, not score UB) fall through to the
-    # join/dense paths below.
+    # Phrase specs ride it too (verification + exact counting happen in
+    # _finalize_lexical, identically to the dense path).  Ineligible rows
+    # (> T_MAX slots) fall through to the join/dense paths below.
     wanded = np.zeros(B, bool)
     if (
         mode == "imp"

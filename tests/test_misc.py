@@ -139,3 +139,29 @@ def test_mixed_batch_grouping(tmp_path):
         single = idx.search(r)
         assert [x.doc_id for x in single.results] == [
             x.doc_id for x in out[i].results], i
+
+
+def test_metrics_busy_seconds():
+    """Timer sums double-count queue waits under concurrency; the busy
+    counter (union of open intervals) is the honest utilization figure
+    exposed at /metrics."""
+    import threading
+    import time as _t
+
+    from seekstorm_tpu.metrics import Metrics
+
+    m = Metrics()
+
+    def worker():
+        with m.timer("dev"):
+            _t.sleep(0.1)
+
+    ts = [threading.Thread(target=worker) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    s = m.snapshot()
+    assert s["dev_seconds_total"] >= 0.35          # 4 overlapping opens
+    assert s["dev_busy_seconds_total"] <= 0.2      # union ~ 0.1s
+    assert "seekstorm_dev_busy_seconds" in m.render_prometheus()

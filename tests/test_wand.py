@@ -236,6 +236,26 @@ def test_wand_faceted_matches_dense(wand_facet_index, filtered, monkeypatch):
     assert base == wand
 
 
+@pytest.mark.parametrize("rtype", [st.ResultType.Topk,
+                                   st.ResultType.TopkCount])
+def test_wand_phrase_matches_dense(wand_index, rtype, monkeypatch):
+    """Phrase queries ride the WAND path (AND-candidates by BM25 UB scan)
+    with downstream positional verification — pages and exact phrase
+    counts must match the dense path."""
+    idx = wand_index
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i:03d}" for i in range(250)]
+    queries = [f'"{rng.choice(vocab)} {rng.choice(vocab)}"'
+               for _ in range(12)]
+    queries += ['"w001 w002"', '"w010 w010"']
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_WAND", "1")
+    base = _run(idx, queries, st.QueryType.Union, rtype)
+    monkeypatch.delenv("SEEKSTORM_TPU_NO_WAND")
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    wand = _run(idx, queries, st.QueryType.Union, rtype)
+    assert base == wand
+
+
 def test_exact_fallback_matches_dense(wand_index, monkeypatch):
     """The host exact-fallback path (saturated-UB queries) must match the
     dense kernels on every eligible query shape."""
