@@ -32,6 +32,33 @@ PREDEFINED_MODELS = {
 }
 
 
+def _resolve_predefined(name: str) -> Path | None:
+    """Local-cache resolution for a predefined model name: checks
+    $SEEKSTORM_TPU_MODEL_DIR/<org>--<model>, then HuggingFace hub caches
+    (models--<org>--<model>/snapshots/*)."""
+    import os
+
+    flat = name.replace("/", "--")
+    roots = []
+    env = os.environ.get("SEEKSTORM_TPU_MODEL_DIR")
+    if env:
+        roots.append(Path(env))
+    hf = os.environ.get("HF_HOME")
+    if hf:
+        roots.append(Path(hf) / "hub")
+    roots.append(Path.home() / ".cache" / "huggingface" / "hub")
+    for root in roots:
+        direct = root / flat
+        if direct.is_dir():
+            return direct
+        snaps = root / f"models--{flat}" / "snapshots"
+        if snaps.is_dir():
+            for snap in sorted(snaps.iterdir(), reverse=True):
+                if snap.is_dir():
+                    return snap
+    return None
+
+
 class Model2Vec:
     """Static-embedding model: tokenize -> gather -> mean-pool."""
 
@@ -43,14 +70,24 @@ class Model2Vec:
     @classmethod
     def load(cls, model_dir: str | Path) -> "Model2Vec":
         p = Path(model_dir)
-        if not p.exists():
-            if str(model_dir) in PREDEFINED_MODELS:
+        if not p.exists() and str(model_dir) in PREDEFINED_MODELS:
+            # predefined names resolve from local caches (pre-downloaded
+            # HF snapshots or SEEKSTORM_TPU_MODEL_DIR) before erroring —
+            # the reference downloads them at runtime; this environment
+            # has no egress
+            cached = _resolve_predefined(str(model_dir))
+            if cached is not None:
+                p = cached
+            else:
                 raise RuntimeError(
                     f"predefined Model2Vec model {model_dir!r} requires a "
                     "network download, which this environment does not "
-                    "allow; download it elsewhere and pass the local "
-                    "directory via Inference Model2VecCustom"
+                    "allow; download it elsewhere into "
+                    "$SEEKSTORM_TPU_MODEL_DIR/<org>--<name> (or an HF "
+                    "cache) or pass a local directory via "
+                    "Inference Model2VecCustom"
                 )
+        if not p.exists():
             raise FileNotFoundError(f"model directory {model_dir} not found")
         emb = None
         if (p / "embeddings.npy").exists():

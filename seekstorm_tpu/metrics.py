@@ -101,6 +101,8 @@ class Metrics:
             self._counters.clear()
             self._timer_count.clear()
             self._timer_sum.clear()
+            self._busy_sum.clear()
+            # open timers keep their starts; only accumulated sums reset
 
 
 class _Timer:

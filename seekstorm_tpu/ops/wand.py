@@ -116,9 +116,10 @@ def wand_scan(
     with_filter: bool = False,
     rank_by_key: bool = False,
 ):
-    """Phase 1+2.  Returns (packed f32[Bq, 3*2*(K_SEL+1)+1], fc) where
+    """Phase 1+2.  Returns (packed f32[Bq, 3*2*(K_SEL+1)+2], fc) where
     packed holds, for each coarsening factor F in F_LADDER, [ub_s | ub_i]
-    of the top-(K_SEL+1) F-bucket regions, then [count].  ub_i are region
+    of the top-(K_SEL+1) F-bucket regions, then the exact count split
+    into two f32 lanes (low 12 bits | high bits).  ub_i are region
     ids (global bucket id // F, exact in f32 below 2^24); ub_s is sorted
     descending with -inf padding; entry K_SEL is the best UNSELECTED
     region's UB (the WAND termination threshold for that rung).
@@ -208,6 +209,9 @@ def wand_scan(
             for fi in range(NF):
                 codes_b = jax.lax.dynamic_slice(
                     fcod[fi], (soff,), (BSTEP * NW * 32,))
+                # clip BEFORE the one-hot so out-of-range codes count
+                # under code 0, matching the dense kernel's jnp.clip
+                codes_b = jnp.clip(codes_b, 0, FCM - 1)
                 if FCM <= 512:
                     oh = (codes_b[:, None]
                           == jnp.arange(FCM, dtype=jnp.int32)[None, :]
@@ -287,8 +291,12 @@ def wand_scan(
         ub_s, ub_i = _topk_lanes(ubf, K_SEL + 1)
         parts.append(ub_s)
         parts.append(ub_i.astype(jnp.float32))
-    parts.append(cnt[:, None].astype(jnp.float32))
-    # single-fetch packing (region ids < 2^24 are exact in f32)
+    # single-fetch packing: region ids < 2^24 are exact in f32; the i32
+    # count splits into two 12/20-bit lanes so counts above 2^24 stay
+    # exact through the f32 buffer (a 5M-doc corpus already exceeds
+    # 2^22 matches on frequent unions)
+    parts.append((cnt & 0xFFF)[:, None].astype(jnp.float32))
+    parts.append((cnt >> 12)[:, None].astype(jnp.float32))
     return jnp.concatenate(parts, axis=1), fc
 
 
@@ -601,7 +609,7 @@ def query_ok(spec) -> bool:
     return 0 < len(spec.slots) <= T_MAX
 
 
-def _rescore_many(state: WandState, slots, specs_sel, idf_per_shard,
+def _rescore_many(state: WandState, slot_rows, specs_sel, idf_per_shard,
                   buckets_list, S: int, need: int = 0, filt_host=None,
                   rank_key=None):
     """Exact host rescore of many queries' candidate buckets in one pass.
@@ -615,16 +623,16 @@ def _rescore_many(state: WandState, slots, specs_sel, idf_per_shard,
     (f32[NBLK_pad*BLOCK], sort mode) ranks matched candidates by their
     gathered key instead of the BM25 sum."""
     if not os.environ.get("SEEKSTORM_TPU_NO_NATIVE_RESCORE"):
-        out = _rescore_many_native(state, slots, specs_sel, idf_per_shard,
+        out = _rescore_many_native(state, slot_rows, specs_sel, idf_per_shard,
                                    buckets_list, S, need, filt_host,
                                    rank_key)
         if out is not None:
             return out
-    return _rescore_many_np(state, slots, specs_sel, idf_per_shard,
+    return _rescore_many_np(state, slot_rows, specs_sel, idf_per_shard,
                             buckets_list, S, filt_host, rank_key)
 
 
-def _rescore_many_native(state: WandState, slots, specs_sel, idf_per_shard,
+def _rescore_many_native(state: WandState, slot_rows, specs_sel, idf_per_shard,
                          buckets_list, S: int, need: int, filt_host=None,
                          rank_key=None):
     """st_rescore (C++) path: one GIL-released call per batch-rung.
@@ -655,7 +663,7 @@ def _rescore_many_native(state: WandState, slots, specs_sel, idf_per_shard,
     zu32 = np.zeros(1, np.uint32)
     zf32 = np.zeros(1, np.float32)
     for i, t in enumerate(used):
-        sr = state.slot_cache.get(slots[t].hash)
+        sr = slot_rows.get(t)
         k = sr.keys if sr is not None and len(sr.keys) else zu32
         im = sr.imps if sr is not None and len(sr.imps) else zf32
         keep.append((k, im))
@@ -751,7 +759,7 @@ def _rescore_many_native(state: WandState, slots, specs_sel, idf_per_shard,
     return out
 
 
-def _rescore_many_np(state: WandState, slots, specs_sel, idf_per_shard,
+def _rescore_many_np(state: WandState, slot_rows, specs_sel, idf_per_shard,
                      buckets_list, S: int, filt_host=None, rank_key=None):
     """Exact host rescore of many queries' candidate buckets in one pass.
 
@@ -797,7 +805,7 @@ def _rescore_many_np(state: WandState, slots, specs_sel, idf_per_shard,
             slot_q.setdefault(t, []).append(qi)
 
     for t in sorted(slot_q):
-        sr = state.slot_cache.get(slots[t].hash)
+        sr = slot_rows.get(t)
         if sr is None or not len(sr.keys):
             continue
         qlist = slot_q[t]
@@ -885,7 +893,7 @@ def _rescore_many_np(state: WandState, slots, specs_sel, idf_per_shard,
     return out
 
 
-def _exact_eval_native(state, slots, spec, idf_per_shard, S, N, need,
+def _exact_eval_native(state, slot_rows, spec, idf_per_shard, S, N, need,
                        filt_host=None, rank_key=None):
     """st_exact_eval (C++) version of the exact fallback: GIL-released,
     bit-identical accumulation (-ffp-contract=off).  Returns None when the
@@ -899,7 +907,7 @@ def _exact_eval_native(state, slots, spec, idf_per_shard, S, N, need,
     order = sorted(spec.slots)
     keys_parts, imps_parts, offs, flags, ws = [], [], [0], [], []
     for t in order:
-        sr = state.slot_cache.get(slots[t].hash)
+        sr = slot_rows.get(t)
         k = sr.keys if sr is not None else np.zeros(0, np.uint32)
         im = sr.imps if sr is not None else np.zeros(0, np.float32)
         keys_parts.append(k)
@@ -965,7 +973,7 @@ def _exact_eval_native(state, slots, spec, idf_per_shard, S, N, need,
     return out_s[:m], out_g[:m], int(out_c[0])
 
 
-def _exact_fallback(state: WandState, slots, spec, idf_per_shard,
+def _exact_fallback(state: WandState, slot_rows, spec, idf_per_shard,
                     S: int, need: int, filt_host=None, rank_key=None):
     """Exact full-evaluation of one query on the host CSR.
 
@@ -983,7 +991,7 @@ def _exact_fallback(state: WandState, slots, spec, idf_per_shard,
     for s_, sh in enumerate(state.index.shards):
         N = max(N, int(sh.committed_doc_count) * S + s_ + 1)
     N = max(N, 1)
-    native = _exact_eval_native(state, slots, spec, idf_per_shard, S, N,
+    native = _exact_eval_native(state, slot_rows, spec, idf_per_shard, S, N,
                                 need, filt_host, rank_key)
     if native is not None:
         return native
@@ -994,7 +1002,7 @@ def _exact_fallback(state: WandState, slots, spec, idf_per_shard,
     base_arr = np.asarray(state.block_base, np.int64)
     nreq = 0
     for t in sorted(spec.slots):
-        sr = state.slot_cache.get(slots[t].hash)
+        sr = slot_rows.get(t)
         neg = spec.negated.get(t, False)
         req = spec.required.get(t, False) and not neg
         if req:
@@ -1067,15 +1075,15 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
     filtw_dev/filt_host (u32[NBLK_pad, NW] DISALLOWED packed words, device
     + host copies) apply a batch-shared facet filter to matching, counts,
     facet histograms and the host rescores.
-    Returns (scores list, gids list, counts i64[B], handled bool[B],
-    fc f32[NF, B, fcm] or None)."""
+    Returns (scores list, gids list, counts i64[B],
+    fc f32[NF, B, fcm] or None) — every eligible row is fully handled
+    (escalation and the exact fallback are both in-path)."""
     from ..metrics import METRICS
     from ..utils import ceil_pow2
 
     state = get_state(index)
     B = len(specs)
     S = index.shard_count
-    handled = np.ones(B, bool)
     out_scores: list = [np.zeros(0, np.float32)] * B
     out_gids: list = [np.zeros(0, np.int64)] * B
     counts = np.zeros(B, np.int64)
@@ -1088,6 +1096,13 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         slotmap = np.full(V, -1, np.int32)
         for s in used:
             slotmap[s] = state.slot_cache[slots[s].hash].row
+        # snapshot the _SlotRows this batch needs UNDER the lock: a
+        # concurrent batch can trip the cap and _reset() the cache, and
+        # the host rescores must keep scoring THIS batch's rows (the
+        # snapshot keeps the numpy arrays alive; likewise `pools` below
+        # pins the device arrays the dispatch was planned against)
+        slot_rows = {s: state.slot_cache[slots[s].hash]
+                     for s in used}
 
         Bq = ceil_pow2(B, 16)
         T = 4 if max(len(sp.slots) for sp in specs) <= 4 else T_MAX
@@ -1134,7 +1149,8 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         packed = np.asarray(packed_d)
         fc = np.asarray(fc_d)[:, :B] if n_facets else None
     KP = K_SEL + 1
-    cnt = packed[:, -1].astype(np.int64)
+    cnt = (packed[:, -2].astype(np.int64)
+           + (packed[:, -1].astype(np.int64) << 12))
 
     # host-side ladder: rung f rescores the top-K_SEL regions of
     # F_LADDER[f]*32 docs; all rungs came back from the one dispatch, so
@@ -1156,7 +1172,7 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
                  + np.arange(F, dtype=np.int64)[None, :]).reshape(-1))
         with METRICS.timer("wand_rescore"):
             rescored = _rescore_many(
-                state, slots, [specs[qi] for qi in pending],
+                state, slot_rows, [specs[qi] for qi in pending],
                 idf_per_shard, buckets_list, S, need, filt_host,
                 rank_key_host)
         still = []
@@ -1193,9 +1209,9 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         METRICS.inc("wand_fallbacks_total")
         with METRICS.timer("wand_exact_fallback"):
             sc, gid, count = _exact_fallback(
-                state, slots, specs[qi], idf_per_shard, S, need,
+                state, slot_rows, specs[qi], idf_per_shard, S, need,
                 filt_host, rank_key_host)
         out_scores[qi] = sc
         out_gids[qi] = gid
         counts[qi] = count
-    return out_scores, out_gids, counts, handled, fc
+    return out_scores, out_gids, counts, fc

@@ -266,11 +266,16 @@ def _complete_multiterm(index, trie, query: str, length: int) -> list[str]:
             prefix2 = " ".join(terms[: len(terms) - drop])
             prefix2 = prefix2 + " " if prefix2 else ""
             frequent = getattr(index, "_frequent_words", set()) or set()
+            seen = set(out)
             j = 0
             for t, _ in additional:
                 if " " in t and t.rsplit(" ", 1)[1] in frequent:
                     continue
-                out.insert(position + j, prefix2 + t)
+                cand = prefix2 + t
+                if cand in seen:
+                    continue  # window lookup already produced it
+                seen.add(cand)
+                out.insert(position + j, cand)
                 j += 1
                 if len(out) >= length:
                     break

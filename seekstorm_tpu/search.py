@@ -369,6 +369,10 @@ def _shard_idf(shard: Shard, slots: list[_Slot], realtime: bool,
     the slots' own hashes; recomputed when absent."""
     lex = shard.lexical
     d = lex.directory
+    if d is None or len(d.hash) == 0:
+        # shard with no committed terms (all docs hashed elsewhere):
+        # every slot is absent, idf contribution zero
+        return np.zeros(len(slots), np.float32)
     T = len(d.hash)
     if hs is None:
         hs = np.array([sl.hash for sl in slots], dtype=np.uint64)
@@ -1532,21 +1536,19 @@ def _lexical_search_batch(
                 idf_ps = np.stack([
                     _shard_idf(sh, slots, req0.realtime)
                     for sh in index.shards])          # [S, V]
-                wsc, wgid, wcnt, whandled, wfc = wand_mod.run_batch(
+                wsc, wgid, wcnt, wfc = wand_mod.run_batch(
                     index, slots, [live_specs[i] for i in wrows],
                     idf_ps, max(need, 1), with_counts,
                     fcod_dev=wfcod_dev, n_facets=len(facet_specs),
                     fcm=fcm, filtw_dev=wfilt_dev, filt_host=wfilt_host,
                     skeyb_dev=wskeyb_dev, rank_key_host=wrank_host)
                 for r, qi in enumerate(wrows):
-                    if whandled[r]:
-                        merged_scores[qi] = wsc[r]
-                        merged_ids[qi] = wgid[r]
-                        counts[qi] = wcnt[r]
-                        wanded[qi] = True
-                        if wfc is not None:
-                            fc_total[:len(facet_specs), qi] += \
-                                wfc[:, r, :fcm]
+                    merged_scores[qi] = wsc[r]
+                    merged_ids[qi] = wgid[r]
+                    counts[qi] = wcnt[r]
+                    wanded[qi] = True
+                    if wfc is not None:
+                        fc_total[:len(facet_specs), qi] += wfc[:, r, :fcm]
 
     # posting-space join path: Topk-only batches whose queries fit posting
     # windows ride ops/join.py — per-query work tracks its terms' posting
@@ -1854,6 +1856,7 @@ def _score_gids(index, slots, spec, gids, realtime) -> np.ndarray:
         return out
     sid = (gids % S).astype(np.int64)
     loc = (gids // S).astype(np.int64)
+    idf_by_shard = [_shard_idf(sh, slots, realtime) for sh in index.shards]
     for t in sorted(spec.weights):
         if spec.negated.get(t):
             continue
@@ -1862,7 +1865,7 @@ def _score_gids(index, slots, spec, gids, realtime) -> np.ndarray:
             rows = np.flatnonzero(sid == shard.shard_id)
             if not len(rows):
                 continue
-            idf_t = np.float32(_shard_idf(shard, slots, realtime)[t])
+            idf_t = np.float32(idf_by_shard[shard.shard_id][t])
             lex = shard.lexical
             d = lex.directory
             if d is None or lex.pl_docid is None:

@@ -79,3 +79,31 @@ def test_text_vector_index_end_to_end(tmp_path, model_dir):
     rs = idx.search(st.SearchRequest(
         query="cat", search_mode=st.SearchMode.Hybrid, length=3))
     assert rs.results
+
+
+def test_predefined_model_local_cache(tmp_path, monkeypatch):
+    """Predefined Potion names resolve from a local cache dir
+    ($SEEKSTORM_TPU_MODEL_DIR/<org>--<name>) before raising the
+    no-egress error (reference vector.rs:264-279 downloads at runtime)."""
+    import numpy as np
+    import json
+    import pytest as _pt
+
+    from seekstorm_tpu.inference import Model2Vec
+
+    # no cache -> clear error mentioning the remedy
+    monkeypatch.delenv("SEEKSTORM_TPU_MODEL_DIR", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "nohub"))
+    with _pt.raises(RuntimeError, match="Model2VecCustom"):
+        Model2Vec.load("minishlab/potion-base-2M")
+
+    # cached copy -> loads (vocab.json fallback tokenizer, same as the
+    # model_dir fixture)
+    d = tmp_path / "minishlab--potion-base-2M"
+    d.mkdir()
+    np.save(d / "embeddings.npy", np.ones((8, 4), np.float32))
+    (d / "vocab.json").write_text(
+        json.dumps({chr(97 + i): i for i in range(8)}))
+    monkeypatch.setenv("SEEKSTORM_TPU_MODEL_DIR", str(tmp_path))
+    m = Model2Vec.load("minishlab/potion-base-2M")
+    assert m.dim == 4

@@ -273,3 +273,19 @@ def test_exact_fallback_matches_dense(wand_index, monkeypatch):
                st.ResultType.TopkCount)
     assert base == fb
     assert basei == fbi
+
+
+def test_wand_empty_shard(tmp_path, monkeypatch):
+    """A shard with no committed level must not crash the WAND path
+    (_shard_idf is called for EVERY shard; empty ones have no term
+    directory)."""
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    schema = [st.SchemaField("t", st.FieldType.Text, indexed=True)]
+    idx = st.create_index(tmp_path / "ix", schema, shard_count=4)
+    # hash routing: a single doc lands in exactly one shard
+    idx.index_document({"t": "solitary document text"})
+    idx.commit()
+    assert sum(1 for sh in idx.shards if sh.committed_doc_count == 0) >= 1
+    rs = idx.search(st.SearchRequest(query="solitary text", length=10,
+                                     result_type=st.ResultType.TopkCount))
+    assert rs.result_count_total == 1
