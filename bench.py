@@ -256,9 +256,14 @@ def main() -> None:
         wand_fb = int(tm.get("wand_fallbacks_total", 0))
         wand_resets = int(tm.get("wand_resets_total", 0))
         wand_build_s = tm.get("wand_build_seconds_total", 0.0)
-        wand_rescore_s = tm.get("wand_rescore_seconds_total", 0.0)
-        plan_s = tm.get("lex_plan_seconds_total", 0.0)
-        dev_s = tm.get("lex_device_seconds_total", 0.0)
+        wand_rescore_s = tm.get("wand_rescore_busy_seconds_total",
+                                tm.get("wand_rescore_seconds_total", 0.0))
+        # busy seconds (union of open intervals) — the plain sums double-
+        # count queue waits across the worker threads
+        plan_s = tm.get("lex_plan_busy_seconds_total",
+                        tm.get("lex_plan_seconds_total", 0.0))
+        dev_s = tm.get("lex_device_busy_seconds_total",
+                       tm.get("lex_device_seconds_total", 0.0))
         fetch_s = 0.0  # folded into device_s (one D2H sync fetches results)
         flops = tm.get("device_flops", 0.0)
         prec = "bf16" if fast_mode() else "f32"
