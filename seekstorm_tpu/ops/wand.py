@@ -1065,7 +1065,8 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
               need: int, with_counts: bool,
               fcod_dev=None, n_facets: int = 0, fcm: int = 1,
               filtw_dev=None, filt_host=None,
-              skeyb_dev=None, rank_key_host=None):
+              skeyb_dev=None, rank_key_host=None,
+              count_only: bool = False):
     """Execute eligible queries on the WAND path.
 
     slots: batch slot list; specs: eligible _QuerySpec per row;
@@ -1151,6 +1152,13 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
     KP = K_SEL + 1
     cnt = (packed[:, -2].astype(np.int64)
            + (packed[:, -1].astype(np.int64) << 12))
+
+    if count_only:
+        # ResultType.Count: the phase-1 popcount IS the answer — no
+        # pages, no rescore ladder (reference count paths never collect,
+        # add_result.rs count-only branches)
+        counts[:] = cnt[:B]
+        return out_scores, out_gids, counts, fc
 
     # host-side ladder: rung f rescores the top-K_SEL regions of
     # F_LADDER[f]*32 docs; all rungs came back from the one dispatch, so

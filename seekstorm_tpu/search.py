@@ -1541,7 +1541,8 @@ def _lexical_search_batch(
                     idf_ps, max(need, 1), with_counts,
                     fcod_dev=wfcod_dev, n_facets=len(facet_specs),
                     fcm=fcm, filtw_dev=wfilt_dev, filt_host=wfilt_host,
-                    skeyb_dev=wskeyb_dev, rank_key_host=wrank_host)
+                    skeyb_dev=wskeyb_dev, rank_key_host=wrank_host,
+                    count_only=(req0.result_type == ResultType.Count))
                 for r, qi in enumerate(wrows):
                     merged_scores[qi] = wsc[r]
                     merged_ids[qi] = wgid[r]

@@ -289,3 +289,21 @@ def test_wand_empty_shard(tmp_path, monkeypatch):
     rs = idx.search(st.SearchRequest(query="solitary text", length=10,
                                      result_type=st.ResultType.TopkCount))
     assert rs.result_count_total == 1
+
+
+def test_wand_count_only(wand_index, monkeypatch):
+    """ResultType.Count rides WAND phase-1 popcount alone (no rescore
+    ladder) and must match the dense path's exact counts."""
+    idx = wand_index
+    queries = _queries(12, seed=13)
+    reqs = [st.SearchRequest(query=q, length=0,
+                             result_type=st.ResultType.Count)
+            for q in queries]
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_WAND", "1")
+    base = [(rs.result_count_total, len(rs.results))
+            for rs in st.search_batch(idx, reqs)]
+    monkeypatch.delenv("SEEKSTORM_TPU_NO_WAND")
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    wand = [(rs.result_count_total, len(rs.results))
+            for rs in st.search_batch(idx, reqs)]
+    assert base == wand
