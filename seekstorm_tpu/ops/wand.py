@@ -270,6 +270,30 @@ def wand_scan(
         cand_1 = jnp.where((only1 != 0) & ~treq[None, :, 0, None], b1, ninf)
         ub2 = jnp.maximum(cand_b, jnp.maximum(cand_0, cand_1))
         ub = jnp.where(pos2[None, :, None], ub2, ub)
+        # 3-term class refinement, same argument: every doc belongs to
+        # exactly one presence class c ⊆ {t0,t1,t2}; its score is bounded
+        # by Σ_{t∈c} w_t·max_t summed in ascending slot order (f32 add is
+        # monotone under elementwise domination, equality on maxima), and
+        # a class bound applies only when such a doc exists in the bucket
+        # and the class holds every required slot.
+        pos3 = jnp.sum((ts_ok & ~tneg).astype(jnp.int32), axis=1) == 3
+        bt = [w_b[:, :, t, None] * ubt[:, :, t] for t in range(3)]
+        best3 = jnp.full_like(ub, -jnp.inf)
+        for c in range(1, 8):
+            mm = None
+            sc3 = jnp.zeros_like(ub)
+            okq = jnp.ones((Bq,), bool)
+            for t in range(3):
+                if (c >> t) & 1:
+                    mm = pt[:, :, t] if mm is None else mm & pt[:, :, t]
+                    sc3 = sc3 + bt[t]
+                else:
+                    mm = ~pt[:, :, t] if mm is None else mm & ~pt[:, :, t]
+                    okq = okq & ~treq[:, t]
+            cand3 = jnp.where((mm != 0) & okq[None, :, None], sc3,
+                              -jnp.inf)
+            best3 = jnp.maximum(best3, cand3)
+        ub = jnp.where(pos3[None, :, None], best3, ub)
         ubm = jnp.where(matched != 0, ub, -jnp.inf)
         return (cnt, fc), ubm
 
