@@ -624,6 +624,44 @@ def get_state(index) -> WandState:
 # batch planning + execution (called from search._lexical_search_batch)
 
 
+def precompile(index, batch_sizes=(128,), v_buckets=(64, 256),
+               T: int = 4) -> int:
+    """Warm the wand_scan compile cache for the serving shape grid.
+
+    One XLA compile per (V, Bq, T, with_counts) tuple (3-40 s each on a
+    cold TPU); called from search.precompile_scan so a deployed server's
+    first WAND batches don't pay them.  Uses the live state's pools, so
+    pool growth (which changes leading dims) still recompiles later —
+    the cache keys on shapes, and pools grow by pow2 so the ladder is
+    short."""
+    from ..utils import ceil_pow2
+
+    state = get_state(index)
+    n = 0
+    dummy_i = jnp.zeros((1, 1), jnp.int32)
+    dummy_u = jnp.zeros((1, 1), jnp.uint32)
+    dummy_f = jnp.zeros((1, 1), jnp.float32)
+    with state.lock:
+        pools = (state.ppool, state.vpool, state.sp_prow,
+                 state.delw_dev, state.sid_dev)
+    for B in batch_sizes:
+        Bq = ceil_pow2(B, 16)
+        for V in v_buckets:
+            qargs = jnp.asarray(_pack_qargs(
+                np.full(V, -1, np.int32),
+                np.full((Bq, T), -1, np.int32),
+                np.zeros((Bq, T), bool), np.zeros((Bq, T), bool),
+                np.zeros((index.shard_count, Bq, T), np.float32)))
+            for wc in (False, True):
+                packed, fc = wand_scan(
+                    *pools, qargs, dummy_i, dummy_u, dummy_f,
+                    V=V, Bq=Bq, T=T, S=index.shard_count,
+                    with_counts=wc)
+                np.asarray(packed)
+                n += 1
+    return n
+
+
 def query_ok(spec) -> bool:
     """Eligibility: bounded slot count.  Phrase specs are eligible too —
     they need the top AND-candidates by BM25 (which is exactly what the

@@ -1765,6 +1765,10 @@ def precompile_scan(
                                 skey_dev=skey, sort_desc=True,
                             )
                             n += 1
+    from .ops import wand as wand_mod
+
+    if wand_mod.wand_auto(index):
+        n += wand_mod.precompile(index, batch_sizes=batch_sizes)
     return n
 
 
