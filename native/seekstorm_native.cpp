@@ -272,10 +272,17 @@ namespace {
 inline void snowball_stem_cps(int lang, std::vector<uint32_t>& cps) {
     std::u32string w;
     w.reserve(cps.size() + 2);
-    uint32_t low[3];
-    for (uint32_t c : cps) {
-        int nl = to_lower(c, low);
-        for (int k = 0; k < nl; k++) w.push_back((char32_t)low[k]);
+    if (lang < 16) {
+        // Snowball algorithms lowercase first (NLTK parity); light-tier
+        // rules (ids >= 16) apply to the token as-is, like their Python
+        // implementations
+        uint32_t low[3];
+        for (uint32_t c : cps) {
+            int nl = to_lower(c, low);
+            for (int k = 0; k < nl; k++) w.push_back((char32_t)low[k]);
+        }
+    } else {
+        w.assign(cps.begin(), cps.end());
     }
     if (!sb_api::stem_inplace(lang, w)) return;
     cps.assign(w.begin(), w.end());

@@ -2809,24 +2809,33 @@ static stem_fn dispatch(int lang) {
 
 }  // namespace sb
 
+// light-tier stemmers (light_stemmers.cpp): lang ids >= 16
+namespace ls_api {
+bool stem_inplace(int lang, std::u32string& w);
+}
+
 extern "C" {
 
 // Stems one word of n codepoints in place; cap is the buffer capacity
 // (stemming can GROW a word: German ß -> ss).  Returns the new length,
 // -1 if the language id has no native stemmer, -2 if cap is too small.
 int st_snowball_stem(int lang, uint32_t* cps, int n, int cap) {
+    std::u32string w(reinterpret_cast<const char32_t*>(cps),
+                     static_cast<size_t>(n));
     sb::stem_fn fn = sb::dispatch(lang);
-    if (!fn) return -1;
-    sb::u32s w(reinterpret_cast<const char32_t*>(cps),
-               static_cast<size_t>(n));
-    fn(w);
+    if (fn) fn(w);
+    else if (!ls_api::stem_inplace(lang, w)) return -1;
     int m = static_cast<int>(w.size());
     if (m > cap) return -2;
     std::memcpy(cps, w.data(), static_cast<size_t>(m) * 4);
     return m;
 }
 
-int st_snowball_has(int lang) { return sb::dispatch(lang) != nullptr; }
+int st_snowball_has(int lang) {
+    if (sb::dispatch(lang) != nullptr) return 1;
+    std::u32string probe;  // dispatch probe: empty word, no-op stem
+    return ls_api::stem_inplace(lang, probe) ? 1 : 0;
+}
 
 }  // extern "C"
 
@@ -2834,8 +2843,10 @@ int st_snowball_has(int lang) { return sb::dispatch(lang) != nullptr; }
 namespace sb_api {
 bool stem_inplace(int lang, std::u32string& w) {
     sb::stem_fn fn = sb::dispatch(lang);
-    if (!fn) return false;
-    fn(w);
-    return true;
+    if (fn) {
+        fn(w);
+        return true;
+    }
+    return ls_api::stem_inplace(lang, w);
 }
 }  // namespace sb_api

@@ -31,10 +31,19 @@ _TOKENIZER_IDS = {
 # Python ingest path — index.py gates _native on it.
 _STEMMER_IDS = {
     "None": 0, "English": 1, "Porter": 1,
+    # byte-exact Snowball ports (native/snowball.cpp)
     "Danish": 2, "Norwegian": 3, "Swedish": 4, "German": 5, "Dutch": 6,
     "DutchPorter": 6, "French": 7, "Spanish": 8, "Italian": 9,
     "Portuguese": 10, "Romanian": 11, "Russian": 12, "Finnish": 13,
     "Hungarian": 14, "Arabic": 15,
+    # light-tier ports (native/light_stemmers.cpp; tables generated from
+    # stemmers.py, byte-identical to the Python implementations)
+    "Armenian": 16, "Basque": 17, "Catalan": 18, "Czech": 19,
+    "Esperanto": 20, "Estonian": 21, "Greek": 22, "Hindi": 23,
+    "Indonesian": 24, "Irish": 25, "Lithuanian": 26, "Lovins": 27,
+    "Nepali": 28, "Persian": 29, "Polish": 30, "Serbian": 31,
+    "Sesotho": 32, "Tamil": 33, "Turkish": 34, "Ukrainian": 35,
+    "Yiddish": 36,
 }
 
 
@@ -60,7 +69,10 @@ def snowball_stem_fn(stemmer_value: str):
         return None
 
     def stem(word: str, _lid=lid, _lib=lib) -> str:
-        w = word.lower()
+        # Snowball ids (<16) lowercase first (the NLTK stem() entry
+        # points they mirror do); light-tier ids apply rules to the
+        # token as-is, like their Python implementations
+        w = word.lower() if _lid < 16 else word
         n = len(w)
         cap = 2 * n + 8
         buf = (C.c_uint32 * cap)()
@@ -96,11 +108,13 @@ def _find_lib() -> Path | None:
 
 def load() -> C.CDLL | None:
     global _LIB, _TRIED
+    # the kill switch is honored even after the library was cached —
+    # tests (and operators chasing a native-path bug) flip it mid-process
+    if os.environ.get("SEEKSTORM_TPU_NO_NATIVE"):
+        return None
     if _TRIED:
         return _LIB
     _TRIED = True
-    if os.environ.get("SEEKSTORM_TPU_NO_NATIVE"):
-        return None
     path = _find_lib()
     if path is None:
         return None

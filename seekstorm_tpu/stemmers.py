@@ -20,7 +20,10 @@ Three implementation tiers, chosen per language:
   Savoy for Czech/Russian-family), Ramanathan & Rao for Hindi, Tala's
   Porter-style stemmer for Indonesian, and compact rule sets for the
   remainder.  These are deliberately conservative (recall-oriented,
-  merge-inflections) rather than byte-exact Snowball ports.
+  merge-inflections) rather than byte-exact Snowball ports.  Each one
+  ALSO has a C++ port (native/light_stemmers.cpp; rule tables GENERATED
+  from this module by gen_light_tables.py, fuzz-verified byte-identical)
+  so every language rides the native ingest fast path.
 
 `StemmerType.English` keeps the in-repo Porter implementation
 (tokenizer.porter_stem / native C++ porter_stem) so the Python and native

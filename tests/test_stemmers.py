@@ -129,12 +129,13 @@ def test_stem_token_dispatch():
     assert stem_token("kitaplar", StemmerType.Turkish) == "kitap"
 
 
-def test_nonnative_stemmer_index_roundtrip(tmp_path):
-    """A Turkish-stemmed index (light tier, no C++ port) matches inflected
-    forms via the Python ingest path — index.py gates the C++ path on
-    native stemmer support."""
+def test_nonnative_stemmer_index_roundtrip(tmp_path, monkeypatch):
+    """With the native library disabled, a Turkish-stemmed index matches
+    inflected forms via the Python ingest path (the gate index.py applies
+    when the C++ stemmer is unavailable)."""
     import seekstorm_tpu as st
 
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_NATIVE", "1")
     schema = [st.SchemaField("body", st.FieldType.Text, stored=True,
                              indexed=True)]
     meta = st.IndexMeta(stemmer=StemmerType.Turkish)
@@ -146,6 +147,53 @@ def test_nonnative_stemmer_index_roundtrip(tmp_path):
     assert rs.result_count == 1
     rs = idx.search(st.SearchRequest(query="kitaplardan"))
     assert rs.result_count == 1
+
+
+def test_light_native_parity_and_roundtrip(tmp_path):
+    """Every light-tier language's C++ port is byte-identical to its
+    Python implementation (tables are GENERATED from stemmers.py;
+    control flow fuzz-verified), and a Turkish index now rides the
+    native ingest fast path end-to-end."""
+    import random
+
+    import seekstorm_tpu as st
+    from seekstorm_tpu import native as native_mod
+    from seekstorm_tpu.native import snowball_stem_fn, _STEMMER_IDS
+    from seekstorm_tpu.stemmers import _LIGHT
+
+    if native_mod.load() is None:
+        pytest.skip("native library not built")
+    random.seed(11)
+    alphas = {
+        StemmerType.Turkish: "abcdefgiklmnoprstuvyzçğıöşü",
+        StemmerType.Czech: "abcdehiklmnoprstuvyzáéěíůýčšž",
+        StemmerType.Greek: "αβγδεζηθικλμνξοπρστυφχψωάέήίόύώς",
+        StemmerType.Ukrainian: "абвгдежзиклмнопрстуфхцчшщьюяії",
+        StemmerType.Indonesian: "abdeghijklmnoprstuwy",
+        StemmerType.Hindi: "कखगचजटतदनपबमयरलवशसहािीुूेो",
+    }
+    for stype, alpha in alphas.items():
+        native = snowball_stem_fn(stype.value)
+        assert native is not None, stype
+        py = _LIGHT[stype]
+        for _ in range(300):
+            w = "".join(random.choice(alpha)
+                        for _ in range(random.randint(1, 12)))
+            assert native(w) == py(w), (stype, w, native(w), py(w))
+    # remaining light languages at least dispatch natively
+    for name, lid in _STEMMER_IDS.items():
+        if lid >= 16:
+            assert native_mod.stemmer_supported(name), name
+
+    idx = st.create_index(
+        tmp_path / "ix",
+        [st.SchemaField("body", st.FieldType.Text, indexed=True)],
+        meta=st.IndexMeta(stemmer=StemmerType.Turkish), shard_count=1)
+    assert idx._native
+    idx.index_document({"body": "kitaplar okundu"})
+    idx.commit()
+    assert idx.search(st.SearchRequest(query="kitaplardan")).result_count \
+        == 1
 
 
 # --- native Snowball ports (snowball.cpp) ------------------------------------
