@@ -20,21 +20,44 @@ namespace ls {
 
 using u32s = std::u32string;
 
+static inline size_t cstr_len(const char32_t* s) {
+    size_t n = 0;
+    while (s[n]) n++;
+    return n;
+}
+
+// allocation-free suffix/prefix tests against C-string tables (this is
+// the per-token ingest hot loop; constructing a u32string per table
+// entry would dominate stemming cost)
+static inline bool ends_c(const u32s& w, const char32_t* suf, size_t m) {
+    if (w.size() < m) return false;
+    const char32_t* p = w.data() + (w.size() - m);
+    for (size_t i = 0; i < m; i++)
+        if (p[i] != suf[i]) return false;
+    return true;
+}
+
+static inline bool starts_c(const u32s& w, const char32_t* pre, size_t m) {
+    if (w.size() < m) return false;
+    for (size_t i = 0; i < m; i++)
+        if (w[i] != pre[i]) return false;
+    return true;
+}
+
 static inline bool ends(const u32s& w, const u32s& suf) {
-    return w.size() >= suf.size()
-        && w.compare(w.size() - suf.size(), suf.size(), suf) == 0;
+    return ends_c(w, suf.data(), suf.size());
 }
 
 static inline bool starts(const u32s& w, const u32s& pre) {
-    return w.size() >= pre.size() && w.compare(0, pre.size(), pre) == 0;
+    return starts_c(w, pre.data(), pre.size());
 }
 
 static bool strip_longest(u32s& w, const char32_t* const* sufs, int n,
                           size_t min_stem) {
     for (int i = 0; i < n; i++) {
-        u32s suf(sufs[i]);
-        if (ends(w, suf) && w.size() - suf.size() >= min_stem) {
-            w.resize(w.size() - suf.size());
+        size_t m = cstr_len(sufs[i]);
+        if (w.size() >= m + min_stem && ends_c(w, sufs[i], m)) {
+            w.resize(w.size() - m);
             return true;
         }
     }
@@ -217,18 +240,19 @@ static void stem_indonesian(u32s& w) {
     strip_longest(w, LS_ID_SUF, LS_ID_SUF_N, 3);
 }
 
-static bool tr_harmony_ok(const u32s& stem, const u32s& suf) {
+static bool tr_harmony_ok(const u32s& w, size_t stem_len,
+                          const char32_t* suf) {
     const char32_t* back = LS_TR_BACK[0];
     const char32_t* front = LS_TR_FRONT[0];
     char32_t sv = 0, fv = 0;
-    for (size_t i = stem.size(); i-- > 0;) {
-        if (in_str(stem[i], back) || in_str(stem[i], front)) {
-            sv = stem[i];
+    for (size_t i = stem_len; i-- > 0;) {
+        if (in_str(w[i], back) || in_str(w[i], front)) {
+            sv = w[i];
             break;
         }
     }
-    for (char32_t c : suf) {
-        if (in_str(c, back) || in_str(c, front)) { fv = c; break; }
+    for (const char32_t* p = suf; *p; ++p) {
+        if (in_str(*p, back) || in_str(*p, front)) { fv = *p; break; }
     }
     if (!sv || !fv) return true;
     return in_str(sv, back) == in_str(fv, back);
@@ -238,14 +262,12 @@ static void stem_turkish(u32s& w) {
     for (int r = 0; r < 3; r++) {
         bool changed = false;
         for (int i = 0; i < LS_TR_SUF_N; i++) {
-            u32s suf(LS_TR_SUF[i]);
-            if (ends(w, suf) && w.size() - suf.size() >= 2) {
-                u32s stem = w.substr(0, w.size() - suf.size());
-                if (tr_harmony_ok(stem, suf)) {
-                    w = stem;
-                    changed = true;
-                    break;
-                }
+            size_t m = cstr_len(LS_TR_SUF[i]);
+            if (w.size() >= m + 2 && ends_c(w, LS_TR_SUF[i], m)
+                && tr_harmony_ok(w, w.size() - m, LS_TR_SUF[i])) {
+                w.resize(w.size() - m);
+                changed = true;
+                break;
             }
         }
         if (!changed) break;
@@ -271,9 +293,9 @@ static void stem_sesotho(u32s& w) {
 
 static void stem_lovins(u32s& w) {
     for (int i = 0; i < LS_LOVINS_END_N; i++) {
-        u32s suf(LS_LOVINS_END[i]);
-        if (ends(w, suf) && w.size() - suf.size() >= 2) {
-            w.resize(w.size() - suf.size());
+        size_t m = cstr_len(LS_LOVINS_END[i]);
+        if (w.size() >= m + 2 && ends_c(w, LS_LOVINS_END[i], m)) {
+            w.resize(w.size() - m);
             break;
         }
     }
@@ -281,9 +303,9 @@ static void stem_lovins(u32s& w) {
         && in_str(w.back(), U"bdglmnprst"))
         w.resize(w.size() - 1);
     for (int i = 0; i < LS_LOVINS_RECODE_N; i += 2) {
-        u32s a(LS_LOVINS_RECODE[i]);
-        if (ends(w, a)) {
-            w.resize(w.size() - a.size());
+        size_t m = cstr_len(LS_LOVINS_RECODE[i]);
+        if (ends_c(w, LS_LOVINS_RECODE[i], m)) {
+            w.resize(w.size() - m);
             w += LS_LOVINS_RECODE[i + 1];
             break;
         }
