@@ -11,6 +11,7 @@ with an exactness check and a single full-coverage escalation.
 from __future__ import annotations
 
 import enum
+import os
 import time
 from dataclasses import dataclass, field as dfield
 
@@ -1493,12 +1494,22 @@ def _lexical_search_batch(
     # Phrase specs ride it too (verification + exact counting happen in
     # _finalize_lexical, identically to the dense path).  Ineligible rows
     # (> T_MAX slots) fall through to the join/dense paths below.
+    # Sort-ordered batches ride WAND only on request: rank-by-key bounds
+    # are per-bucket BEST keys, and with sort keys uncorrelated to doc
+    # order (uniform geo) the 65th bucket's bound beats the k-th actual
+    # matched key essentially always — measured 64/64 exact-fallbacks on
+    # a 500K bursty corpus vs 0/64 for score mode — so the dense sort
+    # kernel stays the default.  SEEKSTORM_TPU_WAND_SORT=1 enables it for
+    # corpora whose sort keys cluster with insertion order (price/time).
+    wand_sort_ok = (not req0.result_sort
+                    or bool(os.environ.get("SEEKSTORM_TPU_WAND_SORT")))
     wanded = np.zeros(B, bool)
     if (
         mode == "imp"
         and need <= 1024
         and not (req0.facet_filter and allowed_dev is None)
         and len(req0.result_sort) <= 1
+        and wand_sort_ok
     ):
         from .ops import wand as wand_mod
 

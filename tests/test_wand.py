@@ -244,7 +244,10 @@ def wand_geo_index(tmp_path_factory):
 def test_wand_sorted_matches_dense(wand_geo_index, field, order,
                                    monkeypatch):
     """Sort-ordered pages (geo distance asc / numeric desc) through the
-    WAND rank-by-key mode must match the dense sort kernel."""
+    WAND rank-by-key mode must match the dense sort kernel.  Rank mode is
+    opt-in (SEEKSTORM_TPU_WAND_SORT=1): on sort keys uncorrelated with
+    doc order its bucket bounds almost never terminate, so the dense
+    kernel is the default for sorted batches."""
     idx = wand_geo_index
     base_pt = [37.7, -122.4] if field == "loc" else None
     queries = _queries(16, seed=33)
@@ -257,6 +260,7 @@ def test_wand_sorted_matches_dense(wand_geo_index, field, order,
     base = [_canon(rs) for rs in st.search_batch(idx, reqs)]
     monkeypatch.delenv("SEEKSTORM_TPU_NO_WAND")
     monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND_SORT", "1")
     wand = [_canon(rs) for rs in st.search_batch(idx, reqs)]
     assert base == wand
 
