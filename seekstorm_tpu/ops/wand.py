@@ -80,12 +80,23 @@ def wand_forced() -> bool:
 
 def wand_auto(index) -> bool:
     """Default routing: on for TPU backends at reference scale; tests force
-    with SEEKSTORM_TPU_WAND=1 on the CPU backend."""
+    with SEEKSTORM_TPU_WAND=1 on the CPU backend.
+
+    Adaptive off-switch: on corpora with flat per-bucket impact maxima
+    (no burstiness / no field-boost variance) UBs saturate and most
+    queries exhaust the ladder into the exact host fallback, which costs
+    more than the dense full-coverage scan (the same degradation the
+    reference's max_block_score hits on flat data,
+    intersection.rs:2224-2300).  When the observed fallback rate over a
+    warm sample exceeds 1/2, the index drops back to the dense kernels."""
     if not wand_enabled():
         return False
     if wand_forced():
         return True
     if max(sh.lexical.n_blocks for sh in index.shards) < WAND_MIN_BLOCKS:
+        return False
+    st_ = getattr(index, "_wand_stats", None)
+    if st_ is not None and st_[1] >= 256 and st_[0] * 2 > st_[1]:
         return False
     return jax.default_backend() == "tpu"
 
@@ -1284,4 +1295,11 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         out_scores[qi] = sc
         out_gids[qi] = gid
         counts[qi] = count
+    # adaptive-gate stats (read by wand_auto): fallback-heavy corpora
+    # (flat impact maxima) are cheaper on the dense kernels
+    st_ = getattr(index, "_wand_stats", None)
+    if st_ is None:
+        st_ = index._wand_stats = [0, 0]
+    st_[0] += len(pending)
+    st_[1] += B
     return out_scores, out_gids, counts, fc

@@ -351,3 +351,22 @@ def test_wand_count_only(wand_index, monkeypatch):
     wand = [(rs.result_count_total, len(rs.results))
             for rs in st.search_batch(idx, reqs)]
     assert base == wand
+
+
+def test_wand_adaptive_gate(wand_index, monkeypatch):
+    """Fallback-heavy serving (flat impact maxima) flips the auto router
+    back to the dense kernels; forced mode ignores the gate."""
+    import jax as _jax
+
+    idx = wand_index
+    monkeypatch.delenv("SEEKSTORM_TPU_WAND", raising=False)
+    monkeypatch.delenv("SEEKSTORM_TPU_NO_WAND", raising=False)
+    monkeypatch.setattr(wand_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(wand_mod, "WAND_MIN_BLOCKS", 1)
+    idx._wand_stats = [10, 1000]          # 1% fallbacks: stay on
+    assert wand_mod.wand_auto(idx)
+    idx._wand_stats = [600, 1000]         # 60% fallbacks: dense wins
+    assert not wand_mod.wand_auto(idx)
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    assert wand_mod.wand_auto(idx)        # forced overrides
+    del idx._wand_stats
