@@ -370,3 +370,42 @@ def test_wand_adaptive_gate(wand_index, monkeypatch):
     monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
     assert wand_mod.wand_auto(idx)        # forced overrides
     del idx._wand_stats
+
+
+def test_wand_faceted_realtime_tail(wand_facet_index, monkeypatch):
+    """Uncommitted tail docs must contribute to counts and facet
+    histograms identically on the WAND and dense paths (the host tail
+    merge is path-agnostic)."""
+    idx = wand_facet_index
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i:03d}" for i in range(250)]
+    for _ in range(40):
+        idx.index_document({
+            "title": " ".join(rng.choice(vocab, 3)),
+            "body": " ".join(rng.choice(vocab, 18)),
+            "brand": "brandtail", "price": 123})
+    queries = _queries(8, seed=29)
+    ranges = st.Ranges(field="price", ranges=[
+        ("cheap", 0), ("mid", 100), ("lux", 300)])
+    reqs = [st.SearchRequest(
+        query=q, length=10, realtime=True,
+        result_type=st.ResultType.TopkCount,
+        query_facets=[st.QueryFacet(field="brand"),
+                      st.QueryFacet(field="price", ranges=ranges)])
+        for q in queries]
+
+    def run():
+        out = []
+        for rs in st.search_batch(idx, reqs):
+            fac = tuple(sorted(
+                (field, tuple(sorted(pairs)))
+                for field, pairs in (rs.facets or {}).items()))
+            out.append((_canon(rs), fac))
+        return out
+
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_WAND", "1")
+    base = run()
+    monkeypatch.delenv("SEEKSTORM_TPU_NO_WAND")
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    wand = run()
+    assert base == wand
