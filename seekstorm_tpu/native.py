@@ -59,10 +59,12 @@ def stemmer_supported(stemmer_value: str) -> bool:
 
 
 def snowball_stem_fn(stemmer_value: str):
-    """Per-word ctypes wrapper over the native Snowball stemmer for one
-    language, or None when unavailable.  Lowercases first (the NLTK stem()
-    entry points the Python tier mirrors do word.lower() internally), so
-    the returned callable is a drop-in for an NLTK stemmer's .stem."""
+    """Per-word ctypes wrapper over the native stemmer for one language,
+    or None when unavailable.  Snowball ids (< 16) lowercase first — the
+    NLTK stem() entry points they mirror call word.lower() internally, so
+    those callables are drop-ins for an NLTK stemmer's .stem.  Light-tier
+    ids (>= 16) apply their rules to the token as-is, exactly like the
+    Python implementations in stemmers.py."""
     lid = _STEMMER_IDS.get(stemmer_value, -1)
     lib = load()
     if lib is None or lid < 2 or not lib.st_snowball_has(lid):

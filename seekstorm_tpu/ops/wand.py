@@ -97,7 +97,14 @@ def wand_auto(index) -> bool:
         return False
     st_ = getattr(index, "_wand_stats", None)
     if st_ is not None and st_[1] >= 256 and st_[0] * 2 > st_[1]:
-        return False
+        # closed gate: let every 64th batch through as a probe so the
+        # (decaying) sample keeps refreshing — without it the first bad
+        # warm sample would latch the index onto the dense kernels
+        # forever
+        skip = getattr(index, "_wand_skips", 0) + 1
+        index._wand_skips = skip
+        if skip % 64 != 0:
+            return False
     return jax.default_backend() == "tpu"
 
 
@@ -107,7 +114,8 @@ def wand_auto(index) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("V", "Bq", "T", "S",
                                              "with_counts", "NF", "FCM",
-                                             "with_filter", "rank_by_key"))
+                                             "with_filter", "rank_by_key",
+                                             "with_three"))
 def wand_scan(
     ppool,      # u32[PR, NW]         presence rows
     vpool,      # f32[PR, NW]         per-bucket exact max impact rows
@@ -126,6 +134,7 @@ def wand_scan(
     NF: int = 0, FCM: int = 1,
     with_filter: bool = False,
     rank_by_key: bool = False,
+    with_three: bool = False,
 ):
     """Phase 1+2.  Returns (packed f32[Bq, 3*2*(K_SEL+1)+2], fc) where
     packed holds, for each coarsening factor F in F_LADDER, [ub_s | ub_i]
@@ -281,6 +290,12 @@ def wand_scan(
         cand_1 = jnp.where((only1 != 0) & ~treq[None, :, 0, None], b1, ninf)
         ub2 = jnp.maximum(cand_b, jnp.maximum(cand_0, cand_1))
         ub = jnp.where(pos2[None, :, None], ub2, ub)
+        if not with_three:
+            # no batch query has 3 positive slots: the 7-class bitmap
+            # refinement below compiles out (it costs ~3x the 2-term
+            # split per scan step)
+            ubm = jnp.where(matched != 0, ub, -jnp.inf)
+            return (cnt, fc), ubm
         # 3-term class refinement, same argument: every doc belongs to
         # exactly one presence class c ⊆ {t0,t1,t2}; its score is bounded
         # by Σ_{t∈c} w_t·max_t summed in ascending slot order (f32 add is
@@ -636,15 +651,18 @@ def get_state(index) -> WandState:
 
 
 def precompile(index, batch_sizes=(128,), v_buckets=(64, 256),
-               T: int = 4) -> int:
+               T: int = 4, pool_rows: int = 4096,
+               slot_rows: int = 256) -> int:
     """Warm the wand_scan compile cache for the serving shape grid.
 
     One XLA compile per (V, Bq, T, with_counts) tuple (3-40 s each on a
     cold TPU); called from search.precompile_scan so a deployed server's
-    first WAND batches don't pay them.  Uses the live state's pools, so
-    pool growth (which changes leading dims) still recompiles later —
-    the cache keys on shapes, and pools grow by pow2 so the ladder is
-    short."""
+    first WAND batches don't pay them.  The pools are pre-grown to
+    pool_rows presence rows / slot_rows slots FIRST — pool shapes are
+    part of the jit cache key, and the freshly-initialized (64/16 row)
+    pools are never the shapes serving reaches, so compiling at them
+    would be wasted (warming helps until the term working set outgrows
+    pool_rows, after which the pow2 growth ladder recompiles)."""
     from ..utils import ceil_pow2
 
     state = get_state(index)
@@ -653,6 +671,9 @@ def precompile(index, batch_sizes=(128,), v_buckets=(64, 256),
     dummy_u = jnp.zeros((1, 1), jnp.uint32)
     dummy_f = jnp.zeros((1, 1), jnp.float32)
     with state.lock:
+        state.ppool = state._grow(state.ppool, pool_rows)
+        state.vpool = state._grow(state.vpool, pool_rows)
+        state.sp_prow = state._grow(state.sp_prow, slot_rows)
         pools = (state.ppool, state.vpool, state.sp_prow,
                  state.delw_dev, state.sid_dev)
     for B in batch_sizes:
@@ -1219,7 +1240,10 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
             V=V, Bq=Bq, T=T, S=S,
             with_counts=with_counts, NF=n_facets, FCM=fcm,
             with_filter=filtw_dev is not None,
-            rank_by_key=rank_mode)
+            rank_by_key=rank_mode,
+            with_three=any(
+                sum(1 for t in sp.slots if not sp.negated.get(t, False))
+                >= 3 for sp in specs))
         packed = np.asarray(packed_d)
         fc = np.asarray(fc_d)[:, :B] if n_facets else None
     KP = K_SEL + 1
@@ -1296,10 +1320,18 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         out_gids[qi] = gid
         counts[qi] = count
     # adaptive-gate stats (read by wand_auto): fallback-heavy corpora
-    # (flat impact maxima) are cheaper on the dense kernels
-    st_ = getattr(index, "_wand_stats", None)
-    if st_ is None:
-        st_ = index._wand_stats = [0, 0]
-    st_[0] += len(pending)
-    st_[1] += B
+    # (flat impact maxima) are cheaper on the dense kernels.  Rank-mode
+    # batches are excluded — the opt-in sort path has its own fallback
+    # geometry and must not disable score-mode WAND.  The window decays
+    # exponentially (halved at 2048) so a bad warm sample is not a
+    # permanent latch: routing recovers if later traffic terminates.
+    if not rank_mode:
+        st_ = getattr(index, "_wand_stats", None)
+        if st_ is None:
+            st_ = index._wand_stats = [0, 0]
+        st_[0] += len(pending)
+        st_[1] += B
+        if st_[1] > 2048:
+            st_[0] //= 2
+            st_[1] //= 2
     return out_scores, out_gids, counts, fc

@@ -114,9 +114,12 @@ _CS_CASE = ("atech", "ětem", "etem", "atům", "ech", "ich", "ích", "ého",
             "á", "ý")
 
 
+_CS_PALAT_PAIRS = (("čt", "ck"), ("št", "sk"), ("č", "k"), ("ž", "h"),
+                   ("š", "s"), ("c", "k"), ("z", "h"))
+
+
 def _cs_palatalize(w: str) -> str:
-    for a, b in (("čt", "ck"), ("št", "sk"), ("č", "k"), ("ž", "h"),
-                 ("š", "s"), ("c", "k"), ("z", "h")):
+    for a, b in _CS_PALAT_PAIRS:
         if w.endswith(a):
             return w[: -len(a)] + b
     return w
@@ -197,7 +200,9 @@ def _stem_serbian(w: str) -> str:
 
 
 # --- Greek: light stemmer (de-accent + final-sigma + case endings) ---------
-_EL_ACCENT = str.maketrans("άέήίόύώϊϋΐΰ", "αεηιουωιυιυ")
+_EL_ACCENT_FROM = "άέήίόύώϊϋΐΰ"
+_EL_ACCENT_TO = "αεηιουωιυιυ"
+_EL_ACCENT = str.maketrans(_EL_ACCENT_FROM, _EL_ACCENT_TO)
 _EL_SUF = ("ιωνεσ", "ματων", "ματοσ", "ματα", "ουσεσ", "ουσα", "ωντασ",
            "οντασ", "ιων", "εων", "ουν", "ουσ", "εισ", "ειο", "εια", "ων",
            "ασ", "εσ", "ησ", "οσ", "ου", "οι", "αι", "α", "η", "ο", "ι",
@@ -227,11 +232,14 @@ _GA_SUF = ("eachta", "achta", "eacht", "acht", "eoireacht", "óireacht",
            "aí", "í", "a", "e")
 
 
+_GA_MUT_PAIRS = (("bhf", "f"), ("mb", "b"), ("gc", "c"), ("nd", "d"),
+                 ("bp", "p"), ("dt", "t"), ("ng", "g"), ("ts", "s"),
+                 ("t-", ""), ("n-", ""), ("h-", ""))
+
+
 def _stem_irish(w: str) -> str:
     # initial mutations: eclipsis + lenition (Snowball irish, prelude)
-    for pre, rep in (("bhf", "f"), ("mb", "b"), ("gc", "c"), ("nd", "d"),
-                     ("bp", "p"), ("dt", "t"), ("ng", "g"), ("ts", "s"),
-                     ("t-", ""), ("n-", ""), ("h-", "")):
+    for pre, rep in _GA_MUT_PAIRS:
         if w.startswith(pre):
             w = rep + w[len(pre):]
             break

@@ -171,6 +171,10 @@ def test_light_native_parity_and_roundtrip(tmp_path):
         StemmerType.Ukrainian: "абвгдежзиклмнопрстуфхцчшщьюяії",
         StemmerType.Indonesian: "abdeghijklmnoprstuwy",
         StemmerType.Hindi: "कखगचजटतदनपबमयरलवशसहािीुूेो",
+        StemmerType.Irish: "abcdefghilmnoprstuáéíóú-",
+        StemmerType.Serbian: "abcdefghijklmnoprstuvzđčćšž",
+        StemmerType.Persian: "ابپتثجچحخدرزسشصطعغفقکگلمنوهی‌",
+        StemmerType.Lovins: "abcdefghijklmnopqrstuvwxyz",
     }
     for stype, alpha in alphas.items():
         native = snowball_stem_fn(stype.value)
