@@ -230,15 +230,8 @@ def lexical_scan(
         if with_counts:
             cnt = cnt + jnp.sum(matched, axis=1, dtype=jnp.int32)
         if n_facets:
-            mf = matched.astype(jnp.float32)
-            for fi in range(n_facets):
-                codes_b = jax.lax.dynamic_slice(
-                    facet_codes[fi], (bid_c * BLOCK_SIZE,), (BLOCK_SIZE,)
-                )
-                upd = jnp.zeros((B, facet_codes_max), jnp.float32).at[
-                    :, jnp.clip(codes_b, 0, facet_codes_max - 1)
-                ].add(mf)
-                fc = fc.at[fi].add(upd)
+            fc = _facet_update(fc, matched, facet_codes, bid_c,
+                               n_facets, facet_codes_max)
         if use_sort_key:
             key_b = jax.lax.dynamic_slice(
                 sort_key, (bid_c * BLOCK_SIZE,), (BLOCK_SIZE,)
@@ -298,6 +291,37 @@ def lexical_scan(
 #     buckets, top-k buckets, then top-k over the gathered candidates —
 #     exact because fewer than k buckets can have max > the k-th score
 #     (replaces lax.top_k on [B, 64K], ~5x faster).
+
+
+
+def _facet_update(fc, matched, facet_codes, bid_c, n_facets: int,
+                  fcm: int):
+    """Per-block facet histogram accumulation over matched docs.
+
+    Small code spaces use an MXU matmul of the 0/1 match matrix against
+    the one-hot code matrix (exact counts: 0/1 bf16 inputs, f32
+    accumulation, per-block sums <= 64K << 2^24) — the scatter-add it
+    replaces runs ~50x off roofline on v5e and was ~0.2 ms/query of the
+    faceted workloads.  Wide code spaces (raw numeric facets) keep the
+    scatter."""
+    B = matched.shape[0]
+    mf16 = matched.astype(jnp.bfloat16)
+    for fi in range(n_facets):
+        codes_b = jax.lax.dynamic_slice(
+            facet_codes[fi], (bid_c * BLOCK_SIZE,), (BLOCK_SIZE,))
+        codes_b = jnp.clip(codes_b, 0, fcm - 1)
+        if fcm <= 512:
+            oh = (codes_b[:, None]
+                  == jnp.arange(fcm, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)
+            upd = jax.lax.dot_general(
+                mf16, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            upd = jnp.zeros((B, fcm), jnp.float32).at[
+                :, codes_b].add(matched.astype(jnp.float32))
+        fc = fc.at[fi].add(upd)
+    return fc
 
 
 def _topk_block(rank, k: int):
@@ -506,15 +530,8 @@ def lexical_scan_imp(
         if with_counts:
             cnt = cnt + jnp.sum(matched, axis=1, dtype=jnp.int32)
         if n_facets:
-            mf = matched.astype(jnp.float32)
-            for fi in range(n_facets):
-                codes_b = jax.lax.dynamic_slice(
-                    facet_codes[fi], (bid_c * BLOCK_SIZE,), (BLOCK_SIZE,)
-                )
-                upd = jnp.zeros((B, facet_codes_max), jnp.float32).at[
-                    :, jnp.clip(codes_b, 0, facet_codes_max - 1)
-                ].add(mf)
-                fc = fc.at[fi].add(upd)
+            fc = _facet_update(fc, matched, facet_codes, bid_c,
+                               n_facets, facet_codes_max)
         if use_sort_key:
             key_b = jax.lax.dynamic_slice(
                 sort_key, (bid_c * BLOCK_SIZE,), (BLOCK_SIZE,)
