@@ -59,8 +59,11 @@ K_SEL = 64                     # selected regions per query per resolution
 # escalation ladder = coarsening factors: rung i selects K_SEL regions of
 # F*BUCKET docs each (2K / 8K / 32K candidate docs).  All rungs come
 # back from ONE device dispatch — escalation is host-side only.
-# (An F=64 rung was measured 1,817 vs 2,293 qps at 5M: the 128K-doc
-# rescores cost more than the dense fallbacks they rarely avoid.)
+# (An F=64 rung was measured TWICE and lost twice: 1,817 vs 2,293 qps
+# with the numpy rescore, 1,704 vs 3,441 with the native rescore —
+# the queries that exhaust rung 3 are UB-saturated (tie-dense frequent
+# terms) and fail rung 4 identically, so the extra rung only adds
+# rescore cost without avoiding a single exact fallback.)
 F_LADDER = (1, 4, 16)
 BSTEP = 8                      # blocks processed per scan step (overhead
                                # amortization: per-step cost has a fixed
@@ -136,7 +139,8 @@ def wand_scan(
     rank_by_key: bool = False,
     with_three: bool = False,
 ):
-    """Phase 1+2.  Returns (packed f32[Bq, 3*2*(K_SEL+1)+2], fc) where
+    """Phase 1+2.  Returns (packed f32[Bq, len(F_LADDER)*2*(K_SEL+1)+2],
+    fc) where
     packed holds, for each coarsening factor F in F_LADDER, [ub_s | ub_i]
     of the top-(K_SEL+1) F-bucket regions, then the exact count split
     into two f32 lanes (low 12 bits | high bits).  ub_i are region

@@ -401,18 +401,24 @@ def _shard_idf(shard: Shard, slots: list[_Slot], realtime: bool,
     if realtime:
         l0 = shard.level0
         start = shard.partial_on_disk
-        n_docs += l0.doc_count - start
-        acc = getattr(l0, "acc", None)
-        for v, sl in enumerate(slots):
-            h = sl.idf_hash if sl.idf_hash is not None else sl.hash
-            if acc is not None:
-                hit = acc.term_postings(h)
-                if hit is not None:
-                    df_total[v] += int(np.sum(hit[0] >= start))
-            else:
-                tp = l0.terms.get(h)
-                if tp is not None:
-                    df_total[v] += int(np.sum(np.asarray(tp.docids) >= start))
+        tail = l0.doc_count - start
+        n_docs += tail
+        acc = getattr(l0, "acc", None) if tail > 0 else None
+        if tail > 0:
+            # per-slot tail-df lookups only when an uncommitted tail
+            # exists — on a fully committed index this loop is ~225
+            # native calls per batch of pure overhead
+            for v, sl in enumerate(slots):
+                h = sl.idf_hash if sl.idf_hash is not None else sl.hash
+                if acc is not None:
+                    hit = acc.term_postings(h)
+                    if hit is not None:
+                        df_total[v] += int(np.sum(hit[0] >= start))
+                else:
+                    tp = l0.terms.get(h)
+                    if tp is not None:
+                        df_total[v] += int(np.sum(
+                            np.asarray(tp.docids) >= start))
     return np.where(
         df_total > 0,
         np.log1p((n_docs - df_total + 0.5) / (df_total + 0.5)),
