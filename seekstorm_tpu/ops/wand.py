@@ -115,14 +115,10 @@ def wand_auto(index) -> bool:
 # device kernel
 
 
-@functools.partial(jax.jit, static_argnames=("V", "Bq", "T", "S",
-                                             "with_counts", "NF", "FCM",
-                                             "with_filter", "rank_by_key",
-                                             "with_three"))
-def wand_scan(
-    ppool,      # u32[PR, NW]         presence rows
+def _scan_local(
+    ppool,      # u32[PR, NW]         presence rows (this device's blocks)
     vpool,      # f32[PR, NW]         per-bucket exact max impact rows
-    sp_prow,    # i32[NS, NBLK]       row per (slot row, block), -1 pad
+    sp_prow,    # i32[NS, NBLK]       row per (slot row, local block), -1 pad
     delw,       # u32[NBLK, NW]       deleted-doc words
     sid,        # i32[NBLK]           shard of each block
     qargs,      # i32[...]            packed per-batch args (see _pack_qargs)
@@ -138,18 +134,18 @@ def wand_scan(
     with_filter: bool = False,
     rank_by_key: bool = False,
     with_three: bool = False,
+    BS: int = BSTEP,
 ):
-    """Phase 1+2.  Returns (packed f32[Bq, len(F_LADDER)*2*(K_SEL+1)+2],
-    fc) where
-    packed holds, for each coarsening factor F in F_LADDER, [ub_s | ub_i]
-    of the top-(K_SEL+1) F-bucket regions, then the exact count split
-    into two f32 lanes (low 12 bits | high bits).  ub_i are region
-    ids (global bucket id // F, exact in f32 below 2^24); ub_s is sorted
-    descending with -inf padding; entry K_SEL is the best UNSELECTED
-    region's UB (the WAND termination threshold for that rung).
+    """Phases 1+2 over ONE device's block range.  Returns
+    (cnt i32[Bq], fc f32[NF, Bq, FCM], rungs) where rungs is, per
+    coarsening factor F in F_LADDER, the exact top-(K_SEL+1)
+    (ub f32[Bq, K_SEL+1], local region id i32[Bq, K_SEL+1]) over this
+    device's buckets.  ub is sorted descending with -inf padding; entry
+    K_SEL is the best UNSELECTED region's UB (the WAND termination
+    threshold for that rung, after the cross-device merge).
 
-    fc is the exact facet-count histogram f32[NF, Bq, FCM] over ALL
-    matched (post-filter, post-delete) committed docs — phase-1 covers
+    fc is the exact facet-count histogram over ALL matched (post-filter,
+    post-delete) committed docs in this device's blocks — phase-1 covers
     every block, so facet counts are exact regardless of which rung the
     page terminates at (reference add_result.rs:487 facet_count).  The
     histogram is an MXU matmul of the unpacked match bits against the
@@ -157,7 +153,7 @@ def wand_scan(
     exact counts (<< 2^24), and the matmul replaces a doc-granular
     scatter-add that costs ~50x more on TPU."""
     NBLK = sp_prow.shape[1]
-    NS = NBLK // BSTEP
+    NS = NBLK // BS
     slotmap, tslot, treq, tneg, wshard = _unpack_qargs(qargs, V, Bq, T, S)
 
     # slot-table gather: [V, NBLK] once per dispatch (device-side join
@@ -169,18 +165,18 @@ def wand_scan(
     ts_ok = tslot >= 0
     ts_c = jnp.maximum(tslot, 0)
 
-    # BSTEP blocks per scan step: per-step cost has a fixed overhead
+    # BS blocks per scan step: per-step cost has a fixed overhead
     # component, and reference scale is 80 blocks
-    prow_s = prow.reshape(NS, BSTEP, V)
-    delw_s = delw.reshape(NS, BSTEP, NW)
-    sid_s = sid.reshape(NS, BSTEP)
-    soff_s = jnp.arange(NS, dtype=jnp.int32) * (BSTEP * NW * 32)
+    prow_s = prow.reshape(NS, BS, V)
+    delw_s = delw.reshape(NS, BS, NW)
+    sid_s = sid.reshape(NS, BS)
+    soff_s = jnp.arange(NS, dtype=jnp.int32) * (BS * NW * 32)
     if with_filter:
-        filtw_s = filtw.reshape(NS, BSTEP, NW)
+        filtw_s = filtw.reshape(NS, BS, NW)
     else:
         filtw_s = jnp.zeros((NS, 1), jnp.uint32)  # unused placeholder
     if rank_by_key:
-        skeyb_s = skeyb.reshape(NS, BSTEP, NW)
+        skeyb_s = skeyb.reshape(NS, BS, NW)
     else:
         skeyb_s = jnp.zeros((NS, 1), jnp.float32)  # unused placeholder
 
@@ -190,7 +186,7 @@ def wand_scan(
 
         rows_ok = prow_b >= 0
         rows_c = jnp.maximum(prow_b, 0).reshape(-1)
-        pres = jnp.take(ppool, rows_c, axis=0).reshape(BSTEP, V, NW)
+        pres = jnp.take(ppool, rows_c, axis=0).reshape(BS, V, NW)
         pres = jnp.where(rows_ok[:, :, None], pres, 0)
         if not rank_by_key:
             # per-bucket exact max impact per slot — UB is this bucket's
@@ -198,17 +194,17 @@ def wand_scan(
             # (segment-granular maxima leave hundreds of buckets claiming
             # a block's top impact, and K_SEL regions can then never
             # cover every UB > kth)
-            vub = jnp.take(vpool, rows_c, axis=0).reshape(BSTEP, V, NW)
+            vub = jnp.take(vpool, rows_c, axis=0).reshape(BS, V, NW)
             vub = jnp.where(rows_ok[:, :, None], vub, 0.0)
 
         pt = jnp.take(pres, ts_c.reshape(-1), axis=1)
-        pt = pt.reshape(BSTEP, Bq, T, NW)
+        pt = pt.reshape(BS, Bq, T, NW)
         pt = jnp.where(ts_ok[None, :, :, None], pt, 0)
 
         ones = jnp.uint32(0xFFFFFFFF)
-        andw = jnp.full((BSTEP, Bq, NW), ones)
-        posw = jnp.zeros((BSTEP, Bq, NW), jnp.uint32)
-        negw = jnp.zeros((BSTEP, Bq, NW), jnp.uint32)
+        andw = jnp.full((BS, Bq, NW), ones)
+        posw = jnp.zeros((BS, Bq, NW), jnp.uint32)
+        negw = jnp.zeros((BS, Bq, NW), jnp.uint32)
         for t in range(T):
             req_t = (treq[:, t] & ~tneg[:, t] & ts_ok[:, t])[None, :, None]
             andw = jnp.where(req_t, andw & pt[:, :, t], andw)
@@ -228,11 +224,11 @@ def wand_scan(
             # block-major code layout
             bits = (matched[:, :, :, None]
                     >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
-            mf = jnp.moveaxis(bits, 1, 0).reshape(Bq, BSTEP * NW * 32)
+            mf = jnp.moveaxis(bits, 1, 0).reshape(Bq, BS * NW * 32)
             mf = mf.astype(jnp.bfloat16)
             for fi in range(NF):
                 codes_b = jax.lax.dynamic_slice(
-                    fcod[fi], (soff,), (BSTEP * NW * 32,))
+                    fcod[fi], (soff,), (BS * NW * 32,))
                 # clip BEFORE the one-hot so out-of-range codes count
                 # under code 0, matching the dense kernel's jnp.clip
                 codes_b = jnp.clip(codes_b, 0, FCM - 1)
@@ -256,7 +252,7 @@ def wand_scan(
             # rescore ranks candidates by their exact keys).  Scores play
             # no part — the reference orders by facet value the same way
             # (search.rs result_sort).
-            ub = jnp.broadcast_to(skeyb_b[:, None, :], (BSTEP, Bq, NW))
+            ub = jnp.broadcast_to(skeyb_b[:, None, :], (BS, Bq, NW))
             ubm = jnp.where(matched != 0, ub, -jnp.inf)
             return (cnt, fc), ubm
         # exact f32 UB, accumulated per term in the SAME order as the host
@@ -269,9 +265,9 @@ def wand_scan(
         # terminates on tie-dense tops.)
         w_b = jnp.take(wshard, sid_b, axis=0)                 # [BS, Bq, T]
         ubt = jnp.take(vub, ts_c.reshape(-1), axis=1)
-        ubt = ubt.reshape(BSTEP, Bq, T, NW)
+        ubt = ubt.reshape(BS, Bq, T, NW)
         ubt = jnp.where((ts_ok & ~tneg)[None, :, :, None], ubt, 0.0)
-        ub = jnp.zeros((BSTEP, Bq, NW), jnp.float32)
+        ub = jnp.zeros((BS, Bq, NW), jnp.float32)
         for t in range(T):
             ub = ub + w_b[:, :, t, None] * ubt[:, :, t]
         # 2-term doc-granular refinement: the plain sum adds both terms'
@@ -338,20 +334,102 @@ def wand_scan(
     # ever runs over more than ~8K candidate lanes (lax.top_k over 32K
     # lanes costs ~54 ms on v5e and would dominate the whole scan)
     allub = jnp.moveaxis(ubs, 2, 0).reshape(Bq, NBLK * NW)
-    parts = []
+    rungs = []
     for F in F_LADDER:
         L = NBLK * NW // F
         ubf = allub.reshape(Bq, L, F).max(axis=2) if F > 1 else allub
-        ub_s, ub_i = _topk_lanes(ubf, K_SEL + 1)
+        rungs.append(_topk_lanes(ubf, K_SEL + 1))
+    return cnt, fc, rungs
+
+
+def _pack_scan_out(cnt, rungs):
+    """Single-fetch packing: per rung [ub_s | ub_i], then the exact count
+    split into two f32 lanes (low 12 bits | high bits).  Region ids
+    < 2^24 are exact in f32; the i32 count splits so counts above 2^24
+    stay exact through the f32 buffer (a 5M-doc corpus already exceeds
+    2^22 matches on frequent unions)."""
+    parts = []
+    for ub_s, ub_i in rungs:
         parts.append(ub_s)
         parts.append(ub_i.astype(jnp.float32))
-    # single-fetch packing: region ids < 2^24 are exact in f32; the i32
-    # count splits into two 12/20-bit lanes so counts above 2^24 stay
-    # exact through the f32 buffer (a 5M-doc corpus already exceeds
-    # 2^22 matches on frequent unions)
     parts.append((cnt & 0xFFF)[:, None].astype(jnp.float32))
     parts.append((cnt >> 12)[:, None].astype(jnp.float32))
-    return jnp.concatenate(parts, axis=1), fc
+    return jnp.concatenate(parts, axis=1)
+
+
+_SCAN_STATICS = ("V", "Bq", "T", "S", "with_counts", "NF", "FCM",
+                 "with_filter", "rank_by_key", "with_three", "BS")
+
+
+@functools.partial(jax.jit, static_argnames=_SCAN_STATICS)
+def wand_scan(ppool, vpool, sp_prow, delw, sid, qargs, fcod, filtw, skeyb,
+              *, V, Bq, T, S, with_counts, NF=0, FCM=1, with_filter=False,
+              rank_by_key=False, with_three=False, BS=BSTEP):
+    """Single-device program: pools carry a leading D=1 device axis (the
+    same layout the mesh program shards), region ids are global."""
+    cnt, fc, rungs = _scan_local(
+        ppool[0], vpool[0], sp_prow, delw, sid, qargs, fcod, filtw, skeyb,
+        V=V, Bq=Bq, T=T, S=S, with_counts=with_counts, NF=NF, FCM=FCM,
+        with_filter=with_filter, rank_by_key=rank_by_key,
+        with_three=with_three, BS=BS)
+    return _pack_scan_out(cnt, rungs), fc
+
+
+def make_wand_scan_mesh(mesh, statics: dict):
+    """shard_map program: the TPU-native restatement of the reference's
+    every-query-to-every-shard fan-out (reference search.rs:1637-1743) for
+    the WAND engine.  The global block axis is partitioned contiguously
+    across mesh devices: each device owns its blocks' presence/bucket-max
+    pool rows ([D, PR, NW] sharded on the device axis), its slice of the
+    slot tables / deleted words / facet codes, and scans ONLY its blocks.
+    The per-rung top-(K_SEL+1) regions (ids globalized by the device's
+    bucket offset) are all-gathered over ICI and re-top-k'd on device —
+    exact, since the global top-(K+1) of a union is contained in the
+    union of per-part top-(K+1)s — and counts/facet histograms merge via
+    psum.  The host ladder + rescore is unchanged: it sees the same
+    packed buffer as the single-device program."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    D = int(mesh.devices.size)
+    KP = K_SEL + 1
+
+    def body(ppool, vpool, sp_prow, delw, sid, qargs, fcod, filtw, skeyb):
+        cnt, fc, rungs = _scan_local(
+            ppool[0], vpool[0], sp_prow, delw, sid, qargs, fcod, filtw,
+            skeyb, **statics)
+        NBLK_local = sp_prow.shape[1]
+        Bq = statics["Bq"]
+        parts = []
+        for (vals, ids), F in zip(rungs, F_LADDER):
+            off = jax.lax.axis_index("shards") * (NBLK_local * NW // F)
+            gi = ids + off
+            v_all = jax.lax.all_gather(vals, "shards")    # [D, Bq, KP]
+            i_all = jax.lax.all_gather(gi, "shards")
+            v2 = jnp.moveaxis(v_all, 0, 1).reshape(Bq, D * KP)
+            i2 = jnp.moveaxis(i_all, 0, 1).reshape(Bq, D * KP)
+            mv, sel = jax.lax.top_k(v2, KP)
+            mi = jnp.take_along_axis(i2, sel, axis=1)
+            parts.append(mv)
+            parts.append(mi.astype(jnp.float32))
+        cnt = jax.lax.psum(cnt, "shards")
+        fc = jax.lax.psum(fc, "shards")
+        parts.append((cnt & 0xFFF)[:, None].astype(jnp.float32))
+        parts.append((cnt >> 12)[:, None].astype(jnp.float32))
+        return jnp.concatenate(parts, axis=1)[None], fc[None]
+
+    in_specs = (
+        P("shards"), P("shards"),              # ppool, vpool (device axis)
+        P(None, "shards"),                     # sp_prow (block axis)
+        P("shards"), P("shards"),              # delw, sid (block axis)
+        P(None),                               # qargs replicated
+        P(None, "shards") if statics["NF"] else P(None),        # fcod
+        P("shards") if statics["with_filter"] else P(None),     # filtw
+        P("shards") if statics["rank_by_key"] else P(None),     # skeyb
+    )
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                   out_specs=(P("shards"), P("shards")), check_vma=False)
+    return jax.jit(lambda *a: tuple(x[0] for x in fn(*a)))
 
 
 def _topk_lanes(x, K: int):
@@ -417,14 +495,6 @@ def _unpack_qargs(buf, V, Bq, T, S):
     return slotmap, tslot, treq, tneg, wshard
 
 
-# NOT donated: concurrent searchers snapshot the pools outside the state
-# lock; donation would invalidate their references mid-flight.  Uploads are
-# rare after warmup, so the extra copy is cold-path only.
-@jax.jit
-def _pool_set(pool, rows, vals):
-    return pool.at[rows].set(vals)
-
-
 # ---------------------------------------------------------------------------
 # per-slot host rows + device pools
 
@@ -455,8 +525,10 @@ class WandState:
     and only pathological term churn triggers it.
     """
 
-    def __init__(self, index):
+    def __init__(self, index, mesh=None):
         self.index = index
+        self.mesh = mesh
+        self.D = int(mesh.devices.size) if mesh is not None else 1
         self.lock = threading.Lock()
         base = []
         b = 0
@@ -465,14 +537,25 @@ class WandState:
             b += sh.lexical.n_blocks
         self.block_base = base
         self.nblk = max(b, 1)
-        from ..utils import ceil_ladder
 
-        self.nblk_pad = ceil_ladder(self.nblk, 8)
+        # each device owns a contiguous nblk_local-block slice, scanned in
+        # bstep-block steps.  nblk_local is the minimal even split (so few-
+        # block corpora still spread over the mesh instead of piling onto
+        # device 0); bstep is the largest divisor <= BSTEP (padding the
+        # local slice to a BSTEP multiple would scan empty blocks at full
+        # cost — worse than a few extra scan steps)
+        self.nblk_local = max(1, -(-self.nblk // self.D))
+        self.bstep = next(b for b in (BSTEP, 4, 2, 1)
+                          if self.nblk_local % b == 0)
+        self.nblk_pad = self.nblk_local * self.D
+        self._mesh_fns: dict = {}
+        self._make_jits()
+
         blk_shard = np.zeros(self.nblk_pad, np.int32)
         for s, sh in enumerate(index.shards):
             blk_shard[base[s]: base[s] + sh.lexical.n_blocks] = s
         self.blk_shard = blk_shard
-        self.sid_dev = jnp.asarray(blk_shard)
+        self.sid_dev = self._put_blocks(blk_shard)
 
         delw = np.zeros((self.nblk_pad, NW), np.uint32)
         for s, sh in enumerate(index.shards):
@@ -485,7 +568,7 @@ class WandState:
                     np.bitwise_or.at(
                         delw, (g, local >> 5),
                         (np.uint32(1) << (local & 31).astype(np.uint32)))
-        self.delw_dev = jnp.asarray(delw)
+        self.delw_dev = self._put_blocks(delw)
         # sorted deleted ids per shard for the host rescore
         self.deleted_sorted = [
             np.sort(np.fromiter(sh.deleted, np.int64)) if sh.deleted
@@ -499,7 +582,8 @@ class WandState:
         # used by the dense-path tensors.  Exceeding the cap flushes and
         # rebuilds the whole cache — at 5M that rebuild uploads ~250 MB
         # through the tunnel per batch and collapses throughput 100x, so
-        # headroom matters far more than HBM thrift here.
+        # headroom matters far more than HBM thrift here.  Under a mesh
+        # the budget is per device (rows partition by block ownership).
         cap_mb = int(os.environ.get("SEEKSTORM_TPU_WAND_MB", "6144"))
         cap_bytes = cap_mb * 1024 * 1024
         # presence (u32) + per-bucket max impact (f32) rows, 8 KB each
@@ -511,26 +595,94 @@ class WandState:
         self._aux: dict = {}
         self._reset(init=True)
 
-    def aux(self, key, builder, device=True):
-        """(host, device) pair of an auxiliary array, built once."""
+    # -- device placement (mesh-aware) --------------------------------------
+
+    def _put_blocks(self, x):
+        """Upload with the BLOCK axis (axis 0) sharded over the mesh."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P("shards", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def _put_pool(self, x):
+        """Upload with the DEVICE axis (axis 0) sharded over the mesh."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.mesh, P("shards")))
+
+    def _put_cols(self, x):
+        """Upload with the block axis at AXIS 1 sharded over the mesh."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(None, "shards", *([None] * (x.ndim - 2)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def _make_jits(self):
+        """Shard-preserving pool updaters.  NOT donated: concurrent
+        searchers snapshot the pools outside the state lock; donation
+        would invalidate their references mid-flight.  Uploads are rare
+        after warmup, so the extra copy is cold-path only."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh_pool = NamedSharding(self.mesh, P("shards"))
+            sh_cols = NamedSharding(self.mesh, P(None, "shards"))
+        else:
+            sh_pool = sh_cols = None
+
+        def pool_set(pool, rows, vals):
+            D = pool.shape[0]
+            return pool.at[jnp.arange(D)[:, None], rows].set(vals)
+
+        def row_set(tab, rows, vals):
+            return tab.at[rows].set(vals)
+
+        def cat1(a, b):
+            return jnp.concatenate([a, b], axis=1)
+
+        def cat0(a, b):
+            return jnp.concatenate([a, b], axis=0)
+
+        self._pool_set = jax.jit(pool_set, out_shardings=sh_pool)
+        self._sp_set = jax.jit(row_set, out_shardings=sh_cols)
+        self._cat_pool = jax.jit(cat1, out_shardings=sh_pool)
+        self._cat_sp = jax.jit(cat0, out_shardings=sh_cols)
+
+    def aux(self, key, builder, device=True, axis=0):
+        """(host, device) pair of an auxiliary array, built once.  axis is
+        the position of the block/doc axis for mesh sharding (0 for
+        [NBLK, ...] bitmaps, 1 for [NF, NBLK*BLOCK] code columns)."""
         hit = self._aux.get(key)
         if hit is None:
             host = builder()
-            hit = self._aux[key] = (
-                host, jnp.asarray(host) if device else None)
+            if not device:
+                dev = None
+            elif axis == 0:
+                dev = self._put_blocks(host)
+            else:
+                dev = self._put_cols(host)
+            hit = self._aux[key] = (host, dev)
         return hit
 
     # -- row building -------------------------------------------------------
 
     def _reset(self, init=False):
-        self.ppool = jnp.zeros((64, NW), jnp.uint32)
-        self.vpool = jnp.zeros((64, NW), jnp.float32)
-        self.sp_prow = jnp.full((16, self.nblk_pad), -1, jnp.int32)
-        self.n_prows = 0
+        D = self.D
+        self.ppool = self._put_pool(np.zeros((D, 64, NW), np.uint32))
+        self.vpool = self._put_pool(np.zeros((D, 64, NW), np.float32))
+        self.sp_prow = self._put_cols(
+            np.full((16, self.nblk_pad), -1, np.int32))
+        self.n_prows = [0] * D
         self.n_slots = 0
         self.slot_cache: dict[int, _SlotRows] = {}
-        self._pend_prow: list[np.ndarray] = []     # stacked at upload
-        self._pend_vrow: list[np.ndarray] = []
+        self._pend_prow: list[list[np.ndarray]] = [[] for _ in range(D)]
+        self._pend_vrow: list[list[np.ndarray]] = [[] for _ in range(D)]
         self._pend_slot: list[np.ndarray] = []
 
     def _build_slot(self, h: int) -> _SlotRows:
@@ -566,10 +718,14 @@ class WandState:
                     np.r_[True, np.diff(buckets) != 0])
                 vrow = np.zeros(NW, np.float32)
                 vrow[buckets[starts]] = np.maximum.reduceat(imp, starts)
-                prow_vec[g] = self.n_prows
-                self._pend_prow.append(pw)
-                self._pend_vrow.append(vrow)
-                self.n_prows += 1
+                # pool rows live on the device that owns block g; prow
+                # values are device-LOCAL row ids (the block column
+                # determines the device under shard_map)
+                dev = g // self.nblk_local
+                prow_vec[g] = self.n_prows[dev]
+                self._pend_prow[dev].append(pw)
+                self._pend_vrow[dev].append(vrow)
+                self.n_prows[dev] += 1
                 keys_parts.append((np.uint32(g) << np.uint32(16))
                                   | ids.astype(np.uint32))
                 imp_parts.append(imp)
@@ -597,7 +753,7 @@ class WandState:
         with METRICS.timer("wand_build"):
             for h in missing:
                 self.slot_cache[h] = self._build_slot(h)
-            if (self.n_prows > self.cap_prows
+            if (max(self.n_prows) > self.cap_prows
                     or self.n_slots > self.cap_slots):
                 METRICS.inc("wand_resets_total")
                 self._reset()
@@ -606,47 +762,72 @@ class WandState:
             METRICS.inc("wand_rows_built_total", len(missing))
             self._upload_pending()
 
-    def _grow(self, pool, n_rows):
+    def _grow_pool(self, pool, n_rows):
+        """Grow a [D, PR, ...] pool's row capacity (axis 1), keeping ONE
+        spare row past the high-water mark as the pad-write scratch."""
         from ..utils import ceil_pow2
 
-        if pool.shape[0] >= n_rows:
+        if pool.shape[1] >= n_rows:
             return pool
-        grow = ceil_pow2(max(n_rows, pool.shape[0] * 2), 16)
-        pad = jnp.zeros((grow - pool.shape[0],) + pool.shape[1:], pool.dtype)
-        if pool.dtype == jnp.int32:
-            pad = pad - 1
-        return jnp.concatenate([pool, pad], axis=0)
+        grow = ceil_pow2(max(n_rows, pool.shape[1] * 2), 16)
+        pad = self._put_pool(np.zeros(
+            (pool.shape[0], grow - pool.shape[1]) + pool.shape[2:],
+            pool.dtype))
+        return self._cat_pool(pool, pad)
+
+    def _grow_sp(self, tab, n_rows):
+        from ..utils import ceil_pow2
+
+        if tab.shape[0] >= n_rows:
+            return tab
+        grow = ceil_pow2(max(n_rows, tab.shape[0] * 2), 16)
+        pad = self._put_cols(
+            np.full((grow - tab.shape[0], tab.shape[1]), -1, np.int32))
+        return self._cat_sp(tab, pad)
 
     def _upload_pending(self):
-        if self._pend_prow:
-            n0 = self.n_prows - len(self._pend_prow)
-            rows = jnp.asarray(
-                np.arange(n0, self.n_prows, dtype=np.int32))
-            self.ppool = _pool_set(self._grow(self.ppool, self.n_prows),
-                                   rows,
-                                   jnp.asarray(np.stack(self._pend_prow)))
-            self.vpool = _pool_set(self._grow(self.vpool, self.n_prows),
-                                   rows,
-                                   jnp.asarray(np.stack(self._pend_vrow)))
-            self._pend_prow.clear()
-            self._pend_vrow.clear()
+        D = self.D
+        U = max(len(p) for p in self._pend_prow)
+        if U:
+            # pad every device's update list to U with writes into its
+            # first UNALLOCATED row (scratch; +1 in the growth keeps it
+            # in-capacity) so one scatter covers all devices
+            self.ppool = self._grow_pool(self.ppool, max(self.n_prows) + 1)
+            self.vpool = self._grow_pool(self.vpool, max(self.n_prows) + 1)
+            rows = np.zeros((D, U), np.int32)
+            pv = np.zeros((D, U, NW), np.uint32)
+            vv = np.zeros((D, U, NW), np.float32)
+            for d in range(D):
+                k = len(self._pend_prow[d])
+                rows[d, :k] = np.arange(self.n_prows[d] - k, self.n_prows[d])
+                rows[d, k:] = self.n_prows[d]
+                if k:
+                    pv[d, :k] = np.stack(self._pend_prow[d])
+                    vv[d, :k] = np.stack(self._pend_vrow[d])
+                self._pend_prow[d].clear()
+                self._pend_vrow[d].clear()
+            rows_d = jnp.asarray(rows)
+            self.ppool = self._pool_set(self.ppool, rows_d, jnp.asarray(pv))
+            self.vpool = self._pool_set(self.vpool, rows_d, jnp.asarray(vv))
         if self._pend_slot:
             n0 = self.n_slots - len(self._pend_slot)
             rows = jnp.asarray(np.arange(n0, self.n_slots, dtype=np.int32))
-            self.sp_prow = _pool_set(
-                self._grow(self.sp_prow, self.n_slots), rows,
+            self.sp_prow = self._sp_set(
+                self._grow_sp(self.sp_prow, self.n_slots), rows,
                 jnp.asarray(np.stack(self._pend_slot)))
             self._pend_slot.clear()
 
 
 def get_state(index) -> WandState:
-    """WandState keyed on the live StackedIndex (rebuilds on commit/delete)."""
+    """WandState keyed on the live StackedIndex (rebuilds on commit/delete,
+    and on mesh attach — attach_mesh marks the device state dirty, so the
+    rebuilt state partitions its pools over the mesh)."""
     from ..search import _get_stacked
 
     st = _get_stacked(index)
     ws = getattr(st, "_wand", None)
     if ws is None:
-        ws = st._wand = WandState(index)
+        ws = st._wand = WandState(index, st.mesh)
     return ws
 
 
@@ -675,9 +856,9 @@ def precompile(index, batch_sizes=(128,), v_buckets=(64, 256),
     dummy_u = jnp.zeros((1, 1), jnp.uint32)
     dummy_f = jnp.zeros((1, 1), jnp.float32)
     with state.lock:
-        state.ppool = state._grow(state.ppool, pool_rows)
-        state.vpool = state._grow(state.vpool, pool_rows)
-        state.sp_prow = state._grow(state.sp_prow, slot_rows)
+        state.ppool = state._grow_pool(state.ppool, pool_rows)
+        state.vpool = state._grow_pool(state.vpool, pool_rows)
+        state.sp_prow = state._grow_sp(state.sp_prow, slot_rows)
         pools = (state.ppool, state.vpool, state.sp_prow,
                  state.delw_dev, state.sid_dev)
     for B in batch_sizes:
@@ -689,13 +870,28 @@ def precompile(index, batch_sizes=(128,), v_buckets=(64, 256),
                 np.zeros((Bq, T), bool), np.zeros((Bq, T), bool),
                 np.zeros((index.shard_count, Bq, T), np.float32)))
             for wc in (False, True):
-                packed, fc = wand_scan(
-                    *pools, qargs, dummy_i, dummy_u, dummy_f,
-                    V=V, Bq=Bq, T=T, S=index.shard_count,
-                    with_counts=wc)
+                statics = dict(V=V, Bq=Bq, T=T, S=index.shard_count,
+                               with_counts=wc, NF=0, FCM=1,
+                               with_filter=False, rank_by_key=False,
+                               with_three=False, BS=state.bstep)
+                packed, fc = _dispatch_scan(
+                    state, pools + (qargs, dummy_i, dummy_u, dummy_f),
+                    statics)
                 np.asarray(packed)
                 n += 1
     return n
+
+
+def _dispatch_scan(state: WandState, args, statics: dict):
+    """Route one scan dispatch to the single-device jit or the cached
+    per-statics mesh shard_map program."""
+    if state.mesh is None:
+        return wand_scan(*args, **statics)
+    key = tuple(sorted(statics.items()))
+    fn = state._mesh_fns.get(key)
+    if fn is None:
+        fn = state._mesh_fns[key] = make_wand_scan_mesh(state.mesh, statics)
+    return fn(*args)
 
 
 def query_ok(spec) -> bool:
@@ -1234,20 +1430,24 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
     dummy_u = jnp.zeros((1, 1), jnp.uint32)
     dummy_f = jnp.zeros((1, 1), jnp.float32)
     rank_mode = rank_key_host is not None
+    statics = dict(
+        V=V, Bq=Bq, T=T, S=S,
+        with_counts=with_counts, NF=n_facets, FCM=fcm,
+        with_filter=filtw_dev is not None,
+        rank_by_key=rank_mode,
+        with_three=any(
+            sum(1 for t in sp.slots if not sp.negated.get(t, False))
+            >= 3 for sp in specs),
+        BS=state.bstep)
     METRICS.inc("device_dispatch_total")
     with METRICS.timer("lex_device"):
-        packed_d, fc_d = wand_scan(
-            *pools, qargs,
-            fcod_dev if n_facets else dummy_i,
-            filtw_dev if filtw_dev is not None else dummy_u,
-            skeyb_dev if rank_mode else dummy_f,
-            V=V, Bq=Bq, T=T, S=S,
-            with_counts=with_counts, NF=n_facets, FCM=fcm,
-            with_filter=filtw_dev is not None,
-            rank_by_key=rank_mode,
-            with_three=any(
-                sum(1 for t in sp.slots if not sp.negated.get(t, False))
-                >= 3 for sp in specs))
+        packed_d, fc_d = _dispatch_scan(
+            state,
+            pools + (qargs,
+                     fcod_dev if n_facets else dummy_i,
+                     filtw_dev if filtw_dev is not None else dummy_u,
+                     skeyb_dev if rank_mode else dummy_f),
+            statics)
         packed = np.asarray(packed_d)
         fc = np.asarray(fc_d)[:, :B] if n_facets else None
     KP = K_SEL + 1

@@ -1530,7 +1530,8 @@ def _lexical_search_batch(
                         ("facets", fkey),
                         lambda: _wand_facet_codes(
                             index, wstate, [rt.codes_for(qf)[0]
-                                            for qf, _, _ in facet_specs]))
+                                            for qf, _, _ in facet_specs]),
+                        axis=1)
                 wfilt_dev = wfilt_host = None
                 if req0.facet_filter:
                     wfilt_host, wfilt_dev = wstate.aux(

@@ -128,3 +128,85 @@ def test_mesh_throughput_shape_divides(tmp_index_dir, rng):
     st.search_batch(idx, reqs)
     after = M.METRICS._counters.get("device_dispatch_total", 0)
     assert after - before == 1, (before, after)
+
+
+def test_mesh_wand_matches_single_device(tmp_index_dir, rng, monkeypatch):
+    """The bucket-WAND engine (the default serving path at reference scale)
+    under the 8-device mesh: partitioned presence/bucket-max pools, per-
+    device scan, ICI all-gather merge — pages and counts must match the
+    single-device WAND path and the dense kernels."""
+    from tests.test_wand import _Page
+
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    docs = make_docs(rng, 900)
+    idx = st.create_index(tmp_index_dir, std_schema(), shard_count=8)
+    idx.index_documents(docs)
+    idx.commit()
+
+    queries = [
+        ("w001 w004", st.QueryType.Union),
+        ("w002 w003", st.QueryType.Intersection),
+        ("w000", st.QueryType.Union),
+        ("+w001 w005", st.QueryType.Union),
+        ("-w000 w001 w002", st.QueryType.Union),
+        ("w004 w005 w006", st.QueryType.Union),
+    ]
+
+    def run_all():
+        out = []
+        for q, ty in queries:
+            rs = idx.search(st.SearchRequest(
+                query=q, length=10, result_type=st.ResultType.TopkCount,
+                query_type_default=ty, realtime=False))
+            out.append(_Page(rs))
+        return out
+
+    single = run_all()
+
+    # dense parity (counts exact on both engines)
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_WAND", "1")
+    monkeypatch.delenv("SEEKSTORM_TPU_WAND", raising=False)
+    dense = run_all()
+    monkeypatch.delenv("SEEKSTORM_TPU_NO_WAND", raising=False)
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    assert single == dense
+
+    idx.attach_mesh()
+    assert idx._mesh.devices.size == 8
+
+    from seekstorm_tpu.ops import wand as wand_mod
+
+    state = wand_mod.get_state(idx)
+    assert state.mesh is not None and state.D == 8
+    # pools are partitioned: device axis sharded over the mesh
+    assert state.ppool.shape[0] == 8
+    assert len(state.ppool.sharding.device_set) == 8
+
+    meshed = run_all()
+    assert meshed == single
+
+    # the populated pools really live sharded across all 8 devices
+    assert len(state.ppool.sharding.device_set) == 8, \
+        state.ppool.sharding
+    assert len(state.sp_prow.sharding.device_set) == 8
+    # per-device row partition is balanced over the 8 real blocks
+    assert sum(1 for n in state.n_prows if n > 0) >= 4, state.n_prows
+
+
+def test_mesh_wand_count_only(tmp_index_dir, rng, monkeypatch):
+    """ResultType.Count under the mesh: the psum'd phase-1 popcount is the
+    answer (no rescore)."""
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    docs = make_docs(rng, 400)
+    idx = st.create_index(tmp_index_dir, std_schema(), shard_count=8)
+    idx.index_documents(docs)
+    idx.commit()
+    bf = BruteForce(idx, docs)
+
+    idx.attach_mesh()
+    for q, ty in [("w001 w002", "Union"), ("w001 w002", "Intersection")]:
+        expected = bf.score(q, ty)
+        rs = idx.search(st.SearchRequest(
+            query=q, result_type=st.ResultType.Count,
+            query_type_default=st.QueryType(ty), realtime=False))
+        assert rs.result_count_total == len(expected), (q, ty)
