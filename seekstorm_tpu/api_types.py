@@ -332,4 +332,8 @@ def result_set_to_json(rs, req: SearchRequest, original_query: str) -> dict:
         ],
         "facets": {k: [[str(a), b] for a, b in v] for k, v in rs.facets.items()},
         "suggestions": rs.suggestions,
+        # vector-search work counters (reference observed_vector_count /
+        # observed_cluster_count, search.rs:200-204)
+        "observed_vector_count": rs.observed_vector_count,
+        "observed_cluster_count": rs.observed_cluster_count,
     }

@@ -1283,9 +1283,13 @@ class Index:
     def warmup(self, k: int = 1000, batch: int = 256) -> None:
         """Precompute cached results for every frequent word present in the
         index (reference warmup index.rs:4006-4058, invoked from commit
-        commit.rs:148): top-k doc ids + scores + exact counts, served to
-        single-term queries without touching the scoring kernel."""
-        from .search import ResultType, SearchRequest, search_batch
+        commit.rs:148): top-k doc ids + scores + exact counts — AND the
+        string-facet histograms over all matching docs (the reference
+        caches `facets` alongside the result page, index.rs:4035-4050),
+        served to single-term faceted queries without touching the
+        scoring kernel."""
+        from .search import (QueryFacet, ResultType, SearchRequest,
+                             search_batch)
 
         present = []
         for w in sorted(self._frequent_words):
@@ -1294,12 +1298,20 @@ class Index:
                    and sh.lexical.directory.lookup(h) >= 0
                    for sh in self.shards):
                 present.append(w)
+        # plain string-facet histograms (reference get_index_string_facets
+        # semantics): every string/stringset facet field, full depth
+        facet_specs = [
+            QueryFacet(field=sf.field, length=k)
+            for sf in self.facet_fields
+            if sf.field_type.is_string_facet
+        ]
         cache: dict[int, tuple] = {}
         for i in range(0, len(present), batch):
             chunk = present[i : i + batch]
             reqs = [
                 SearchRequest(query=w, length=k, realtime=False,
-                              result_type=ResultType.TopkCount)
+                              result_type=ResultType.TopkCount,
+                              query_facets=list(facet_specs))
                 for w in chunk
             ]
             for w, rs in zip(chunk, search_batch(self, reqs)):
@@ -1307,6 +1319,7 @@ class Index:
                     np.array([r.score for r in rs.results], np.float32),
                     np.array([r.doc_id for r in rs.results], np.int64),
                     rs.result_count_total,
+                    dict(rs.facets),
                 )
         self._warmup_cache = cache
         self._warmup_k = k

@@ -189,3 +189,104 @@ def medoid_select(
     sel = sel & (scores >= cluster_thr[:, None])
     sel = sel | always_scan[None, :]
     return sel, scores
+
+
+# ---------------------------------------------------------------------------
+# mesh (shard_map) programs: the TPU-native restatement of the reference's
+# per-shard vector fan-out (reference search.rs:1698-1740, vector.rs:1202).
+# Shard tensors are stacked [S, ...] and sharded over the mesh's "shards"
+# axis; each device scans its S/D local shards and the per-shard top-k
+# merges over ICI (all_gather; counts via psum).
+
+
+def make_medoid_mesh(mesh, statics: dict):
+    """Cluster-selection program.  Returns, replicated per device:
+      any_sel bool[S, C_pad]  batch-union cluster selection per shard
+                              (drives host tile selection),
+      obs_cl  i32[B]          observed clusters per query (psum),
+      obs_vec f32[B]          observed vectors per query (psum of selected
+                              clusters' child counts; exact below 2^24).
+    The observed counters mirror the reference's observed_cluster_count /
+    observed_vector_count (reference search.rs:200-204)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    S = statics["S"]
+    SL = S // int(mesh.devices.size)
+
+    def body(med_data, m_scale, m_zp, m_qsum, m_norm2, m_valid, always_scan,
+             sizes, q_data, q_scale, q_zp, q_qsum, q_norm2, cluster_thr):
+        sels, ocl, ovec = [], 0, 0.0
+        for j in range(SL):
+            sel, _ = medoid_select(
+                med_data[j], m_scale[j], m_zp[j], m_qsum[j], m_norm2[j],
+                m_valid[j], always_scan[j],
+                q_data, q_scale, q_zp, q_qsum, q_norm2, cluster_thr,
+                quantized=statics["quantized"],
+                euclidean=statics["euclidean"],
+                nprobe=statics["nprobe"])
+            # shards with fewer valid clusters than nprobe tie at -inf:
+            # keep selection (and the observed counters) to real clusters
+            sel = sel & m_valid[j][None, :]
+            sels.append(jnp.any(sel, axis=0))
+            ocl = ocl + jnp.sum(sel, axis=1, dtype=jnp.int32)
+            ovec = ovec + sel.astype(jnp.float32) @ sizes[j]
+        any_sel = jnp.stack(sels)                       # [SL, C_pad]
+        any_all = jax.lax.all_gather(any_sel, "shards")  # [D, SL, C_pad]
+        any_all = any_all.reshape(S, any_sel.shape[1])
+        ocl = jax.lax.psum(ocl, "shards")
+        ovec = jax.lax.psum(ovec, "shards")
+        return any_all[None], ocl[None], ovec[None]
+
+    in_specs = (P("shards"),) * 8 + (P(None),) * 6
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                   out_specs=(P("shards"),) * 3, check_vma=False)
+    return jax.jit(lambda *a: tuple(x[0] for x in fn(*a)))
+
+
+def make_vector_scan_mesh(mesh, statics: dict):
+    """Tiled distance-scan program over the mesh.  Each device scans its
+    local shards' selected tiles (or everything, exhaustive mode) and the
+    candidates merge over ICI.  Returns (ts f32[B, S*k], gid i32[B, S*k],
+    counts i32[B]) — gid = docid * S + shard (reference doc-id
+    globalization, search.rs:1671); the host dedups multi-vector docs."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    S = statics["S"]
+    SL = S // int(mesh.devices.size)
+    k = statics["k"]
+
+    def body(data, r_scale, r_zp, r_qsum, r_norm2, row_docid, row_field,
+             deleted, tile_ids, field_ok,
+             q_data, q_scale, q_zp, q_qsum, q_norm2, score_min):
+        didx = jax.lax.axis_index("shards")
+        ts_l, gid_l, cnt = [], [], 0
+        for j in range(SL):
+            ts, rows, c = vector_scan_topk(
+                data[j], r_scale[j], r_zp[j], r_qsum[j], r_norm2[j],
+                row_docid[j], row_field[j], deleted[j], tile_ids[j],
+                field_ok,
+                q_data, q_scale, q_zp, q_qsum, q_norm2, score_min,
+                k=k, quantized=statics["quantized"],
+                euclidean=statics["euclidean"],
+                with_counts=statics["with_counts"],
+                exhaustive=statics["exhaustive"],
+                use_field_filter=statics["use_field_filter"])
+            did = jnp.take(row_docid[j].reshape(-1), jnp.maximum(rows, 0))
+            gid = did * S + (didx * SL + j)
+            ts_l.append(ts)
+            gid_l.append(gid)
+            cnt = cnt + c
+        B = ts_l[0].shape[0]
+        ts_all = jax.lax.all_gather(jnp.stack(ts_l), "shards")
+        gid_all = jax.lax.all_gather(jnp.stack(gid_l), "shards")
+        cnt = jax.lax.psum(cnt, "shards")
+        ts_m = jnp.transpose(ts_all, (2, 0, 1, 3)).reshape(B, S * k)
+        gid_m = jnp.transpose(gid_all, (2, 0, 1, 3)).reshape(B, S * k)
+        return ts_m[None], gid_m[None], cnt[None]
+
+    in_specs = (P("shards"),) * 9 + (P(None),) * 7
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                   out_specs=(P("shards"),) * 3, check_vma=False)
+    return jax.jit(lambda *a: tuple(x[0] for x in fn(*a)))

@@ -72,6 +72,11 @@ BSTEP = 8                      # blocks processed per scan step (overhead
 # below it the dense kernels win (one decode serves the whole batch)
 WAND_MIN_BLOCKS = int(os.environ.get("SEEKSTORM_TPU_WAND_MIN_BLOCKS", "16"))
 
+# guards the per-index adaptive-gate counters (_wand_stats/_wand_skips):
+# concurrent searcher threads read-modify-write them (SURVEY §5 sanitizers
+# row; worst case unlocked was misrouting, but keep it correct)
+_STATS_LOCK = threading.Lock()
+
 
 def wand_enabled() -> bool:
     return not os.environ.get("SEEKSTORM_TPU_NO_WAND")
@@ -98,16 +103,17 @@ def wand_auto(index) -> bool:
         return True
     if max(sh.lexical.n_blocks for sh in index.shards) < WAND_MIN_BLOCKS:
         return False
-    st_ = getattr(index, "_wand_stats", None)
-    if st_ is not None and st_[1] >= 256 and st_[0] * 2 > st_[1]:
-        # closed gate: let every 64th batch through as a probe so the
-        # (decaying) sample keeps refreshing — without it the first bad
-        # warm sample would latch the index onto the dense kernels
-        # forever
-        skip = getattr(index, "_wand_skips", 0) + 1
-        index._wand_skips = skip
-        if skip % 64 != 0:
-            return False
+    with _STATS_LOCK:
+        st_ = getattr(index, "_wand_stats", None)
+        if st_ is not None and st_[1] >= 256 and st_[0] * 2 > st_[1]:
+            # closed gate: let every 64th batch through as a probe so the
+            # (decaying) sample keeps refreshing — without it the first bad
+            # warm sample would latch the index onto the dense kernels
+            # forever
+            skip = getattr(index, "_wand_skips", 0) + 1
+            index._wand_skips = skip
+            if skip % 64 != 0:
+                return False
     return jax.default_backend() == "tpu"
 
 
@@ -1530,12 +1536,13 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
     # exponentially (halved at 2048) so a bad warm sample is not a
     # permanent latch: routing recovers if later traffic terminates.
     if not rank_mode:
-        st_ = getattr(index, "_wand_stats", None)
-        if st_ is None:
-            st_ = index._wand_stats = [0, 0]
-        st_[0] += len(pending)
-        st_[1] += B
-        if st_[1] > 2048:
-            st_[0] //= 2
-            st_[1] //= 2
+        with _STATS_LOCK:
+            st_ = getattr(index, "_wand_stats", None)
+            if st_ is None:
+                st_ = index._wand_stats = [0, 0]
+            st_[0] += len(pending)
+            st_[1] += B
+            if st_[1] > 2048:
+                st_[0] //= 2
+                st_[1] //= 2
     return out_scores, out_gids, counts, fc

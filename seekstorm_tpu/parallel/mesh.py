@@ -223,20 +223,25 @@ def make_sharded_scan_join(mesh, statics):
 
     S = statics["S"]
 
+    SL = S // int(mesh.devices.size)
+
     def body(dev_docid, dev_imp, deleted, plan_buf, bitmaps, sat1):
-        rows, packA, packB, segp, rowtab, W, isreq, isneg, nreq = \
-            _unpack_plan_join(
-                plan_buf[0], statics["B"], statics["V"], statics["NR"],
-                statics["NS"], statics["NBp"])
-        ts, ti = join_scan(
-            dev_docid[0], dev_imp[0], sat1[0], bitmaps[0],
-            rows, packA, packB, segp, rowtab, W, isreq, isneg, nreq,
-            k=statics["k"], PW=statics["PW"], has_bm=statics["has_bm"],
-        )
-        B = ts.shape[0]
-        cnt = jnp.zeros((B,), jnp.int32)
-        fc = jnp.zeros((1, B, 1), jnp.float32)
-        return _merge_body(ts, ti, cnt, fc, S, statics["k"])
+        parts = []
+        for j in range(SL):
+            rows, packA, packB, segp, rowtab, W, isreq, isneg, nreq = \
+                _unpack_plan_join(
+                    plan_buf[j], statics["B"], statics["V"], statics["NR"],
+                    statics["NS"], statics["NBp"])
+            ts, ti = join_scan(
+                dev_docid[j], dev_imp[j], sat1[j], bitmaps[j],
+                rows, packA, packB, segp, rowtab, W, isreq, isneg, nreq,
+                k=statics["k"], PW=statics["PW"], has_bm=statics["has_bm"],
+            )
+            B = ts.shape[0]
+            cnt = jnp.zeros((B,), jnp.int32)
+            fc = jnp.zeros((1, B, 1), jnp.float32)
+            parts.append((ts, ti, cnt, fc))
+        return _merge_body(parts, S, statics["k"])
 
     fn = shard_map(
         body, mesh=mesh,
@@ -331,20 +336,25 @@ def make_sharded_scan_qt(mesh, statics):
 
     S = statics["S"]
 
+    SL = S // int(mesh.devices.size)
+
     def body(dev_docid, dev_imp, deleted, plan_buf, bitmaps, sat1):
-        bi, c_row, c_se, qid, W, M, nr, did, dsl = _unpack_plan_qt(
-            plan_buf[0], statics["T"], statics["NC"], statics["QTn"],
-            statics["V"], statics["B"], statics["VD"], statics["NW"])
-        ts, ti = lexical_scan_qt(
-            dev_docid[0], dev_imp[0], deleted[0],
-            bi, c_row, c_se, qid, W, M, nr,
-            bitmaps[0], sat1[0], did, dsl,
-            k=statics["k"], fast=statics["fast"],
-        )
-        B = ts.shape[0]
-        cnt = jnp.zeros((B,), jnp.int32)
-        fc = jnp.zeros((1, B, 1), jnp.float32)
-        return _merge_body(ts, ti, cnt, fc, S, statics["k"])
+        parts = []
+        for j in range(SL):
+            bi, c_row, c_se, qid, W, M, nr, did, dsl = _unpack_plan_qt(
+                plan_buf[j], statics["T"], statics["NC"], statics["QTn"],
+                statics["V"], statics["B"], statics["VD"], statics["NW"])
+            ts, ti = lexical_scan_qt(
+                dev_docid[j], dev_imp[j], deleted[j],
+                bi, c_row, c_se, qid, W, M, nr,
+                bitmaps[j], sat1[j], did, dsl,
+                k=statics["k"], fast=statics["fast"],
+            )
+            B = ts.shape[0]
+            cnt = jnp.zeros((B,), jnp.int32)
+            fc = jnp.zeros((1, B, 1), jnp.float32)
+            parts.append((ts, ti, cnt, fc))
+        return _merge_body(parts, S, statics["k"])
 
     fn = shard_map(
         body, mesh=mesh,
@@ -404,17 +414,27 @@ def merge_shard_results(ts_all, gid_all, cnt_all, fc_all, *, k: int):
 # mesh (shard_map) programs
 
 
-def _merge_body(ts, ti, cnt, fc, S, k):
-    sid = jax.lax.axis_index("shards")
-    gid = ti * S + sid
+def _merge_body(parts, S, k):
+    """parts: per-LOCAL-shard (ts, ti, cnt, fc) results on this device
+    (devices own S // D contiguous shards each when the mesh is smaller
+    than the shard count).  Globalizes doc ids, then merges across the
+    mesh via ICI collectives."""
+    SL = len(parts)
+    didx = jax.lax.axis_index("shards")
+    ts_l = jnp.stack([p[0] for p in parts])            # [SL, B, k]
+    gid_l = jnp.stack([p[1] * S + (didx * SL + j)
+                       for j, p in enumerate(parts)])
+    cnt = sum(p[2] for p in parts)
+    fc = sum(p[3] for p in parts)
     # ICI collectives: gather every shard's top-k, merge on device
-    ts_all = jax.lax.all_gather(ts, "shards")    # [S, B, k]
-    gid_all = jax.lax.all_gather(gid, "shards")
+    ts_all = jax.lax.all_gather(ts_l, "shards")        # [D, SL, B, k]
+    gid_all = jax.lax.all_gather(gid_l, "shards")
     cnt_sum = jax.lax.psum(cnt, "shards")
     fc_sum = jax.lax.psum(fc, "shards")
-    B = ts.shape[0]
-    ts_t = jnp.transpose(ts_all, (1, 0, 2)).reshape(B, S * k)
-    gid_t = jnp.transpose(gid_all, (1, 0, 2)).reshape(B, S * k)
+    B = ts_l.shape[1]
+    D = ts_all.shape[0]
+    ts_t = jnp.transpose(ts_all, (2, 0, 1, 3)).reshape(B, D * SL * k)
+    gid_t = jnp.transpose(gid_all, (2, 0, 1, 3)).reshape(B, D * SL * k)
     mts, sel = jax.lax.top_k(ts_t, k)
     mgid = jnp.take_along_axis(gid_t, sel, axis=1)
     f32_part, i32_part = _pack_result(mts, mgid, cnt_sum, fc_sum)
@@ -430,22 +450,27 @@ def make_sharded_scan_imp(mesh, statics):
 
     S = statics["S"]
 
+    SL = S // int(mesh.devices.size)
+
     def body(dev_docid, dev_imp, deleted, plan_buf, facet_codes, sort_key,
              bitmaps, sat1):
-        bi, c_row, c_se, qw, W, M, nr, did, dsl = _unpack_plan_imp(
-            plan_buf[0], statics["NB"], statics["NC"], statics["V"],
-            statics["B"], statics["VD"], statics["NW"])
-        ts, ti, cnt, fc = lexical_scan_imp(
-            dev_docid[0], dev_imp[0], deleted[0],
-            bi, c_row, c_se, qw, W, M, nr,
-            facet_codes[0], sort_key[0], bitmaps[0], sat1[0], did, dsl,
-            k=statics["k"], with_counts=statics["with_counts"],
-            n_facets=statics["n_facets"],
-            facet_codes_max=statics["facet_codes_max"],
-            use_sort_key=statics["use_sort_key"],
-            sort_desc=statics["sort_desc"], fast=statics["fast"],
-        )
-        return _merge_body(ts, ti, cnt, fc, S, statics["k"])
+        parts = []
+        for j in range(SL):
+            bi, c_row, c_se, qw, W, M, nr, did, dsl = _unpack_plan_imp(
+                plan_buf[j], statics["NB"], statics["NC"], statics["V"],
+                statics["B"], statics["VD"], statics["NW"])
+            ts, ti, cnt, fc = lexical_scan_imp(
+                dev_docid[j], dev_imp[j], deleted[j],
+                bi, c_row, c_se, qw, W, M, nr,
+                facet_codes[j], sort_key[j], bitmaps[j], sat1[j], did, dsl,
+                k=statics["k"], with_counts=statics["with_counts"],
+                n_facets=statics["n_facets"],
+                facet_codes_max=statics["facet_codes_max"],
+                use_sort_key=statics["use_sort_key"],
+                sort_desc=statics["sort_desc"], fast=statics["fast"],
+            )
+            parts.append((ts, ti, cnt, fc))
+        return _merge_body(parts, S, statics["k"])
 
     fn = shard_map(
         body, mesh=mesh,
@@ -464,22 +489,28 @@ def make_sharded_scan_tf(mesh, statics):
 
     S = statics["S"]
 
+    SL = S // int(mesh.devices.size)
+
     def body(pl_docid, pl_tf, comp, deleted, plan_buf, facet_codes, sort_key,
              dense_tf):
-        bi, so, sl, qw, W, M, nr, bst, did, dsl = _unpack_plan_tf(
-            plan_buf[0], statics["NB"], statics["V"], statics["B"],
-            statics["F"], statics["VD"])
-        ts, ti, cnt, fc = lexical_scan(
-            pl_docid[0], pl_tf[0], comp[0], deleted[0],
-            bi, so, sl, qw, W, M, nr, bst,
-            facet_codes[0], sort_key[0], dense_tf[0], did, dsl,
-            P_max=statics["P_max"], k=statics["k"],
-            with_counts=statics["with_counts"], n_facets=statics["n_facets"],
-            facet_codes_max=statics["facet_codes_max"],
-            use_sort_key=statics["use_sort_key"],
-            sort_desc=statics["sort_desc"],
-        )
-        return _merge_body(ts, ti, cnt, fc, S, statics["k"])
+        parts = []
+        for j in range(SL):
+            bi, so, sl, qw, W, M, nr, bst, did, dsl = _unpack_plan_tf(
+                plan_buf[j], statics["NB"], statics["V"], statics["B"],
+                statics["F"], statics["VD"])
+            ts, ti, cnt, fc = lexical_scan(
+                pl_docid[j], pl_tf[j], comp[j], deleted[j],
+                bi, so, sl, qw, W, M, nr, bst,
+                facet_codes[j], sort_key[j], dense_tf[j], did, dsl,
+                P_max=statics["P_max"], k=statics["k"],
+                with_counts=statics["with_counts"],
+                n_facets=statics["n_facets"],
+                facet_codes_max=statics["facet_codes_max"],
+                use_sort_key=statics["use_sort_key"],
+                sort_desc=statics["sort_desc"],
+            )
+            parts.append((ts, ti, cnt, fc))
+        return _merge_body(parts, S, statics["k"])
 
     fn = shard_map(
         body, mesh=mesh,

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import csv
 import io
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 
 
@@ -98,22 +98,69 @@ class SymSpell:
         out.sort(key=lambda x: (x[1], -x[2], x[0]))
         return out[:length]
 
+    def _known(self, w: str) -> bool:
+        return self.words.get(w, 0) >= self.count_threshold
+
+    def _token_best(self, t: str, me: int):
+        """Best single-token resolution: direct correction OR a split into
+        two dictionary words -> (distance, -count, replacement) or None.
+
+        Split distance is 1 (the inserted space) and its count proxy is
+        the rarer part's count — SymSpell's naive-Bayes product ranks
+        identically under a fixed corpus size for the tie cases here."""
+        cands = []
+        b = self.lookup(t, me, length=1)
+        if b:
+            cands.append((b[0][1], -b[0][2], b[0][0]))
+        if len(t) >= 4:
+            for p in range(2, len(t) - 1):
+                a, c = t[:p], t[p:]
+                if self._known(a) and self._known(c):
+                    cands.append(
+                        (1, -min(self.words[a], self.words[c]),
+                         a + " " + c))
+        return min(cands) if cands else None
+
     def lookup_compound(self, terms: list[str], max_edit: int | None = None,
                         min_len: int = 2) -> tuple[list[str], bool]:
-        """Correct a term list term-wise (compound-aware lookup analog,
-        reference search.rs:1324-1363).  Returns (terms, changed)."""
-        out = []
+        """Compound-aware correction of a term list (reference
+        lookup_compound_vec, wired at search.rs:1324-1363): each unknown
+        term tries (a) a direct correction, (b) a SPLIT at every position
+        into two dictionary words ("newyork" -> "new york"), and (c) a
+        MERGE with the following unknown term ("qui ckbrown" ->
+        "quickbrown" -> resolved again, so a merged pair can re-split
+        into the right words).  Candidates rank by (edit distance,
+        frequency); merges count the removed space as one edit.
+        Returns (terms, changed)."""
+        me = min(max_edit if max_edit is not None else self.max_edit,
+                 self.max_edit)
+        out: list[str] = []
         changed = False
-        for t in terms:
-            if len(t) < min_len:
+        i = 0
+        while i < len(terms):
+            t = terms[i]
+            if len(t) < min_len or self._known(t):
                 out.append(t)
+                i += 1
                 continue
-            best = self.lookup(t, max_edit, length=1)
-            if best and best[0][0] != t and best[0][1] > 0:
-                out.append(best[0][0])
+            best = self._token_best(t, me)
+            if i + 1 < len(terms):
+                nxt = terms[i + 1]
+                if len(nxt) >= 1 and not self._known(nxt):
+                    mb = self._token_best(t + nxt, me)
+                    if mb is not None:
+                        merged = (mb[0] + 1, mb[1], mb[2])
+                        if best is None or merged < best:
+                            out.extend(merged[2].split(" "))
+                            i += 2
+                            changed = True
+                            continue
+            if best is not None and best[2] != t and best[0] > 0:
+                out.extend(best[2].split(" "))
                 changed = True
             else:
                 out.append(t)
+            i += 1
         return out, changed
 
     # -- persistence (dictionary.csv, reference index.rs:96) -------------
@@ -133,21 +180,32 @@ class SymSpell:
         return s
 
 
-@dataclass
-class _TrieNode:
-    children: dict = field(default_factory=dict)  # edge label -> node
-    weight: int = 0          # weight of a complete term ending here (0 = none)
-    max_weight: int = 0      # max weight in subtree (pruning bound)
+class _RNode:
+    """Radix-trie node: children keyed by the edge label's first char,
+    storing (full edge label, child)."""
+
+    __slots__ = ("children", "weight", "max_weight")
+
+    def __init__(self):
+        self.children: dict[str, tuple[str, "_RNode"]] = {}
+        self.weight = 0       # weight of a complete term ending here
+        self.max_weight = 0   # max weight in subtree (pruning bound)
 
 
 class PruningRadixTrie:
-    """Top-k-pruned prefix trie (Garbe's PruningRadixTrie algorithm):
-    each node stores the max weight in its subtree, so top-k prefix lookups
-    expand only branches that can beat the current k-th best."""
+    """Top-k-pruned PATH-COMPRESSED trie (Garbe's PruningRadixTrie): edges
+    carry whole substrings, so node count tracks the number of terms (at
+    most 2n-1 nodes) instead of total characters — the reference depends
+    on the PruningRadixTrie crate for the same reason (index.rs:1745).
+    Each node stores the max weight in its subtree; top-k prefix lookups
+    run an ITERATIVE best-first expansion (max_weight-ordered heap) that
+    terminates as soon as the k-th collected weight beats the best
+    unexpanded subtree — sub-ms at 1M+ completions, no recursion limits."""
 
     def __init__(self, max_entries: int = 1_000_000):
-        self.root = _TrieNode()
+        self.root = _RNode()
         self.size = 0
+        self.node_count = 1
         self.max_entries = max_entries
         self._terms: dict[str, int] = {}
 
@@ -165,35 +223,76 @@ class PruningRadixTrie:
             self.size += 1
         node = self.root
         node.max_weight = max(node.max_weight, new_w)
-        for ch in term:
-            node = node.children.setdefault(ch, _TrieNode())
-            node.max_weight = max(node.max_weight, new_w)
+        pos = 0
+        while pos < len(term):
+            ent = node.children.get(term[pos])
+            if ent is None:
+                child = _RNode()
+                child.max_weight = new_w
+                node.children[term[pos]] = (term[pos:], child)
+                self.node_count += 1
+                node = child
+                pos = len(term)
+                break
+            label, child = ent
+            rest = term[pos:]
+            m = 0
+            lim = min(len(label), len(rest))
+            while m < lim and label[m] == rest[m]:
+                m += 1
+            if m == len(label):
+                child.max_weight = max(child.max_weight, new_w)
+                node = child
+                pos += m
+            else:
+                # split the edge at the divergence point
+                mid = _RNode()
+                mid.max_weight = max(child.max_weight, new_w)
+                mid.children[label[m]] = (label[m:], child)
+                node.children[term[pos]] = (label[:m], mid)
+                self.node_count += 1
+                node = mid
+                pos += m
         node.weight = new_w
 
     def top_k(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
-        node = self.root
-        for ch in prefix:
-            node = node.children.get(ch)
-            if node is None:
-                return []
-        results: list[tuple[int, str]] = []  # min-heap by weight
-
         import heapq
 
-        def visit(n: _TrieNode, acc: str):
-            if len(results) >= k and n.max_weight <= results[0][0]:
-                return  # prune: subtree can't beat current k-th best
+        # descend the prefix (it may end mid-edge)
+        node = self.root
+        acc = ""
+        pos = 0
+        while pos < len(prefix):
+            ent = node.children.get(prefix[pos])
+            if ent is None:
+                return []
+            label, child = ent
+            rest = prefix[pos:]
+            lim = min(len(label), len(rest))
+            if label[:lim] != rest[:lim]:
+                return []
+            acc += label
+            pos += len(label)
+            node = child
+
+        # best-first expansion ordered by subtree max_weight: exact top-k
+        # with the minimum number of node visits
+        results: list[tuple[int, str]] = []   # min-heap by weight
+        tie = 0
+        frontier = [(-node.max_weight, tie, acc, node)]
+        while frontier:
+            neg_mw, _, s, n = heapq.heappop(frontier)
+            if len(results) >= k and -neg_mw <= results[0][0]:
+                break  # no unexpanded subtree can beat the k-th best
             if n.weight:
                 if len(results) < k:
-                    heapq.heappush(results, (n.weight, acc))
+                    heapq.heappush(results, (n.weight, s))
                 elif n.weight > results[0][0]:
-                    heapq.heapreplace(results, (n.weight, acc))
-            for ch, child in sorted(
-                n.children.items(), key=lambda kv: -kv[1].max_weight
-            ):
-                visit(child, acc + ch)
-
-        visit(node, prefix)
+                    heapq.heapreplace(results, (n.weight, s))
+            for label, child in n.children.values():
+                tie += 1
+                heapq.heappush(
+                    frontier, (-child.max_weight, tie, s + label, child))
         return [(t, w) for w, t in sorted(results, key=lambda x: -x[0])]
 
     # -- persistence (completions.csv, reference index.rs:97) ------------

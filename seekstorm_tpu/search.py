@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import enum
 import os
+import threading
 import time
 from dataclasses import dataclass, field as dfield
 
@@ -31,6 +32,10 @@ from .utils import (ceil_pow2, ceil_pow4, ngram_virtual_hash,
 FULL_PLAN_BLOCKS = 96
 # per-query pruned-plan block budget (first round)
 PRUNE_BLOCKS = 16
+
+# guards the per-index adaptive-pruning counters (_prune_stats): concurrent
+# searcher threads read-modify-write them (SURVEY §5 sanitizers row)
+_PRUNE_LOCK = threading.Lock()
 # shard size (in 64K blocks) from which Topk-only batches use the
 # query-tiled kernel (ops/lexical.lexical_scan_qt) instead of the
 # full-batch scan — below it the full-batch scan's fixed costs win
@@ -158,6 +163,11 @@ class ResultSet:
     suggestions: list = dfield(default_factory=list)
     query_terms: list = dfield(default_factory=list)
     time_us: float = 0.0
+    # vector-search work counters (reference observed_vector_count /
+    # observed_cluster_count, search.rs:200-204): candidate vectors
+    # scanned and clusters visited for this query, summed over shards
+    observed_vector_count: int = 0
+    observed_cluster_count: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -403,8 +413,8 @@ def _shard_idf(shard: Shard, slots: list[_Slot], realtime: bool,
         start = shard.partial_on_disk
         tail = l0.doc_count - start
         n_docs += tail
-        acc = getattr(l0, "acc", None) if tail > 0 else None
         if tail > 0:
+            acc = getattr(l0, "acc", None)
             # per-slot tail-df lookups only when an uncommitted tail
             # exists — on a fully committed index this loop is ~225
             # native calls per batch of pure overhead
@@ -1342,6 +1352,21 @@ def _lexical_search_batch(
 
     results: list[ResultSet | None] = [None] * len(requests)
     live: list[int] = []
+    def _warm_facets_ok(r, entry, warm_k):
+        """Cached facets serve the request iff every requested facet is a
+        plain (no ranges) histogram the warmup computed, shallow enough
+        that the cached depth is exact."""
+        if not r.query_facets:
+            return True
+        if len(entry) < 4:
+            return False
+        wfacets = entry[3]
+        return all(
+            qf.ranges is None and qf.field in wfacets
+            and qf.length <= warm_k
+            for qf in r.query_facets
+        )
+
     warm = getattr(index, "_warmup_cache", None) or {}
     warm_k = getattr(index, "_warmup_k", 0)
     for i, (r, spec) in enumerate(zip(requests, specs)):
@@ -1354,15 +1379,20 @@ def _lexical_search_batch(
             and len(spec.weights) == 1
             and not spec.phrases
             and not any(spec.negated.values())
-            and not r.query_facets and not r.facet_filter
+            and not r.facet_filter
             and not r.result_sort
             and r.offset + r.length <= warm_k
             and (not r.realtime
                  or all(sh.tail_len() == 0 for sh in index.shards))
             and slots[next(iter(spec.weights))].hash in warm
+            and _warm_facets_ok(r, warm[slots[next(iter(spec.weights))]
+                                        .hash], warm_k)
         ):
-            # frequent-word cached result (reference warmup index.rs:4006)
-            scores, gids, total = warm[slots[next(iter(spec.weights))].hash]
+            # frequent-word cached result (reference warmup index.rs:4006;
+            # facet histograms served from the same cache, :4035-4050)
+            entry = warm[slots[next(iter(spec.weights))].hash]
+            scores, gids, total = entry[:3]
+            wfacets = entry[3] if len(entry) > 3 else {}
             rs = ResultSet()
             rs.result_count_total = int(total)
             pg = slice(r.offset, r.offset + r.length)
@@ -1373,6 +1403,11 @@ def _lexical_search_batch(
             rs.result_count = len(rs.results)
             rs.query_terms = [slots[s2].term for s2 in spec.weights
                               if not slots[s2].virtual]
+            if r.query_facets:
+                rs.facets = {
+                    qf.field: wfacets[qf.field][: qf.length]
+                    for qf in r.query_facets
+                }
             _attach_docs(index, r, rs)
             results[i] = rs
         else:
@@ -1484,10 +1519,11 @@ def _lexical_search_batch(
     # observed escalation rate crosses 1/2 (reference analog: block-max
     # early-exit degrades to a full scan when max_block_score is flat,
     # intersection.rs:2224-2300).
-    stats = getattr(index, "_prune_stats", None)
-    if stats is None:
-        stats = index._prune_stats = [0, 0]  # [escalated, attempted]
-    prune_ok = stats[1] < 8 or stats[0] * 2 < stats[1]
+    with _PRUNE_LOCK:
+        stats = getattr(index, "_prune_stats", None)
+        if stats is None:
+            stats = index._prune_stats = [0, 0]  # [escalated, attempted]
+        prune_ok = stats[1] < 8 or stats[0] * 2 < stats[1]
     cover_full = need_full or not prune_ok
 
     # bucket-WAND path (ops/wand.py): Topk/TopkCount/Count batches at
@@ -1641,14 +1677,16 @@ def _lexical_search_batch(
             allowed_dev=allowed_dev,
         )
         if not all_full:
-            stats[1] += 1
+            with _PRUNE_LOCK:
+                stats[1] += 1
             ub = np.zeros(len(rest_rows), np.float32)
             for p in plans:
                 if p is not None:
                     ub = np.maximum(ub, p.ub_unscored)
             kth = ts[:, min(need, k_eff) - 1]
             if ((kth < ub) | ~np.isfinite(kth)).any():
-                stats[0] += 1
+                with _PRUNE_LOCK:
+                    stats[0] += 1
                 METRICS.inc("plan_escalations_total")
                 METRICS.inc("device_dispatch_total")
                 # escalation covers each query's full candidate set; the

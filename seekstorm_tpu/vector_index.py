@@ -79,6 +79,7 @@ class IndexVectors:
         for i, sf in enumerate(self.vector_fields):
             sf.vector_field_id = i
         self.shards = [ShardVectors() for _ in index.shards]
+        self._stacked_dev = None   # (mesh, dict) mesh-stacked device cache
         self.model = None
         from .schema import InferenceType
 
@@ -196,6 +197,7 @@ class IndexVectors:
                 )
             )
         sv._dev = None
+        self._stacked_dev = None
 
     def load(self) -> None:
         for shard in self.index.shards:
@@ -228,6 +230,7 @@ class IndexVectors:
 
     def clear(self) -> None:
         self.shards = [ShardVectors() for _ in self.index.shards]
+        self._stacked_dev = None
 
     def commit(self) -> None:  # flush handled per shard during Index.commit
         pass
@@ -244,13 +247,11 @@ class IndexVectors:
         )
 
     # ------------------------------------------------------------------
-    def device(self, shard):
-        """Stacked device tensors for a shard's committed vectors."""
-        import jax.numpy as jnp
-
+    def _host_arrays(self, shard) -> dict:
+        """Packed host arrays + metadata for a shard's committed vectors
+        (shared by the per-shard device upload and the mesh-stacked
+        build)."""
         sv = self.shards[shard.shard_id]
-        if sv._dev is not None:
-            return sv._dev
         levels = sv.levels
         d = pad_dim(max(self.cfg.dim, 1))
         if levels:
@@ -338,33 +339,22 @@ class IndexVectors:
         # the cluster start rows in both the per-level and global layouts)
         row_of_cluster_start = np.asarray(med_rows + [N], np.int64)
 
-        def _put_big(arr, limit=256 << 20):
-            """Chunked device upload: single POSTs through the device
-            tunnel fail above ~250 MB, and f32 stores at GIST scale are
-            ~4 GB.  Upload tile-aligned slabs and concatenate on device."""
-            if arr.nbytes <= limit:
-                return jnp.asarray(arr)
-            rows = max(limit // max(arr[0].nbytes, 1), 1)
-            return jnp.concatenate(
-                [jnp.asarray(arr[a : a + rows])
-                 for a in range(0, len(arr), rows)], axis=0)
-
-        sv._dev = {
-            "data": _put_big(data.reshape(n_tiles, TILE, d)),
-            "scale": jnp.asarray(scale.reshape(n_tiles, TILE)),
-            "zp": jnp.asarray(zp.reshape(n_tiles, TILE)),
-            "qsum": jnp.asarray(qsum.reshape(n_tiles, TILE)),
-            "norm2": jnp.asarray(norm2.reshape(n_tiles, TILE)),
-            "docid": jnp.asarray(docid.reshape(n_tiles, TILE)),
-            "fieldid": jnp.asarray(fieldid.reshape(n_tiles, TILE)),
-            "cluster": jnp.asarray(cluster.reshape(n_tiles, TILE)),
-            "med_data": jnp.asarray(data[med_idx]),
-            "m_scale": jnp.asarray(scale[med_idx]),
-            "m_zp": jnp.asarray(zp[med_idx]),
-            "m_qsum": jnp.asarray(qsum[med_idx]),
-            "m_norm2": jnp.asarray(norm2[med_idx]),
-            "m_valid": jnp.asarray(m_valid),
-            "always_scan": jnp.asarray(always_scan),
+        return {
+            "data": data.reshape(n_tiles, TILE, d),
+            "scale": scale.reshape(n_tiles, TILE),
+            "zp": zp.reshape(n_tiles, TILE),
+            "qsum": qsum.reshape(n_tiles, TILE),
+            "norm2": norm2.reshape(n_tiles, TILE),
+            "docid": docid.reshape(n_tiles, TILE),
+            "fieldid": fieldid.reshape(n_tiles, TILE),
+            "cluster": cluster.reshape(n_tiles, TILE),
+            "med_data": data[med_idx],
+            "m_scale": scale[med_idx],
+            "m_zp": zp[med_idx],
+            "m_qsum": qsum[med_idx],
+            "m_norm2": norm2[med_idx],
+            "m_valid": m_valid,
+            "always_scan": always_scan,
             "n_tiles": n_tiles,
             "n_rows": N,
             "n_clusters": C,
@@ -378,7 +368,90 @@ class IndexVectors:
             "h_fieldid": fieldid,
             "h_chunkid": chunkid,
         }
+
+    _DEV_KEYS = ("data", "scale", "zp", "qsum", "norm2", "docid", "fieldid",
+                 "cluster", "med_data", "m_scale", "m_zp", "m_qsum",
+                 "m_norm2", "m_valid", "always_scan")
+
+    def device(self, shard):
+        """Per-shard device tensors for the committed vectors."""
+        import jax.numpy as jnp
+
+        sv = self.shards[shard.shard_id]
+        if sv._dev is not None:
+            return sv._dev
+
+        def _put_big(arr, limit=256 << 20):
+            """Chunked device upload: single POSTs through the device
+            tunnel fail above ~250 MB, and f32 stores at GIST scale are
+            ~4 GB.  Upload tile-aligned slabs and concatenate on device."""
+            if arr.nbytes <= limit:
+                return jnp.asarray(arr)
+            rows = max(limit // max(arr[0].nbytes, 1), 1)
+            return jnp.concatenate(
+                [jnp.asarray(arr[a : a + rows])
+                 for a in range(0, len(arr), rows)], axis=0)
+
+        h = self._host_arrays(shard)
+        sv._dev = {k: (_put_big(h[k]) if k == "data" else jnp.asarray(h[k]))
+                   if k in self._DEV_KEYS else h[k]
+                   for k in h}
         return sv._dev
+
+    def device_stacked(self, mesh):
+        """Mesh-stacked device tensors over ALL shards: every per-shard
+        array padded to common shapes, stacked [S, ...], and sharded over
+        the mesh's 'shards' axis — each device holds its own shards'
+        vector partitions in HBM (reference per-shard vector state,
+        vector.rs shard fields; fan-out search.rs:1698-1740)."""
+        if self._stacked_dev is not None and self._stacked_dev[0] is mesh:
+            return self._stacked_dev[1]
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        hs = [self._host_arrays(sh) for sh in self.index.shards]
+        S = len(hs)
+        NT = max(h["n_tiles"] for h in hs)
+        CP = max(h["C_pad"] for h in hs)
+        d = max(h["d"] for h in hs)
+        dtype = hs[0]["data"].dtype
+        out: dict = {
+            "per_shard": hs,
+            "n_tiles": NT, "C_pad": CP, "d": d,
+            "quantized": hs[0]["quantized"],
+            "nf_pad": max(h["nf_pad"] for h in hs),
+        }
+
+        def stack(key, fill=0):
+            a0 = hs[0][key]
+            shape = (S,) + tuple(
+                max(h[key].shape[i] for h in hs)
+                for i in range(a0.ndim))
+            buf = np.full(shape, fill, a0.dtype)
+            for s, h in enumerate(hs):
+                sl = (s,) + tuple(slice(0, n) for n in h[key].shape)
+                buf[sl] = h[key]
+            spec = P("shards", *([None] * a0.ndim))
+            return jax.device_put(buf, NamedSharding(mesh, spec))
+
+        out["data"] = stack("data")
+        for k in ("scale", "zp", "qsum", "norm2"):
+            out[k] = stack(k)
+        out["docid"] = stack("docid", fill=-1)
+        out["fieldid"] = stack("fieldid")
+        for k in ("med_data", "m_scale", "m_zp", "m_qsum", "m_norm2"):
+            out[k] = stack(k)
+        out["m_valid"] = stack("m_valid", fill=False)
+        out["always_scan"] = stack("always_scan", fill=False)
+        # per-cluster child counts (observed_vector_count accounting)
+        sizes = np.zeros((S, CP), np.float32)
+        for s, h in enumerate(hs):
+            crs = h["cluster_row_start"]
+            sizes[s, : len(crs) - 1] = np.diff(crs)
+        out["sizes"] = jax.device_put(
+            sizes, NamedSharding(mesh, P("shards", None)))
+        self._stacked_dev = (mesh, out)
+        return out
 
     def tail_rows(self, shard):
         """Uncommitted tail vectors (realtime path): raw f32 + metadata."""

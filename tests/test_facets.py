@@ -311,3 +311,46 @@ def test_multikey_sort(tmp_index_dir, rng):
     # b=1, a=2, d=3 -> brand asc by ordinal = b, a, d... ordinals assigned
     # in insertion order, so expect docs [0, 1, 3]
     assert set(ids[1:]) == {0, 1, 3}
+
+
+def test_warmup_caches_facets(tmp_path, rng):
+    """Frequent-word warmup caches string-facet histograms alongside the
+    result page (reference warmup index.rs:4006-4058): a faceted
+    single-frequent-term query is served from the cache with exact
+    counts, and range facets correctly bypass it."""
+    import seekstorm_tpu.metrics as M
+
+    meta = st.IndexMeta(frequent_words=st.FrequentwordType.Custom,
+                        custom_frequent_words=("common",))
+    idx = st.create_index(tmp_path / "ix", schema(), meta=meta,
+                          shard_count=2)
+    docs = make_docs(rng, 200)
+    idx.index_documents(docs)
+    idx.commit()
+    h = next(iter(idx._warmup_cache))
+    assert len(idx._warmup_cache[h]) == 4
+    assert "brand" in idx._warmup_cache[h][3]
+
+    qf = st.QueryFacet(field="brand", length=10)
+    before = M.METRICS._counters.get("device_dispatch_total", 0)
+    rs = idx.search(st.SearchRequest(
+        query="common", length=10, query_facets=[qf], realtime=False,
+        result_type=st.ResultType.TopkCount))
+    after = M.METRICS._counters.get("device_dispatch_total", 0)
+    assert after == before, "faceted frequent-word query missed the cache"
+
+    # exact counts vs brute force
+    exp = {}
+    for d in docs:
+        exp[d["brand"]] = exp.get(d["brand"], 0) + 1
+    got = dict(rs.facets["brand"])
+    assert got == exp, (got, exp)
+    assert rs.result_count_total == len(docs)
+
+    # range facets are NOT cacheable -> normal path, still correct
+    qf2 = st.QueryFacet(field="price", length=10,
+                        ranges=st.Ranges(field="price",
+                                         ranges=[("lo", 0), ("hi", 250)]))
+    rs2 = idx.search(st.SearchRequest(
+        query="common", length=10, query_facets=[qf2], realtime=False))
+    assert sum(c for _, c in rs2.facets["price"]) >= 1

@@ -210,3 +210,123 @@ def test_mesh_wand_count_only(tmp_index_dir, rng, monkeypatch):
             query=q, result_type=st.ResultType.Count,
             query_type_default=st.QueryType(ty), realtime=False))
         assert rs.result_count_total == len(expected), (q, ty)
+
+
+def test_mesh_multiple_shards_per_device(tmp_index_dir, rng):
+    """shard_count > device count: each device owns S/D contiguous shards
+    and must scan ALL of them (regression: the shard_map bodies used to
+    read only local shard 0)."""
+    docs = make_docs(rng, 800)
+    idx = st.create_index(tmp_index_dir, std_schema(), shard_count=16)
+    idx.index_documents(docs)
+    idx.commit()
+
+    queries = [("w001 w004", "Union"), ("w001 w002", "Intersection"),
+               ("w000", "Union")]
+    plain = {}
+    for q, ty in queries:
+        rs = idx.search(st.SearchRequest(
+            query=q, length=10, result_type=st.ResultType.TopkCount,
+            query_type_default=st.QueryType(ty)))
+        plain[(q, ty)] = (rs.result_count_total,
+                          [x.doc_id for x in rs.results])
+
+    idx.attach_mesh()
+    assert idx._mesh.devices.size == 8  # 16 shards over 8 devices
+    bf = BruteForce(idx, docs)
+    for q, ty in queries:
+        rs = idx.search(st.SearchRequest(
+            query=q, length=10, result_type=st.ResultType.TopkCount,
+            query_type_default=st.QueryType(ty)))
+        assert rs.result_count_total == plain[(q, ty)][0], (q, ty)
+        assert [x.doc_id for x in rs.results] == plain[(q, ty)][1], (q, ty)
+        assert_parity(idx, bf, q, ty)
+
+
+def test_mesh_vector_matches_single_device(tmp_index_dir, rng):
+    """Mesh vector engine: per-shard vector partitions sharded over the
+    8-device mesh, one medoid dispatch + one shard_map scan dispatch,
+    ICI-merged candidates — results must match the per-shard loop, and
+    the stacked tensors must actually live distributed."""
+    from tests.test_vector import vec_meta, vec_schema
+
+    n, d, n_centers = 1600, 32, 20
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 5.0
+    assign = rng.integers(0, n_centers, size=n)
+    data = (centers[assign]
+            + rng.standard_normal((n, d))).astype(np.float32)
+    queries = (centers[rng.integers(0, n_centers, size=4)]
+               + rng.standard_normal((4, d))).astype(np.float32)
+    meta = vec_meta(d, st.VectorSimilarity.Euclidean,
+                    clustering=st.ClusteringMode.Auto, min_points=50)
+    idx = st.create_index(tmp_index_dir, vec_schema(), meta=meta,
+                          shard_count=8)
+    for i in range(n):
+        idx.index_document({"vector": data[i].tolist(), "label": str(i)})
+    idx.commit()
+
+    def run_all():
+        out = []
+        for q in queries:
+            for mode, np_ in [("All", 0), ("Nprobe", 4)]:
+                rs = idx.search(st.SearchRequest(
+                    search_mode=st.SearchMode.Vector,
+                    query_vector=q.tolist(), length=10,
+                    ann_mode=mode, nprobe=np_, realtime=False))
+                out.append((
+                    [r.doc_id for r in rs.results],
+                    [round(r.score, 4) for r in rs.results],
+                    rs.observed_vector_count, rs.observed_cluster_count))
+        return out
+
+    plain = run_all()
+    # observed counters populated on the single-device path too
+    assert plain[0][2] > 0 and plain[0][3] > 0
+
+    idx.attach_mesh()
+    assert idx._mesh.devices.size == 8
+    meshed = run_all()
+    for p, m in zip(plain, meshed):
+        assert p[0] == m[0], (p, m)
+        assert p[1] == m[1]
+        assert p[2] == m[2] and p[3] == m[3]   # observed counters agree
+
+    # the vector partitions demonstrably live sharded across devices
+    dev = idx.vectors.device_stacked(idx._mesh)
+    assert dev["data"].shape[0] == 8
+    assert len(dev["data"].sharding.device_set) == 8, dev["data"].sharding
+    assert len(dev["med_data"].sharding.device_set) == 8
+
+
+def test_mesh_hybrid_rrf(tmp_index_dir, rng):
+    """Hybrid (lexical + vector + RRF) under the mesh: both engines run
+    their sharded programs and fuse identically to single-device."""
+    from tests.test_vector import vec_meta
+
+    d = 16
+    schema = [
+        st.SchemaField("title", st.FieldType.Text, stored=True,
+                       indexed=True),
+        st.SchemaField("vector", st.FieldType.Json, index_vector=True),
+    ]
+    meta = vec_meta(d, st.VectorSimilarity.Cosine)
+    vocab = [f"w{i:03d}" for i in range(40)]
+    docs = []
+    for i in range(320):
+        docs.append({
+            "title": " ".join(rng.choice(vocab, 8)),
+            "vector": rng.standard_normal(d).astype(np.float32).tolist(),
+        })
+    idx = st.create_index(tmp_index_dir, schema, meta=meta, shard_count=8)
+    idx.index_documents(docs)
+    idx.commit()
+
+    q = rng.standard_normal(d).astype(np.float32).tolist()
+    req = st.SearchRequest(query="w001 w002",
+                           search_mode=st.SearchMode.Hybrid,
+                           query_vector=q, length=10, realtime=False)
+    plain = idx.search(req)
+    idx.attach_mesh()
+    meshed = idx.search(req)
+    assert [r.doc_id for r in meshed.results] == \
+        [r.doc_id for r in plain.results]

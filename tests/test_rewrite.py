@@ -141,3 +141,75 @@ def test_rewrite_persistence(tmp_index_dir):
     idx2 = st.open_index(tmp_index_dir)
     assert len(idx2.spell) == n_words
     assert len(idx2.completions) == n_comp
+
+
+def test_compound_split_merge():
+    """lookup_compound segments unknown run-together terms and merges
+    wrongly split ones (reference lookup_compound_vec, search.rs:1324)."""
+    from seekstorm_tpu.rewrite import SymSpell
+
+    s = SymSpell()
+    for w, c in [("new", 500), ("york", 300), ("city", 400),
+                 ("quick", 600), ("brown", 450), ("fox", 200),
+                 ("the", 900)]:
+        s.add(w, c)
+
+    # split: "newyork" is not a word, "new"+"york" both are
+    out, changed = s.lookup_compound(["newyork", "city"])
+    assert changed and out == ["new", "york", "city"], out
+
+    # merge + re-split: "qui ckbrown" -> "quickbrown" -> "quick brown"
+    out, changed = s.lookup_compound(["qui", "ckbrown", "fox"])
+    assert changed
+    assert " ".join(out) == "quick brown fox", out
+
+    # known terms never touched
+    out, changed = s.lookup_compound(["the", "quick", "fox"])
+    assert not changed and out == ["the", "quick", "fox"]
+
+    # plain single-term correction still works
+    out, changed = s.lookup_compound(["quck"])
+    assert changed and out == ["quick"]
+
+
+def test_radix_trie_compression_and_speed():
+    """Path compression: node count tracks TERM count (<= 2n), not total
+    characters; iterative best-first top_k stays sub-ms at scale."""
+    import time
+
+    import numpy as np
+
+    from seekstorm_tpu.rewrite import PruningRadixTrie
+
+    rng = np.random.default_rng(3)
+    t = PruningRadixTrie(max_entries=2_000_000)
+    # 60K multi-word completions with heavy shared prefixes (the realistic
+    # QAC shape: n-gram phrases over a zipf vocabulary)
+    vocab = [f"term{i:04d}" for i in range(400)]
+    n = 60_000
+    total_chars = 0
+    for i in range(n):
+        words = rng.choice(vocab, size=int(rng.integers(1, 4)))
+        phrase = " ".join(words)
+        t.add(phrase, int(rng.integers(1, 1000)))
+        total_chars += len(phrase)
+    # a per-character trie allocates ~one node per distinct char position;
+    # the radix trie must be bounded by terms, >= 10x below characters
+    assert t.node_count <= 2 * t.size + 1, (t.node_count, t.size)
+    assert total_chars / t.node_count >= 10, (total_chars, t.node_count)
+
+    # correctness vs brute force on a shared prefix
+    import heapq as _h
+    pref = vocab[0][:6]
+    brute = sorted(
+        ((w, c) for w, c in t._terms.items() if w.startswith(pref)),
+        key=lambda x: -x[1])[:10]
+    got = t.top_k(pref, 10)
+    assert [w for w, _ in got] == [w for w, _ in brute] or \
+        sorted(c for _, c in got) == sorted(c for _, c in brute)
+
+    t0 = time.perf_counter()
+    for _ in range(100):
+        t.top_k(vocab[10][:5], 10)
+    dt = (time.perf_counter() - t0) / 100
+    assert dt < 5e-3, f"top_k too slow: {dt*1e3:.2f} ms"
