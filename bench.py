@@ -38,6 +38,9 @@ import numpy as np
 BASELINE_QPS = 1e6 / 305.0  # reference: 305 us avg BM25 top-10 (README.md:268)
 # v5e peak MXU throughput (per chip): ~197 TFLOP/s bf16, ~49 TFLOP/s f32
 PEAK_FLOPS = {"bf16": 197e12, "f32": 49e12}
+# v5e HBM bandwidth per chip (~819 GB/s) — the peak the bandwidth-bound
+# WAND engine is measured against
+PEAK_HBM_GBPS = 819.0
 
 
 def make_corpus(n_docs: int, vocab: int, rng) -> list[dict]:
@@ -269,6 +272,12 @@ def main() -> None:
         prec = "bf16" if fast_mode() else "f32"
         tflops = flops / max(dev_s, 1e-9) / 1e12
         mfu = flops / max(dev_s, 1e-9) / PEAK_FLOPS[prec]
+        # the WAND engine is bit-ops + thin reductions — bandwidth-bound by
+        # design, so its honest utilization figure is HBM GB/s vs the v5e
+        # peak (~819 GB/s), not MFU (analytic traffic, see ops/wand.py)
+        wand_bytes = tm.get("wand_device_bytes", 0.0)
+        hbm_gbps = wand_bytes / max(dev_s, 1e-9) / 1e9
+        hbm_util = hbm_gbps / PEAK_HBM_GBPS
 
         print(
             f"# corpus={args.docs} docs gen={gen_s:.1f}s "
@@ -279,7 +288,8 @@ def main() -> None:
             f"p99={np.percentile(lat,99)/1e3:.2f}ms "
             f"breakdown plan={plan_s:.1f}s device={dev_s:.1f}s "
             f"fetch={fetch_s:.1f}s wall={wall_s:.1f}s "
-            f"device={tflops:.2f}TFLOP/s ({prec}) mfu={mfu*100:.1f}%",
+            f"device={tflops:.2f}TFLOP/s ({prec}) mfu={mfu*100:.1f}% "
+            f"wand_hbm={hbm_gbps:.0f}GB/s ({hbm_util*100:.1f}% of peak)",
             file=sys.stderr,
         )
         print(
@@ -301,6 +311,8 @@ def main() -> None:
                     "precision": prec,
                     "device_tflops": round(tflops, 2),
                     "mfu": round(mfu, 4),
+                    "wand_hbm_gbps": round(hbm_gbps, 1),
+                    "wand_hbm_util": round(hbm_util, 4),
                     "breakdown_s": {
                         "plan": round(plan_s, 2),
                         "device": round(dev_s, 2),

@@ -14,6 +14,8 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
+#include <shared_mutex>
 #include <string>
 #include <unordered_map>
 #include <unordered_set>
@@ -487,6 +489,13 @@ struct StAccum {
     // scratch (term string owned by value; cleared per doc)
     std::unordered_map<uint64_t, std::pair<std::string,
         std::vector<std::vector<uint16_t>>>> doc_terms;
+    // ingest (add_doc/load: unique) vs realtime search (term_postings /
+    // term_doc_positions / pack / blobs: shared).  The Python side holds
+    // shard.ingest_lock around writers, but realtime readers run lock-free
+    // from searcher threads while ctypes has released the GIL — an
+    // unguarded unordered_map rehash under a concurrent find is a real
+    // race (SURVEY §5 sanitizers row; verified by native/stress_tsan.cpp).
+    mutable std::shared_mutex mu;
 };
 
 void add_term_positions(StAccum* a, uint64_t h, const std::string& term,
@@ -754,7 +763,10 @@ StAccum* st_accum_new(int n_fields) {
 
 void st_accum_free(StAccum* a) { delete a; }
 
-int st_accum_doc_count(StAccum* a) { return a->doc_count; }
+int st_accum_doc_count(StAccum* a) {
+    std::shared_lock<std::shared_mutex> lk(a->mu);
+    return a->doc_count;
+}
 
 // Add one document.  text_blob holds all field texts concatenated;
 // field_offsets has n_fields+1 entries.  out_field_lengths receives the
@@ -762,6 +774,7 @@ int st_accum_doc_count(StAccum* a) { return a->doc_count; }
 int st_accum_add_doc(StAccum* a, StCfg* cfg, const uint8_t* text_blob,
                      const int64_t* field_offsets,
                      int32_t* out_field_lengths) {
+    std::unique_lock<std::shared_mutex> lk(a->mu);
     int docid = a->doc_count;
     a->doc_terms.clear();
     static thread_local std::vector<std::string> toks;
@@ -884,6 +897,7 @@ int st_accum_add_docs(StAccum* a, StCfg* cfg, const uint8_t* text_blob,
 
 void st_accum_stats(StAccum* a, int64_t* n_terms, int64_t* n_postings,
                     int64_t* n_positions) {
+    std::shared_lock<std::shared_mutex> lk(a->mu);
     *n_terms = (int64_t)a->terms.size();
     *n_postings = a->n_postings;
     *n_positions = a->n_positions;
@@ -893,6 +907,7 @@ void st_accum_stats(StAccum* a, int64_t* n_terms, int64_t* n_postings,
 // Level0.pack in seekstorm_tpu/index.py).
 void st_accum_pack(StAccum* a, uint64_t* hashes, int64_t* offsets,
                    uint16_t* docids, uint16_t* tfs, uint16_t* positions) {
+    std::shared_lock<std::shared_mutex> lk(a->mu);
     std::vector<uint64_t> keys;
     keys.reserve(a->terms.size());
     for (auto& kv : a->terms) keys.push_back(kv.first);
@@ -916,6 +931,7 @@ void st_accum_pack(StAccum* a, uint64_t* hashes, int64_t* offsets,
 
 // term strings blob in hash-sorted order: "term\n" per term
 int64_t st_accum_terms_blob(StAccum* a, uint8_t* blob, int64_t cap) {
+    std::shared_lock<std::shared_mutex> lk(a->mu);
     std::vector<uint64_t> keys;
     keys.reserve(a->terms.size());
     for (auto& kv : a->terms) keys.push_back(kv.first);
@@ -952,10 +968,12 @@ static int64_t export_counts(
 }
 
 int64_t st_accum_dict_blob(StAccum* a, uint8_t* blob, int64_t cap) {
+    std::shared_lock<std::shared_mutex> lk(a->mu);
     return export_counts(a->dict_counts, blob, cap);
 }
 
 int64_t st_accum_completions_blob(StAccum* a, uint8_t* blob, int64_t cap) {
+    std::shared_lock<std::shared_mutex> lk(a->mu);
     return export_counts(a->completion_counts, blob, cap);
 }
 
@@ -965,6 +983,7 @@ void st_accum_load(StAccum* a, const uint64_t* hashes,
                    const uint16_t* tfs, const uint16_t* positions,
                    const uint8_t* terms_blob, int64_t terms_blob_len,
                    int64_t n_terms, int32_t doc_count) {
+    std::unique_lock<std::shared_mutex> lk(a->mu);
     int F = a->n_fields;
     int64_t blob_off = 0;
     int64_t pos_off = 0;
@@ -991,6 +1010,7 @@ void st_accum_load(StAccum* a, const uint64_t* hashes,
 
 // drain the symspell/completion counts after export
 void st_accum_clear_counts(StAccum* a) {
+    std::unique_lock<std::shared_mutex> lk(a->mu);
     a->dict_counts.clear();
     a->completion_counts.clear();
 }
@@ -998,6 +1018,7 @@ void st_accum_clear_counts(StAccum* a) {
 // realtime query: copy one term's postings; returns posting count or -1
 int64_t st_accum_term_postings(StAccum* a, uint64_t hash, uint16_t* docids,
                                uint16_t* tfs, int64_t cap) {
+    std::shared_lock<std::shared_mutex> lk(a->mu);
     auto it = a->terms.find(hash);
     if (it == a->terms.end()) return 0;
     int64_t np = (int64_t)it->second.docids.size();
@@ -1013,6 +1034,7 @@ int64_t st_accum_term_postings(StAccum* a, uint64_t hash, uint16_t* docids,
 int64_t st_accum_term_doc_positions(StAccum* a, uint64_t hash, int32_t docid,
                                     uint16_t* out_tfs, uint16_t* positions,
                                     int64_t cap) {
+    std::shared_lock<std::shared_mutex> lk(a->mu);
     auto it = a->terms.find(hash);
     if (it == a->terms.end()) return -1;
     TermP& tp = it->second;

