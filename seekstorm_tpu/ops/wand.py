@@ -65,6 +65,10 @@ K_SEL = 64                     # selected regions per query per resolution
 # terms) and fail rung 4 identically, so the extra rung only adds
 # rescore cost without avoiding a single exact fallback.)
 F_LADDER = (1, 4, 16)
+P_PAGE = 64                    # device-rescore page entries per query
+                               # (covers kmax = max(need*4, 64) for the
+                               # top-10..16 serving pages; larger requests
+                               # route to the host rescore ladder)
 BSTEP = 8                      # blocks processed per scan step (overhead
                                # amortization: per-step cost has a fixed
                                # component, and 5M docs = 80 blocks)
@@ -364,13 +368,16 @@ def _pack_scan_out(cnt, rungs):
 
 
 _SCAN_STATICS = ("V", "Bq", "T", "S", "with_counts", "NF", "FCM",
-                 "with_filter", "rank_by_key", "with_three", "BS")
+                 "with_filter", "rank_by_key", "with_three", "BS",
+                 "with_rescore")
 
 
 @functools.partial(jax.jit, static_argnames=_SCAN_STATICS)
-def wand_scan(ppool, vpool, sp_prow, delw, sid, qargs, fcod, filtw, skeyb,
+def wand_scan(ppool, vpool, rpool, ipool, sp_prow, sp_ioff, delw, sid,
+              qargs, fcod, filtw, skeyb,
               *, V, Bq, T, S, with_counts, NF=0, FCM=1, with_filter=False,
-              rank_by_key=False, with_three=False, BS=BSTEP):
+              rank_by_key=False, with_three=False, BS=BSTEP,
+              with_rescore=False):
     """Single-device program: pools carry a leading D=1 device axis (the
     same layout the mesh program shards), region ids are global."""
     cnt, fc, rungs = _scan_local(
@@ -378,7 +385,19 @@ def wand_scan(ppool, vpool, sp_prow, delw, sid, qargs, fcod, filtw, skeyb,
         V=V, Bq=Bq, T=T, S=S, with_counts=with_counts, NF=NF, FCM=FCM,
         with_filter=with_filter, rank_by_key=rank_by_key,
         with_three=with_three, BS=BS)
-    return _pack_scan_out(cnt, rungs), fc
+    out = _pack_scan_out(cnt, rungs)
+    if not with_rescore:
+        return out, fc
+    slotmap, tslot, treq, tneg, wshard = _unpack_qargs(qargs, V, Bq, T, S)
+    vals0, ids0 = rungs[0]
+    score, lane, found = _rescore_regions(
+        ppool[0], rpool[0], ipool[0], sp_prow, sp_ioff, delw, sid, filtw,
+        slotmap, tslot, treq, tneg, wshard,
+        ids0[:, :K_SEL], vals0[:, :K_SEL],
+        Bq=Bq, T=T, bucket_off=jnp.int32(0), with_filter=with_filter)
+    psc, plane, n_ge = _page_topk(score, lane)
+    extra = _rescore_lanes(psc, plane, found, n_ge)
+    return jnp.concatenate([out] + extra, axis=1), fc
 
 
 def make_wand_scan_mesh(mesh, statics: dict):
@@ -400,13 +419,16 @@ def make_wand_scan_mesh(mesh, statics: dict):
     D = int(mesh.devices.size)
     KP = K_SEL + 1
 
-    def body(ppool, vpool, sp_prow, delw, sid, qargs, fcod, filtw, skeyb):
+    def body(ppool, vpool, rpool, ipool, sp_prow, sp_ioff, delw, sid,
+             qargs, fcod, filtw, skeyb):
+        sub = {k: v for k, v in statics.items() if k != "with_rescore"}
         cnt, fc, rungs = _scan_local(
             ppool[0], vpool[0], sp_prow, delw, sid, qargs, fcod, filtw,
-            skeyb, **statics)
+            skeyb, **sub)
         NBLK_local = sp_prow.shape[1]
         Bq = statics["Bq"]
         parts = []
+        merged0 = None
         for (vals, ids), F in zip(rungs, F_LADDER):
             off = jax.lax.axis_index("shards") * (NBLK_local * NW // F)
             gi = ids + off
@@ -416,17 +438,59 @@ def make_wand_scan_mesh(mesh, statics: dict):
             i2 = jnp.moveaxis(i_all, 0, 1).reshape(Bq, D * KP)
             mv, sel = jax.lax.top_k(v2, KP)
             mi = jnp.take_along_axis(i2, sel, axis=1)
+            if merged0 is None:
+                merged0 = (mv, mi)
             parts.append(mv)
             parts.append(mi.astype(jnp.float32))
         cnt = jax.lax.psum(cnt, "shards")
         fc = jax.lax.psum(fc, "shards")
         parts.append((cnt & 0xFFF)[:, None].astype(jnp.float32))
         parts.append((cnt >> 12)[:, None].astype(jnp.float32))
+        if statics.get("with_rescore"):
+            # phase 3 under the mesh: the GLOBAL rung-1 top regions are
+            # identical on every device after the merge above; each
+            # device rescores the subset it owns (out-of-range locals
+            # mask to -inf), then the per-device pages concatenate via
+            # all_gather — the host merges the D*P candidates exactly by
+            # (score, gid).  found is additive (regions partition by
+            # device); n_ge_last stays per-device (its tie-cut test is
+            # per-device sound, see run_batch).
+            T = statics["T"]
+            V = statics["V"]
+            S = statics["S"]
+            slotmap, tslot, treq, tneg, wshard = _unpack_qargs(
+                qargs, V, Bq, T, S)
+            mv0, mi0 = merged0
+            my_off = jax.lax.axis_index("shards") * (NBLK_local * NW)
+            loc = mi0[:, :K_SEL] - my_off
+            mine = (loc >= 0) & (loc < NBLK_local * NW) \
+                & (mv0[:, :K_SEL] > -jnp.inf)
+            loc = jnp.where(mine, loc, -1)
+            vals_m = jnp.where(mine, mv0[:, :K_SEL], -jnp.inf)
+            score, lane, found = _rescore_regions(
+                ppool[0], rpool[0], ipool[0], sp_prow, sp_ioff, delw,
+                sid, filtw, slotmap, tslot, treq, tneg, wshard,
+                loc, vals_m, Bq=Bq, T=T, bucket_off=my_off,
+                with_filter=statics["with_filter"])
+            psc, plane, n_ge = _page_topk(score, lane)
+            found = jax.lax.psum(found, "shards")
+            pg_v = jax.lax.all_gather(psc, "shards")     # [D, Bq, P]
+            pg_l = jax.lax.all_gather(plane, "shards")
+            ng_a = jax.lax.all_gather(n_ge, "shards")    # [D, Bq]
+            pg_v = jnp.moveaxis(pg_v, 0, 1).reshape(Bq, D * P_PAGE)
+            pg_l = jnp.moveaxis(pg_l, 0, 1).reshape(Bq, D * P_PAGE)
+            parts += [pg_v,
+                      (pg_l & 0xFFF).astype(jnp.float32),
+                      (pg_l >> 12).astype(jnp.float32),
+                      found[:, None].astype(jnp.float32),
+                      jnp.moveaxis(ng_a, 0, 1).astype(jnp.float32)]
         return jnp.concatenate(parts, axis=1)[None], fc[None]
 
     in_specs = (
         P("shards"), P("shards"),              # ppool, vpool (device axis)
+        P("shards"), P("shards"),              # rpool, ipool (device axis)
         P(None, "shards"),                     # sp_prow (block axis)
+        P(None, "shards"),                     # sp_ioff (block axis)
         P("shards"), P("shards"),              # delw, sid (block axis)
         P(None),                               # qargs replicated
         P(None, "shards") if statics["NF"] else P(None),        # fcod
@@ -469,6 +533,124 @@ def _topk_lanes(x, K: int):
     return vals, ids
 
 
+def _rescore_regions(ppool, rpool, ipool, sp_prow, sp_ioff, delw, sid,
+                     filtw, slotmap, tslot, treq, tneg, wshard, ids, vals,
+                     *, Bq: int, T: int, bucket_off,
+                     with_filter: bool = False):
+    """Phase 3: exact on-device rescore of the rung-1 selected regions.
+
+    The TPU-native replacement for the host rescore on the terminating
+    (rung-1) path: previously EVERY query shipped its top-K_SEL candidate
+    buckets to a single-core host merge (st_rescore) — >50% of serving
+    wall at 5M docs and the scaling ceiling flagged by the r3 verdict.
+
+    ids/vals: i32/f32[Bq, K] — the rung's top regions as LOCAL bucket ids
+    + their UBs (-inf padded).  For term t and bucket w of block b the
+    exact impacts come from the (t, b) segment's flat run in ipool: the
+    bucket's postings occupy positions ioff + rank[w] + j (j <
+    popcount(word)) in docid order, so doc (w, bit) reads position
+    ioff + rank[w] + popcount(word & (2^bit - 1)) — a positional CSR
+    gather with no per-posting decode state.  Scores accumulate f32 per
+    term in ascending slot-id order, the same discipline as the host
+    rescore and the phase-1 UB sum, so the WAND termination margin
+    (run_batch) stays sound.
+
+    Returns (score f32[Bq, K*32] per candidate lane with -inf for
+    unmatched, lane i32[Bq, K*32] global doc lanes = global_bucket*32+bit,
+    found i32[Bq] matched-candidate count).  Candidate lanes are in
+    ascending global-lane order (ids are sorted), so a downstream top_k
+    breaks score ties by the smallest lane."""
+    K = ids.shape[1]
+    NBLK = sp_prow.shape[1]
+    valid = vals > -jnp.inf
+    big = jnp.int32(NBLK * NW)
+    ids_s = jnp.sort(jnp.where(valid, ids, big), axis=1)
+    valid_s = ids_s < big
+    ids_c = jnp.minimum(ids_s, big - 1)
+    blk = ids_c // NW                                  # [Bq, K] local block
+    w = ids_c % NW
+
+    ts_ok = tslot >= 0
+    srow = jnp.where(ts_ok, jnp.take(slotmap, jnp.maximum(tslot, 0)), -1)
+
+    rows3 = jnp.broadcast_to(srow[:, :, None], (Bq, T, K))
+    blk3 = jnp.broadcast_to(blk[:, None, :], (Bq, T, K))
+    w3 = jnp.broadcast_to(w[:, None, :], (Bq, T, K))
+    rows3c = jnp.maximum(rows3, 0)
+    prow = sp_prow[rows3c, blk3]
+    ioff = sp_ioff[rows3c, blk3]
+    ok3 = (rows3 >= 0) & (prow >= 0) & valid_s[:, None, :]
+    prow_c = jnp.maximum(prow, 0)
+    pres = jnp.where(ok3, ppool[prow_c, w3], 0)        # u32 [Bq, T, K]
+    rank = rpool[prow_c, w3].astype(jnp.int32)
+
+    bit = jnp.arange(32, dtype=jnp.uint32)
+    below = (jnp.uint32(1) << bit) - jnp.uint32(1)
+    pres4 = pres[..., None]                            # [Bq, T, K, 32]
+    rank_b = jax.lax.population_count(pres4 & below).astype(jnp.int32)
+    pos = jnp.maximum(ioff, 0)[..., None] + rank[..., None] + rank_b
+    val_b = jnp.take(ipool, pos, mode="clip")
+    present = ((pres4 >> bit) & jnp.uint32(1)) != 0
+    imp_b = jnp.where(present & ok3[..., None], val_b, 0.0)
+
+    # match semantics — identical to the phase-1 scan, at the bucket level
+    ones = jnp.uint32(0xFFFFFFFF)
+    andw = jnp.full((Bq, K), ones)
+    posw = jnp.zeros((Bq, K), jnp.uint32)
+    negw = jnp.zeros((Bq, K), jnp.uint32)
+    for t in range(T):
+        req_t = (treq[:, t] & ~tneg[:, t] & ts_ok[:, t])[:, None]
+        andw = jnp.where(req_t, andw & pres[:, t], andw)
+        posw = posw | jnp.where((~tneg[:, t] & ts_ok[:, t])[:, None],
+                                pres[:, t], 0)
+        negw = negw | jnp.where((tneg[:, t] & ts_ok[:, t])[:, None],
+                                pres[:, t], 0)
+    matched_w = andw & posw & ~negw & ~delw[blk, w]
+    if with_filter:
+        matched_w = matched_w & ~filtw[blk, w]
+    matched = ((matched_w[..., None] >> bit) & jnp.uint32(1)) != 0
+    matched = matched & valid_s[..., None]             # [Bq, K, 32]
+
+    # per-(query, term, bucket) idf weight via the bucket's shard
+    sid_k = sid[blk]                                   # [Bq, K]
+    wsh_t = jnp.transpose(wshard, (1, 2, 0))           # [Bq, T, S]
+    sid3 = jnp.broadcast_to(sid_k[:, None, :], (Bq, T, K))
+    wt = jnp.take_along_axis(wsh_t, sid3, axis=2)      # [Bq, T, K]
+
+    score = jnp.zeros((Bq, K, 32), jnp.float32)
+    for t in range(T):
+        score = score + wt[:, t, :, None] * imp_b[:, t]
+    score = jnp.where(matched, score, -jnp.inf)
+    found = jnp.sum(matched, axis=(1, 2), dtype=jnp.int32)
+    lane = ((ids_c + bucket_off)[:, :, None] * 32
+            + jnp.arange(32, dtype=jnp.int32)).reshape(Bq, K * 32)
+    return score.reshape(Bq, K * 32), lane, found
+
+
+def _page_topk(score, lane):
+    """Device page: top-P_PAGE candidates by (score desc, lane asc —
+    lax.top_k keeps the lower index on ties and lanes ascend), plus the
+    count of candidates tying-or-beating the page's last entry (the
+    tie-cut detector for multi-shard gid ordering, see run_batch)."""
+    psc, sel = jax.lax.top_k(score, P_PAGE)
+    plane = jnp.take_along_axis(lane, sel, axis=1)
+    last = psc[:, P_PAGE - 1]
+    n_ge = jnp.sum((score >= last[:, None]) & (score > -jnp.inf), axis=1,
+                   dtype=jnp.int32)
+    return psc, plane, n_ge
+
+
+def _rescore_lanes(psc, plane, found, n_ge):
+    """Packed lane layout appended to the scan output: [P scores |
+    P lane-low-12 | P lane-high | found | n_ge] per device column; lanes
+    split like counts so >2^24 doc lanes stay exact through f32."""
+    return [psc,
+            (plane & 0xFFF).astype(jnp.float32),
+            (plane >> 12).astype(jnp.float32),
+            found[:, None].astype(jnp.float32),
+            n_ge[:, None].astype(jnp.float32)]
+
+
 def _pack_qargs(slotmap, tslot, treq, tneg, wshard):
     """One i32 buffer per batch: slotmap[V] | tslot[Bq*T] | treq-bits |
     tneg-bits | wshard f32 bits [S*Bq*T]."""
@@ -503,6 +685,15 @@ def _unpack_qargs(buf, V, Bq, T, S):
 
 # ---------------------------------------------------------------------------
 # per-slot host rows + device pools
+
+
+# byte-wise popcount table for the host-side rank-row build
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint16)
+
+
+def _popcount_u32(words: np.ndarray) -> np.ndarray:
+    return _POPCNT8[words.view(np.uint8)].reshape(len(words), 4).sum(
+        axis=1, dtype=np.uint32)
 
 
 class _SlotRows:
@@ -547,12 +738,20 @@ class WandState:
         # each device owns a contiguous nblk_local-block slice, scanned in
         # bstep-block steps.  nblk_local is the minimal even split (so few-
         # block corpora still spread over the mesh instead of piling onto
-        # device 0); bstep is the largest divisor <= BSTEP (padding the
-        # local slice to a BSTEP multiple would scan empty blocks at full
-        # cost — worse than a few extra scan steps)
-        self.nblk_local = max(1, -(-self.nblk // self.D))
-        self.bstep = next(b for b in (BSTEP, 4, 2, 1)
-                          if self.nblk_local % b == 0)
+        # device 0).  The local slice pads UP to a step multiple when the
+        # waste stays small: at reference scale (77 blocks) the divisor
+        # rule degraded to bstep=1 — 77 scan steps whose per-step overhead
+        # dominated the dispatch (measured 10.6 ms/dispatch single-chip),
+        # while 3 empty padded blocks cost ~4% extra scan work
+        base_local = max(1, -(-self.nblk // self.D))
+        self.bstep = 1
+        self.nblk_local = base_local
+        for bs in (BSTEP, 4, 2, 1):
+            padded = -(-base_local // bs) * bs
+            if (padded - base_local) * 20 <= 3 * base_local:  # <= 15% waste
+                self.bstep = bs
+                self.nblk_local = padded
+                break
         self.nblk_pad = self.nblk_local * self.D
         self._mesh_fns: dict = {}
         self._make_jits()
@@ -592,9 +791,14 @@ class WandState:
         # the budget is per device (rows partition by block ownership).
         cap_mb = int(os.environ.get("SEEKSTORM_TPU_WAND_MB", "6144"))
         cap_bytes = cap_mb * 1024 * 1024
-        # presence (u32) + per-bucket max impact (f32) rows, 8 KB each
-        self.cap_prows = max(cap_bytes * 9 // 10 // (NW * 8), 64)
+        # presence (u32, 8 KB) + bucket-max (f32, 8 KB) + word-rank
+        # (u16, 4 KB) rows
+        self.cap_prows = max(cap_bytes * 9 // 10 // (NW * 10), 64)
         self.cap_slots = max(cap_bytes // 10 // (self.nblk_pad * 4), 64)
+        # flat per-posting impact pool (device rescore), budgeted
+        # separately: per-device f32 postings of the live term working set
+        imp_mb = int(os.environ.get("SEEKSTORM_TPU_WAND_IMP_MB", "3072"))
+        self.cap_imps = max(imp_mb * 1024 * 1024 // 4, 4096)
         # facet codes / filter bitmaps in the WAND global-block layout,
         # keyed by spec signature; lifecycle = this state's (dropped on
         # commit/delete with the rest of the device tensors)
@@ -655,10 +859,17 @@ class WandState:
         def cat0(a, b):
             return jnp.concatenate([a, b], axis=0)
 
+        def ipool_set(pool, starts, upd):
+            # per-device flat append at that device's write cursor
+            return jax.vmap(
+                lambda p, s, u: jax.lax.dynamic_update_slice(p, u, (s,))
+            )(pool, starts, upd)
+
         self._pool_set = jax.jit(pool_set, out_shardings=sh_pool)
         self._sp_set = jax.jit(row_set, out_shardings=sh_cols)
         self._cat_pool = jax.jit(cat1, out_shardings=sh_pool)
         self._cat_sp = jax.jit(cat0, out_shardings=sh_cols)
+        self._ipool_set = jax.jit(ipool_set, out_shardings=sh_pool)
 
     def aux(self, key, builder, device=True, axis=0):
         """(host, device) pair of an auxiliary array, built once.  axis is
@@ -682,18 +893,31 @@ class WandState:
         D = self.D
         self.ppool = self._put_pool(np.zeros((D, 64, NW), np.uint32))
         self.vpool = self._put_pool(np.zeros((D, 64, NW), np.float32))
+        # device-rescore state: per presence row the exclusive prefix
+        # popcount before each word (bucket -> position in the segment's
+        # flat impact run), the flat per-posting impacts (ipool), and the
+        # per-(slot, block) start offset into ipool
+        self.rpool = self._put_pool(np.zeros((D, 64, NW), np.uint16))
+        self.ipool = self._put_pool(np.zeros((D, 1024), np.float32))
         self.sp_prow = self._put_cols(
             np.full((16, self.nblk_pad), -1, np.int32))
+        self.sp_ioff = self._put_cols(
+            np.full((16, self.nblk_pad), -1, np.int32))
         self.n_prows = [0] * D
+        self.n_imps = [0] * D
         self.n_slots = 0
         self.slot_cache: dict[int, _SlotRows] = {}
         self._pend_prow: list[list[np.ndarray]] = [[] for _ in range(D)]
         self._pend_vrow: list[list[np.ndarray]] = [[] for _ in range(D)]
+        self._pend_rrow: list[list[np.ndarray]] = [[] for _ in range(D)]
+        self._pend_imp: list[list[np.ndarray]] = [[] for _ in range(D)]
         self._pend_slot: list[np.ndarray] = []
+        self._pend_ioff: list[np.ndarray] = []
 
     def _build_slot(self, h: int) -> _SlotRows:
         sr = _SlotRows()
         prow_vec = np.full(self.nblk_pad, -1, np.int32)
+        ioff_vec = np.full(self.nblk_pad, -1, np.int32)
         keys_parts, imp_parts = [], []
         any_seg = False
         for s, sh in enumerate(self.index.shards):
@@ -731,6 +955,18 @@ class WandState:
                 prow_vec[g] = self.n_prows[dev]
                 self._pend_prow[dev].append(pw)
                 self._pend_vrow[dev].append(vrow)
+                # device-rescore rows: exclusive prefix popcount per word
+                # (bucket w's postings sit at flat positions
+                # [ioff + rank[w], ioff + rank[w] + popcount(word)) of the
+                # segment's impact run, in docid order) + the impacts
+                pc = _popcount_u32(pw)
+                rrow = np.zeros(NW, np.uint16)
+                # max prefix is 65536 - popcount(last nonzero word) <= 65504
+                rrow[1:] = np.cumsum(pc[:-1]).astype(np.uint16)
+                self._pend_rrow[dev].append(rrow)
+                ioff_vec[g] = self.n_imps[dev]
+                self._pend_imp[dev].append(imp.astype(np.float32))
+                self.n_imps[dev] += ln
                 self.n_prows[dev] += 1
                 keys_parts.append((np.uint32(g) << np.uint32(16))
                                   | ids.astype(np.uint32))
@@ -739,6 +975,7 @@ class WandState:
         if any_seg:
             sr.row = self.n_slots
             self._pend_slot.append(prow_vec)
+            self._pend_ioff.append(ioff_vec)
             self.n_slots += 1
         if keys_parts:
             sr.keys = np.concatenate(keys_parts)
@@ -760,6 +997,7 @@ class WandState:
             for h in missing:
                 self.slot_cache[h] = self._build_slot(h)
             if (max(self.n_prows) > self.cap_prows
+                    or max(self.n_imps) > self.cap_imps
                     or self.n_slots > self.cap_slots):
                 METRICS.inc("wand_resets_total")
                 self._reset()
@@ -781,6 +1019,18 @@ class WandState:
             pool.dtype))
         return self._cat_pool(pool, pad)
 
+    def _grow_ipool(self, n):
+        """Grow the flat impact pool (axis 1 of [D, CAP])."""
+        from ..utils import ceil_pow2
+
+        pool = self.ipool
+        if pool.shape[1] >= n:
+            return pool
+        grow = ceil_pow2(max(n, pool.shape[1] * 2), 1024)
+        pad = self._put_pool(
+            np.zeros((pool.shape[0], grow - pool.shape[1]), np.float32))
+        return self._cat_pool(pool, pad)
+
     def _grow_sp(self, tab, n_rows):
         from ..utils import ceil_pow2
 
@@ -800,9 +1050,11 @@ class WandState:
             # in-capacity) so one scatter covers all devices
             self.ppool = self._grow_pool(self.ppool, max(self.n_prows) + 1)
             self.vpool = self._grow_pool(self.vpool, max(self.n_prows) + 1)
+            self.rpool = self._grow_pool(self.rpool, max(self.n_prows) + 1)
             rows = np.zeros((D, U), np.int32)
             pv = np.zeros((D, U, NW), np.uint32)
             vv = np.zeros((D, U, NW), np.float32)
+            rv = np.zeros((D, U, NW), np.uint16)
             for d in range(D):
                 k = len(self._pend_prow[d])
                 rows[d, :k] = np.arange(self.n_prows[d] - k, self.n_prows[d])
@@ -810,18 +1062,47 @@ class WandState:
                 if k:
                     pv[d, :k] = np.stack(self._pend_prow[d])
                     vv[d, :k] = np.stack(self._pend_vrow[d])
+                    rv[d, :k] = np.stack(self._pend_rrow[d])
                 self._pend_prow[d].clear()
                 self._pend_vrow[d].clear()
+                self._pend_rrow[d].clear()
             rows_d = jnp.asarray(rows)
             self.ppool = self._pool_set(self.ppool, rows_d, jnp.asarray(pv))
             self.vpool = self._pool_set(self.vpool, rows_d, jnp.asarray(vv))
+            self.rpool = self._pool_set(self.rpool, rows_d, jnp.asarray(rv))
+        UI = max((sum(len(x) for x in p) for p in self._pend_imp),
+                 default=0)
+        if UI:
+            # flat impact runs append at each device's write cursor; the
+            # pool keeps a 32-float tail slack because the rescore kernel
+            # reads a full 32-wide window per bucket (indices are clipped,
+            # non-present lanes are masked)
+            self.ipool = self._grow_ipool(max(self.n_imps) + UI + 32)
+            starts = np.zeros(D, np.int32)
+            upd = np.zeros((D, UI), np.float32)
+            for d in range(D):
+                parts = self._pend_imp[d]
+                k = sum(len(x) for x in parts)
+                starts[d] = self.n_imps[d] - k
+                if k:
+                    upd[d, :k] = np.concatenate(parts)
+                parts.clear()
+            # zero pad lanes beyond each device's update land in
+            # [n_imps[d], starts[d] + UI) — unallocated for that device by
+            # construction (the growth above guarantees in-bounds)
+            self.ipool = self._ipool_set(
+                self.ipool, jnp.asarray(starts), jnp.asarray(upd))
         if self._pend_slot:
             n0 = self.n_slots - len(self._pend_slot)
             rows = jnp.asarray(np.arange(n0, self.n_slots, dtype=np.int32))
+            grown = self._grow_sp(self.sp_prow, self.n_slots)
             self.sp_prow = self._sp_set(
-                self._grow_sp(self.sp_prow, self.n_slots), rows,
-                jnp.asarray(np.stack(self._pend_slot)))
+                grown, rows, jnp.asarray(np.stack(self._pend_slot)))
+            self.sp_ioff = self._sp_set(
+                self._grow_sp(self.sp_ioff, self.n_slots), rows,
+                jnp.asarray(np.stack(self._pend_ioff)))
             self._pend_slot.clear()
+            self._pend_ioff.clear()
 
 
 def get_state(index) -> WandState:
@@ -842,7 +1123,7 @@ def get_state(index) -> WandState:
 
 
 def precompile(index, batch_sizes=(128,), v_buckets=(64, 256),
-               T: int = 4, pool_rows: int = 4096,
+               T_tiers=(2, 4), pool_rows: int = 4096,
                slot_rows: int = 256) -> int:
     """Warm the wand_scan compile cache for the serving shape grid.
 
@@ -864,27 +1145,33 @@ def precompile(index, batch_sizes=(128,), v_buckets=(64, 256),
     with state.lock:
         state.ppool = state._grow_pool(state.ppool, pool_rows)
         state.vpool = state._grow_pool(state.vpool, pool_rows)
+        state.rpool = state._grow_pool(state.rpool, pool_rows)
+        state.ipool = state._grow_ipool(1 << 20)
         state.sp_prow = state._grow_sp(state.sp_prow, slot_rows)
-        pools = (state.ppool, state.vpool, state.sp_prow,
+        state.sp_ioff = state._grow_sp(state.sp_ioff, slot_rows)
+        pools = (state.ppool, state.vpool, state.rpool, state.ipool,
+                 state.sp_prow, state.sp_ioff,
                  state.delw_dev, state.sid_dev)
     for B in batch_sizes:
         Bq = ceil_pow2(B, 16)
         for V in v_buckets:
-            qargs = jnp.asarray(_pack_qargs(
-                np.full(V, -1, np.int32),
-                np.full((Bq, T), -1, np.int32),
-                np.zeros((Bq, T), bool), np.zeros((Bq, T), bool),
-                np.zeros((index.shard_count, Bq, T), np.float32)))
-            for wc in (False, True):
-                statics = dict(V=V, Bq=Bq, T=T, S=index.shard_count,
-                               with_counts=wc, NF=0, FCM=1,
-                               with_filter=False, rank_by_key=False,
-                               with_three=False, BS=state.bstep)
-                packed, fc = _dispatch_scan(
-                    state, pools + (qargs, dummy_i, dummy_u, dummy_f),
-                    statics)
-                np.asarray(packed)
-                n += 1
+            for T in T_tiers:
+                qargs = jnp.asarray(_pack_qargs(
+                    np.full(V, -1, np.int32),
+                    np.full((Bq, T), -1, np.int32),
+                    np.zeros((Bq, T), bool), np.zeros((Bq, T), bool),
+                    np.zeros((index.shard_count, Bq, T), np.float32)))
+                for wc in (False, True):
+                    statics = dict(V=V, Bq=Bq, T=T, S=index.shard_count,
+                                   with_counts=wc, NF=0, FCM=1,
+                                   with_filter=False, rank_by_key=False,
+                                   with_three=False, BS=state.bstep,
+                                   with_rescore=True)
+                    packed, fc = _dispatch_scan(
+                        state, pools + (qargs, dummy_i, dummy_u, dummy_f),
+                        statics)
+                    np.asarray(packed)
+                    n += 1
     return n
 
 
@@ -1361,6 +1648,98 @@ def _exact_fallback(state: WandState, slot_rows, spec, idf_per_shard,
     return sc_m[gids].astype(np.float32), gids, count
 
 
+def _dev_multi_shard(state: WandState) -> np.ndarray:
+    """bool[D]: does device d own blocks of more than one shard?  Within a
+    single-shard device the candidate-lane order IS gid order, so the
+    device page's top_k tie-break (lowest lane) matches oracle tie
+    ordering even when a tie class is cut at the page boundary."""
+    m = getattr(state, "_dev_multi", None)
+    if m is None:
+        m = np.zeros(state.D, bool)
+        for d in range(state.D):
+            a = d * state.nblk_local
+            b = min((d + 1) * state.nblk_local, state.nblk)
+            if b > a:
+                m[d] = len(np.unique(state.blk_shard[a:b])) > 1
+        state._dev_multi = m
+    return m
+
+
+def _apply_device_page(state: WandState, packed, cnt, specs, need: int,
+                       S: int, out_scores, out_gids, counts,
+                       rbase: int) -> list[int]:
+    """Consume the phase-3 device pages: terminate every query whose page
+    passes the WAND test, fill its outputs, and return the still-pending
+    query indices (they re-enter the host ladder at rung 0).
+
+    Exactness: the device returns the top-P_PAGE candidates by (score,
+    lane) per device plus the total matched count; the host re-sorts the
+    (score, gid) pairs — exact unless a score-tie class is cut at a page
+    boundary on a device whose lane order differs from gid order
+    (multi-shard devices only; detected via the device's n_ge_last
+    counter and redone on the host rung-0 path)."""
+    B = len(specs)
+    D = state.D
+    DP = D * P_PAGE
+    KP = K_SEL + 1
+    psc = packed[:B, rbase: rbase + DP]
+    plane = (packed[:B, rbase + DP: rbase + 2 * DP].astype(np.int64)
+             + (packed[:B, rbase + 2 * DP: rbase + 3 * DP]
+                .astype(np.int64) << 12))
+    found = packed[:B, rbase + 3 * DP].astype(np.int64)
+    n_ge = packed[:B, rbase + 3 * DP + 1: rbase + 3 * DP + 1 + D]
+    next_ub = packed[:B, K_SEL]          # rung-1's best unselected UB
+    multi = _dev_multi_shard(state)
+
+    # gid per candidate: lane is the global doc position (block-major)
+    blk = plane >> 16
+    doc = plane & 0xFFFF
+    shard_of = state.blk_shard[np.minimum(blk, state.nblk_pad - 1)]
+    base_arr = np.asarray(state.block_base, np.int64)
+    gid = ((blk - base_arr[shard_of]) * BLOCK_SIZE + doc) * S + shard_of
+    valid = psc > -np.inf
+
+    # one global (query, -score, gid) sort over all valid candidates
+    qi_of, ci = np.nonzero(valid)
+    sc_v = psc[qi_of, ci]
+    gid_v = gid[qi_of, ci]
+    order = np.lexsort((gid_v, -sc_v, qi_of))
+    sc_v, gid_v, qi_s = sc_v[order], gid_v[order], qi_of[order]
+    ends = np.cumsum(np.bincount(qi_s, minlength=B))
+
+    still: list[int] = []
+    a = 0
+    for qi in range(B):
+        b = int(ends[qi])
+        sc, gd = sc_v[a:b], gid_v[a:b]
+        a = b
+        nf = int(found[qi])
+        nub = float(next_ub[qi])
+        kth = float(sc[need - 1]) if nf >= need and len(sc) >= need \
+            else -np.inf
+        # same STRICT margin discipline as the host ladder (see below)
+        exact = (nub == -np.inf) or (nf >= need
+                                     and kth > nub * (1.0 + 3e-7))
+        tie_ok = S == 1 or all(
+            (not multi[d]) or n_ge[qi, d] <= P_PAGE for d in range(D))
+        if exact and tie_ok:
+            sc = sc.astype(np.float32)
+            if nf > len(sc):
+                # length reports the true matched count (the `n_found >=
+                # need` tests downstream); entries past the page are
+                # sentinels, same convention as the native host rescore
+                sc = np.concatenate(
+                    [sc, np.full(nf - len(sc), -np.inf, np.float32)])
+                gd = np.concatenate(
+                    [gd, np.full(nf - len(gd), -1, np.int64)])
+            out_scores[qi] = sc
+            out_gids[qi] = gd
+            counts[qi] = cnt[qi]
+        else:
+            still.append(qi)
+    return still
+
+
 def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
               need: int, with_counts: bool,
               fcod_dev=None, n_facets: int = 0, fcm: int = 1,
@@ -1406,7 +1785,11 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
                      for s in used}
 
         Bq = ceil_pow2(B, 16)
-        T = 4 if max(len(sp.slots) for sp in specs) <= 4 else T_MAX
+        # tightest term tier: the scan's pt/ubt gathers and UB loops scale
+        # linearly in T, and the dominant serving mix is 1-2 term queries
+        # (T=2 halves their per-step traffic vs the old flat T=4)
+        t_need = max(len(sp.slots) for sp in specs)
+        T = 2 if t_need <= 2 else (4 if t_need <= 4 else T_MAX)
         tslot = np.full((Bq, T), -1, np.int32)
         treq = np.zeros((Bq, T), bool)
         tneg = np.zeros((Bq, T), bool)
@@ -1429,13 +1812,21 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
                     wsh[:, qi, j] = idf_per_shard[:, s]
 
         qargs = jnp.asarray(_pack_qargs(slotmap, tslot, treq, tneg, wsh))
-        pools = (state.ppool, state.vpool, state.sp_prow,
+        pools = (state.ppool, state.vpool, state.rpool, state.ipool,
+                 state.sp_prow, state.sp_ioff,
                  state.delw_dev, state.sid_dev)
 
     dummy_i = jnp.zeros((1, 1), jnp.int32)
     dummy_u = jnp.zeros((1, 1), jnp.uint32)
     dummy_f = jnp.zeros((1, 1), jnp.float32)
     rank_mode = rank_key_host is not None
+    # device rescore covers the rung-1 page when the caller's page fits
+    # P_PAGE entries; rank mode keeps its host path (it ranks by gathered
+    # sort keys, not scores) and Count-only never builds pages
+    dev_rescore = (not rank_mode and not count_only
+                   and max(need * 4, 64) <= P_PAGE
+                   and not os.environ.get(
+                       "SEEKSTORM_TPU_NO_DEVICE_RESCORE"))
     statics = dict(
         V=V, Bq=Bq, T=T, S=S,
         with_counts=with_counts, NF=n_facets, FCM=fcm,
@@ -1444,7 +1835,8 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         with_three=any(
             sum(1 for t in sp.slots if not sp.negated.get(t, False))
             >= 3 for sp in specs),
-        BS=state.bstep)
+        BS=state.bstep,
+        with_rescore=dev_rescore)
     # analytic HBM traffic of this dispatch — the WAND scan is bit-ops +
     # thin reductions, not matmuls, so the honest utilization figure is
     # bandwidth, not MFU (VERDICT r3 weak #4).  Terms: presence/bucket-max
@@ -1457,7 +1849,9 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
     scan_bytes = float(
         nblk * V * NW * 8
         + nblk * Bq * (2 * T + 4) * NW * 4
-        + 2 * Bq * nblk * NW * 4)
+        + 2 * Bq * nblk * NW * 4
+        # phase-3 device rescore: impact gathers + per-candidate lanes
+        + (Bq * T * K_SEL * 32 * 12 if dev_rescore else 0))
     METRICS.inc("wand_device_bytes", scan_bytes)
     METRICS.inc("device_dispatch_total")
     with METRICS.timer("lex_device"):
@@ -1471,8 +1865,9 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         packed = np.asarray(packed_d)
         fc = np.asarray(fc_d)[:, :B] if n_facets else None
     KP = K_SEL + 1
-    cnt = (packed[:, -2].astype(np.int64)
-           + (packed[:, -1].astype(np.int64) << 12))
+    cbase = 2 * KP * len(F_LADDER)
+    cnt = (packed[:, cbase].astype(np.int64)
+           + (packed[:, cbase + 1].astype(np.int64) << 12))
 
     if count_only:
         # ResultType.Count: the phase-1 popcount IS the answer — no
@@ -1481,10 +1876,20 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         counts[:] = cnt[:B]
         return out_scores, out_gids, counts, fc
 
+    pending = list(range(B))
+    if dev_rescore and not os.environ.get(
+            "SEEKSTORM_TPU_WAND_FORCE_FALLBACK"):
+        pending = _apply_device_page(
+            state, packed, cnt, specs, need, S,
+            out_scores, out_gids, counts, cbase + 2)
+        METRICS.inc("wand_dev_pages_total", B - len(pending))
+
     # host-side ladder: rung f rescores the top-K_SEL regions of
     # F_LADDER[f]*32 docs; all rungs came back from the one dispatch, so
-    # escalation costs host rescore time only
-    pending = list(range(B))
+    # escalation costs host rescore time only.  With the device rescore
+    # on, only queries that failed its termination (or its multi-shard
+    # tie-cut guard) reach the host — rung 0 is then a cheap exact redo
+    # of the same buckets before the coarser rungs.
     ladder = (() if os.environ.get("SEEKSTORM_TPU_WAND_FORCE_FALLBACK")
               else F_LADDER)
     for f, F in enumerate(ladder):

@@ -409,3 +409,28 @@ def test_wand_faceted_realtime_tail(wand_facet_index, monkeypatch):
     monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
     wand = run()
     assert base == wand
+
+
+def test_device_rescore_parity_and_engagement(wand_index, monkeypatch):
+    """The phase-3 device rescore page must match the host rescore page
+    for every query, and it must actually serve (not silently fall back
+    to the host ladder).  The wand_index has 2 shards on 1 device, so the
+    multi-shard tie-cut guard path is exercised too."""
+    from seekstorm_tpu.metrics import METRICS
+
+    idx = wand_index
+    queries = _queries(24, seed=23)
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_DEVICE_RESCORE", "1")
+    base = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
+    basei = _run(idx, queries, st.QueryType.Intersection,
+                 st.ResultType.TopkCount)
+    monkeypatch.delenv("SEEKSTORM_TPU_NO_DEVICE_RESCORE")
+    before = METRICS.snapshot().get("wand_dev_pages_total", 0)
+    dev = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
+    devi = _run(idx, queries, st.QueryType.Intersection,
+                st.ResultType.TopkCount)
+    served = METRICS.snapshot().get("wand_dev_pages_total", 0) - before
+    assert base == dev
+    assert basei == devi
+    assert served > 0, "device rescore never engaged"
