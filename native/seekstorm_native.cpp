@@ -1321,3 +1321,144 @@ extern "C" void st_rescore(
         out_found[q] = found;
     }
 }
+
+// ---------------------------------------------------------------------
+// Committed-index build fast path (lexindex.build_shard_lexical): the
+// per-posting phases that dominate commit wall time at reference scale
+// (~0.8 us/posting in the numpy formulation = the 253 s 5M-doc commit
+// flagged by the r3 verdict).  Two fused single-pass kernels replace
+// numpy's ~10 full-array passes + temporaries; float op order matches
+// oracle.term_impacts exactly (sequential field sum, -ffp-contract=off)
+// so native- and python-built indexes are bit-identical for F < 8
+// (callers gate on that; numpy's pairwise row-sum changes order at 8).
+
+// Per-level pass: BM25F impact per posting (idf excluded), per-term max,
+// plain-posting mask (tf==1 in the primary field only) + per-term plain
+// counts.  comp is this level's f32[65536, F] component rows.
+extern "C" void st_build_impacts(
+    int64_t P, int F,
+    const uint16_t* docid,       // u16[P] block-local doc ids
+    const uint16_t* tf,          // u16[P, F]
+    const float* comp,           // f32[65536, F]
+    const float* boosts,         // f32[F]
+    int64_t T,
+    const int64_t* term_offset,  // i64[T+1] posting segments per term
+    int f_star,                  // primary (longest) field index
+    float k1p1,                  // np.float32(BM25_K + 1.0) from the caller
+    float* out_imp,              // f32[P]
+    float* out_max,              // f32[T] (0 for empty segments)
+    uint8_t* out_plain,          // u8[P]
+    int32_t* out_plain_cnt)      // i32[T]
+{
+    for (int64_t t = 0; t < T; t++) {
+        float mx = 0.0f;
+        int32_t pc = 0;
+        const int64_t a = term_offset[t], b = term_offset[t + 1];
+        for (int64_t p = a; p < b; p++) {
+            const uint16_t* tfr = tf + (size_t)p * F;
+            const float* cr = comp + (size_t)docid[p] * F;
+            float acc = 0.0f;
+            int64_t tsum = 0;
+            for (int f = 0; f < F; f++) {
+                float tff = (float)tfr[f];
+                tsum += tfr[f];
+                // numpy: sat = tff * (K+1) / (tff + comp); imp = sum_f
+                // sat * boost (sequential for F < 8)
+                float sat = (tff * k1p1) / (tff + cr[f]);
+                acc += sat * boosts[f];
+            }
+            out_imp[p] = acc;
+            if (acc > mx) mx = acc;
+            uint8_t pl = (tsum == 1 && tfr[f_star] == 1) ? 1 : 0;
+            out_plain[p] = pl;
+            pc += pl;
+        }
+        out_max[t] = (b > a) ? mx : 0.0f;
+        out_plain_cnt[t] = pc;
+    }
+}
+
+// Directory-order pass: compacted device CSR (bitmap segments drop their
+// plain postings), presence bitmaps, and the join-path candidate stash
+// (top stash_k plain postings by (sat1 desc, docid asc), emitted in
+// ascending docid order).  The caller preallocates dev arrays of
+// csr_total + sum(stash lens) entries and zeroed bitmaps, and computed
+// seg_bitmap rows from the plain counts.
+extern "C" void st_build_dev(
+    int64_t nseg,
+    const int64_t* seg_off,      // i64[nseg] into the level-order arrays
+    const int32_t* seg_len,      // i32[nseg]
+    const int32_t* seg_block,    // i32[nseg] global block (level) id
+    const int32_t* seg_bitmap,   // i32[nseg] bitmap row or -1
+    const uint16_t* pl_docid,    // u16[P]
+    const float* pl_imp,         // f32[P]
+    const uint8_t* plain,        // u8[P]
+    const float* sat1,           // f32[L * 65536]
+    int stash_k,
+    int64_t csr_total,           // stash entries start here in dev arrays
+    uint16_t* dev_docid,         // out u16[csr_total + stash_total]
+    float* dev_imp,              // out f32[csr_total + stash_total]
+    int32_t* seg_dev_len,        // out i32[nseg]
+    uint32_t* bitmaps,           // out u32[R, 2048] (zeroed by caller)
+    int64_t* seg_stash_off,      // out i64[nseg] (zeroed by caller)
+    int32_t* seg_stash_len)      // out i32[nseg] (zeroed by caller)
+{
+    int64_t wcsr = 0, wstash = csr_total;
+    std::vector<int32_t> cand;  // plain-posting indices of one segment
+    for (int64_t e = 0; e < nseg; e++) {
+        const int64_t a = seg_off[e];
+        const int32_t ln = seg_len[e];
+        const int32_t row = seg_bitmap[e];
+        if (row < 0) {
+            // plain copy (also covers the common tiny-segment case)
+            std::memcpy(dev_docid + wcsr, pl_docid + a,
+                        (size_t)ln * sizeof(uint16_t));
+            std::memcpy(dev_imp + wcsr, pl_imp + a,
+                        (size_t)ln * sizeof(float));
+            seg_dev_len[e] = ln;
+            wcsr += ln;
+            continue;
+        }
+        uint32_t* words = bitmaps + (size_t)row * 2048;
+        cand.clear();
+        int32_t kept = 0;
+        for (int32_t i = 0; i < ln; i++) {
+            const int64_t p = a + i;
+            if (plain[p]) {
+                const uint16_t id = pl_docid[p];
+                words[id >> 5] |= 1u << (id & 31);
+                cand.push_back(i);
+            } else {
+                dev_docid[wcsr + kept] = pl_docid[p];
+                dev_imp[wcsr + kept] = pl_imp[p];
+                kept++;
+            }
+        }
+        seg_dev_len[e] = kept;
+        wcsr += kept;
+        // stash: top-t by (sat1 desc, docid asc); docids ascend within a
+        // segment, so index order ties agree with docid order
+        const float* s1 = sat1 + (size_t)seg_block[e] * 65536;
+        const uint16_t* ids = pl_docid + a;
+        int32_t t = (int32_t)cand.size() < stash_k
+                        ? (int32_t)cand.size() : stash_k;
+        if (t > 0) {
+            auto better = [&](int32_t x, int32_t y) {
+                float sx = s1[ids[x]], sy = s1[ids[y]];
+                return sx > sy || (sx == sy && x < y);
+            };
+            if ((int32_t)cand.size() > t)
+                std::nth_element(cand.begin(), cand.begin() + (t - 1),
+                                 cand.end(), better);
+            std::sort(cand.begin(), cand.begin() + t);  // ascending docid
+            seg_stash_off[e] = wstash;
+            seg_stash_len[e] = t;
+            for (int32_t i = 0; i < t; i++) {
+                const uint16_t id = ids[cand[i]];
+                dev_docid[wstash] = id;
+                dev_imp[wstash] = s1[id];
+                wstash++;
+            }
+        }
+    }
+}

@@ -448,21 +448,56 @@ def build_shard_lexical(
          for l in levels]
     )
 
+    # primary field = largest total token count (reference longest-field
+    # semantics, SchemaField::longest index.rs:1102-1155) — needed up
+    # front: the plain-posting mask keys on it
+    from .schema import BM25_K, BM25_SIGMA
+    from .utils import DOCUMENT_LENGTH_COMPRESSION
+
+    tot_len = np.zeros(F, np.float64)
+    for l in levels:
+        tot_len += DOCUMENT_LENGTH_COMPRESSION[np.asarray(l.doclen)].sum(
+            axis=0)
+    f_star = int(np.argmax(tot_len))
+
     # per-posting default-boost impacts (stored for the Pallas decode fast
-    # path) + per-(level, term) max impact, in level order
+    # path) + per-(level, term) max impact, in level order.  The fused C++
+    # pass (st_build_impacts) replaces ~6 numpy full-array passes; float op
+    # order is identical (sequential field sum) for F < 8, where numpy's
+    # pairwise row-sum is also sequential — the native/python builds are
+    # bit-identical there (pinned by test_native_build_parity)
+    from . import native as native_mod
+
+    use_native = (F < 8 and BM25_SIGMA == 0.0
+                  and native_mod.available()
+                  and hasattr(native_mod.load(), "st_build_impacts"))
     all_max = np.zeros(len(all_hash), dtype=np.float32)
     pl_impact = np.zeros(len(sh.pl_docid), dtype=np.float32)
+    plain_all = np.zeros(len(sh.pl_docid), np.uint8) if use_native else None
+    plain_cnt_all = (np.zeros(len(all_hash), np.int32)
+                     if use_native else None)
     t0 = 0
     for i, l in enumerate(levels):
         nt = len(l.term_hash)
         if len(l.docid):
-            comps_l = comp[i * BLOCK_SIZE + l.docid.astype(np.int64)]
-            imp = term_impacts(np.asarray(l.tf), comps_l, boosts)
-            pl_impact[base[i] : base[i + 1]] = imp
-            starts = np.asarray(l.term_offset[:-1], dtype=np.int64)
-            # reduceat over term segments (term_offset has no empty segments)
-            if len(starts):
-                all_max[t0 : t0 + nt] = np.maximum.reduceat(imp, starts)
+            if use_native:
+                imp, mx, pln, pcnt = native_mod.build_impacts(
+                    np.asarray(l.docid), np.asarray(l.tf),
+                    comp[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE],
+                    boosts, np.asarray(l.term_offset), f_star,
+                    np.float32(BM25_K + 1.0))
+                pl_impact[base[i] : base[i + 1]] = imp
+                plain_all[base[i] : base[i + 1]] = pln
+                all_max[t0 : t0 + nt] = mx
+                plain_cnt_all[t0 : t0 + nt] = pcnt
+            else:
+                comps_l = comp[i * BLOCK_SIZE + l.docid.astype(np.int64)]
+                imp = term_impacts(np.asarray(l.tf), comps_l, boosts)
+                pl_impact[base[i] : base[i + 1]] = imp
+                starts = np.asarray(l.term_offset[:-1], dtype=np.int64)
+                # reduceat over term segments (no empty segments)
+                if len(starts):
+                    all_max[t0 : t0 + nt] = np.maximum.reduceat(imp, starts)
         t0 += nt
 
     if expand_ngrams:
@@ -506,94 +541,122 @@ def build_shard_lexical(
     )
 
     # ---- impact path: presence bitmaps + rank-1 sat1 + CSR remainder ----
-    # primary field = largest total token count (reference longest-field
-    # semantics, SchemaField::longest index.rs:1102-1155)
-    from .utils import DOCUMENT_LENGTH_COMPRESSION
-
-    tot_len = np.zeros(F, np.float64)
-    for l in levels:
-        tot_len += DOCUMENT_LENGTH_COMPRESSION[np.asarray(l.doclen)].sum(
-            axis=0)
-    f_star = int(np.argmax(tot_len))
     # per-doc shared impact of a plain posting (tf == 1 in the primary
     # field only); float op order mirrors oracle.term_impacts exactly
     sat1 = ((np.float32(BM25_K + 1.0) / (np.float32(1.0) + comp[:, f_star]))
             * np.float32(boosts[f_star])).astype(np.float32)
     sh.sat1 = sat1
 
-    # plain-posting mask over the full posting arrays
-    tf_sum = sh.pl_tf.astype(np.int64).sum(axis=1)
-    plain = (sh.pl_tf[:, f_star] == 1) & (tf_sum == 1)
-
-    keep = np.ones(len(sh.pl_docid), bool)
-    seg_bitmap = np.full(len(order), -1, np.int32)
-    bm_rows: list[np.ndarray] = []
-    W32 = BLOCK_SIZE // 32
-    # join-path candidate stash per bitmap segment (see STASH_K)
-    stash_seg: list[int] = []
-    stash_docid: list[np.ndarray] = []
-    stash_imp: list[np.ndarray] = []
-    for e in np.flatnonzero(seg_len_sorted >= BITMAP_MIN):
-        a = int(seg_off_sorted[e])
-        ln = int(seg_len_sorted[e])
-        pm = plain[a : a + ln]
-        if int(pm.sum()) < BITMAP_MIN:
-            continue
-        ids = sh.pl_docid[a : a + ln][pm].astype(np.int64)
-        words = np.zeros(W32, np.uint32)
-        np.bitwise_or.at(words, ids >> 5,
-                         np.uint32(1) << (ids & 31).astype(np.uint32))
-        seg_bitmap[e] = len(bm_rows)
-        bm_rows.append(words)
-        keep[a : a + ln] &= ~pm
-        blk = int(seg_block_sorted[e])
-        s1seg = sat1[blk * BLOCK_SIZE + ids]
-        t = min(STASH_K, len(ids))
-        topi = np.argpartition(-s1seg, t - 1)[:t]
-        sel = np.sort(ids[topi])
-        stash_seg.append(e)
-        stash_docid.append(sel.astype(np.uint16))
-        stash_imp.append(sat1[blk * BLOCK_SIZE + sel])
-    sh.bitmaps = (np.stack(bm_rows) if bm_rows
-                  else np.zeros((0, W32), np.uint32))
-
-    # compacted device CSR: every segment's remainder (bitmap segments drop
-    # their plain postings), concatenated in directory order
-    lens_all = seg_len_sorted.astype(np.int64)
-    starts_all = np.zeros(len(order) + 1, np.int64)
-    np.cumsum(lens_all, out=starts_all[1:])
-    Pall = int(starts_all[-1])
-    if Pall:
-        idx_all = (np.repeat(seg_off_sorted.astype(np.int64), lens_all)
-                   + np.arange(Pall, dtype=np.int64)
-                   - np.repeat(starts_all[:-1], lens_all))
-        keepf = keep[idx_all]
-        seg_ids = np.repeat(np.arange(len(order), dtype=np.int64), lens_all)
-        idx_src = idx_all[keepf]
-        sh.dev_docid = sh.pl_docid[idx_src]
-        sh.dev_imp = pl_impact[idx_src]
-        seg_dev_len = np.bincount(
-            seg_ids[keepf], minlength=len(order)).astype(np.int32)
+    # plain-posting mask over the full posting arrays (the native impact
+    # pass computed it per level; n-gram expansion appends virtual
+    # postings afterwards, so that case recomputes over the final arrays)
+    if plain_all is not None and len(plain_all) == len(sh.pl_docid):
+        plain = plain_all.view(bool)
     else:
-        sh.dev_docid = np.zeros(0, np.uint16)
-        sh.dev_imp = np.zeros(0, np.float32)
-        seg_dev_len = np.zeros(len(order), np.int32)
+        tf_sum = sh.pl_tf.astype(np.int64).sum(axis=1)
+        plain = (sh.pl_tf[:, f_star] == 1) & (tf_sum == 1)
+        plain_cnt_all = None
+
+    # bitmap segment selection: >= BITMAP_MIN postings AND >= BITMAP_MIN
+    # of them plain (the CSR memory breakeven, see BITMAP_MIN)
+    W32 = BLOCK_SIZE // 32
+    cand = np.flatnonzero(seg_len_sorted >= BITMAP_MIN)
+    if plain_cnt_all is not None:
+        pcs_cand = plain_cnt_all[order][cand].astype(np.int64)
+    else:
+        pcs_cand = np.array(
+            [int(plain[int(seg_off_sorted[e]):
+                       int(seg_off_sorted[e]) + int(seg_len_sorted[e])]
+                 .sum()) for e in cand], np.int64)
+    qual = pcs_cand >= BITMAP_MIN
+    bm_sel = cand[qual]
+    seg_bitmap = np.full(len(order), -1, np.int32)
+    seg_bitmap[bm_sel] = np.arange(len(bm_sel), dtype=np.int32)
+    csr_total = int(seg_len_sorted.astype(np.int64).sum()
+                    - pcs_cand[qual].sum())
+    stash_lens = np.minimum(STASH_K, pcs_cand[qual])
+    dev_total = csr_total + int(stash_lens.sum())
+
+    # device layout: compacted CSR (bitmap segments drop their plain
+    # postings) + presence bitmaps + join-path stash, all emitted by ONE
+    # fused C++ pass in directory order (st_build_dev); the numpy path
+    # below is the portable fallback with identical output
+    built = None
+    if use_native:
+        built = native_mod.build_dev(
+            seg_off_sorted, seg_len_sorted, seg_block_sorted, seg_bitmap,
+            sh.pl_docid, pl_impact, np.ascontiguousarray(plain, np.uint8),
+            sat1, STASH_K, csr_total, dev_total, len(bm_sel))
+    if built is not None:
+        (sh.dev_docid, sh.dev_imp, seg_dev_len, sh.bitmaps,
+         seg_stash_off, seg_stash_len) = built
+    else:
+        keep = np.ones(len(sh.pl_docid), bool)
+        bm_rows: list[np.ndarray] = []
+        stash_seg: list[int] = []
+        stash_docid: list[np.ndarray] = []
+        stash_imp: list[np.ndarray] = []
+        for e in bm_sel:
+            a = int(seg_off_sorted[e])
+            ln = int(seg_len_sorted[e])
+            pm = plain[a : a + ln]
+            ids = sh.pl_docid[a : a + ln][pm].astype(np.int64)
+            words = np.zeros(W32, np.uint32)
+            np.bitwise_or.at(words, ids >> 5,
+                             np.uint32(1) << (ids & 31).astype(np.uint32))
+            bm_rows.append(words)
+            keep[a : a + ln] &= ~pm
+            blk = int(seg_block_sorted[e])
+            s1seg = sat1[blk * BLOCK_SIZE + ids]
+            t = min(STASH_K, len(ids))
+            # deterministic top-t by (impact desc, docid asc) — ids ascend,
+            # so a stable sort on -impact breaks ties by docid (the C++
+            # pass uses the same rule)
+            topi = np.argsort(-s1seg, kind="stable")[:t]
+            sel = np.sort(ids[topi])
+            stash_seg.append(int(e))
+            stash_docid.append(sel.astype(np.uint16))
+            stash_imp.append(sat1[blk * BLOCK_SIZE + sel])
+        sh.bitmaps = (np.stack(bm_rows) if bm_rows
+                      else np.zeros((0, W32), np.uint32))
+
+        # compacted device CSR in directory order
+        lens_all = seg_len_sorted.astype(np.int64)
+        starts_all = np.zeros(len(order) + 1, np.int64)
+        np.cumsum(lens_all, out=starts_all[1:])
+        Pall = int(starts_all[-1])
+        if Pall:
+            idx_all = (np.repeat(seg_off_sorted.astype(np.int64), lens_all)
+                       + np.arange(Pall, dtype=np.int64)
+                       - np.repeat(starts_all[:-1], lens_all))
+            keepf = keep[idx_all]
+            seg_ids = np.repeat(
+                np.arange(len(order), dtype=np.int64), lens_all)
+            idx_src = idx_all[keepf]
+            sh.dev_docid = sh.pl_docid[idx_src]
+            sh.dev_imp = pl_impact[idx_src]
+            seg_dev_len = np.bincount(
+                seg_ids[keepf], minlength=len(order)).astype(np.int32)
+        else:
+            sh.dev_docid = np.zeros(0, np.uint16)
+            sh.dev_imp = np.zeros(0, np.float32)
+            seg_dev_len = np.zeros(len(order), np.int32)
+
+        # append the join-path stash postings after the compacted CSR
+        seg_stash_off = np.zeros(len(order), np.int64)
+        seg_stash_len = np.zeros(len(order), np.int32)
+        if stash_seg:
+            base0 = len(sh.dev_docid)
+            lens = np.array([len(x) for x in stash_docid], np.int64)
+            offs = base0 + np.concatenate([[0], np.cumsum(lens)[:-1]])
+            seg_stash_off[stash_seg] = offs
+            seg_stash_len[stash_seg] = lens
+            sh.dev_docid = np.concatenate([sh.dev_docid] + stash_docid)
+            sh.dev_imp = np.concatenate([sh.dev_imp] + stash_imp).astype(
+                np.float32)
     seg_dev_offset = np.zeros(len(order) + 1, np.int64)
     np.cumsum(seg_dev_len, out=seg_dev_offset[1:])
     seg_dev_offset = seg_dev_offset[:-1]
-
-    # append the join-path stash postings after the compacted CSR
-    seg_stash_off = np.zeros(len(order), np.int64)
-    seg_stash_len = np.zeros(len(order), np.int32)
-    if stash_seg:
-        base0 = len(sh.dev_docid)
-        lens = np.array([len(x) for x in stash_docid], np.int64)
-        offs = base0 + np.concatenate([[0], np.cumsum(lens)[:-1]])
-        seg_stash_off[stash_seg] = offs
-        seg_stash_len[stash_seg] = lens
-        sh.dev_docid = np.concatenate([sh.dev_docid] + stash_docid)
-        sh.dev_imp = np.concatenate([sh.dev_imp] + stash_imp).astype(
-            np.float32)
 
     sh.directory = TermDirectory(
         hash=uniq_hash,

@@ -195,8 +195,93 @@ def load() -> C.CDLL | None:
         i32p, i64p, C.c_int, C.c_int, i64p, i64p, u32p, f32p,
         C.c_int64, f32p, i64p, i64p, i64p,
     ]
+    u16p2 = C.POINTER(C.c_uint16)
+    lib.st_build_impacts.restype = None
+    lib.st_build_impacts.argtypes = [
+        C.c_int64, C.c_int, u16p2, u16p2, f32p, f32p,
+        C.c_int64, i64p, C.c_int, C.c_float,
+        f32p, f32p, u8p, i32p,
+    ]
+    lib.st_build_dev.restype = None
+    lib.st_build_dev.argtypes = [
+        C.c_int64, i64p, i32p, i32p, i32p,
+        u16p2, f32p, u8p, f32p, C.c_int, C.c_int64,
+        u16p2, f32p, i32p, u32p, i64p, i32p,
+    ]
     _LIB = lib
     return lib
+
+
+def _ptr(a: np.ndarray, ctype):
+    """ctypes pointer to a C-contiguous numpy array (empty -> NULL)."""
+    if a.size == 0:
+        return None
+    return a.ctypes.data_as(C.POINTER(ctype))
+
+
+def build_impacts(docid, tf, comp, boosts, term_offset, f_star, k1p1):
+    """Fused per-level impact pass (st_build_impacts).  Returns
+    (imp f32[P], max f32[T], plain u8[P], plain_cnt i32[T]) or None when
+    the native library is unavailable (caller falls back to numpy)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "st_build_impacts"):
+        return None
+    P, F = tf.shape
+    T = len(term_offset) - 1
+    docid = np.ascontiguousarray(docid, np.uint16)
+    tf = np.ascontiguousarray(tf, np.uint16)
+    comp = np.ascontiguousarray(comp, np.float32)
+    boosts = np.ascontiguousarray(boosts, np.float32)
+    term_offset = np.ascontiguousarray(term_offset, np.int64)
+    imp = np.empty(P, np.float32)
+    mx = np.empty(T, np.float32)
+    plain = np.empty(P, np.uint8)
+    pcnt = np.empty(T, np.int32)
+    lib.st_build_impacts(
+        P, F, _ptr(docid, C.c_uint16), _ptr(tf, C.c_uint16),
+        _ptr(comp, C.c_float), _ptr(boosts, C.c_float),
+        T, _ptr(term_offset, C.c_int64), f_star, C.c_float(k1p1),
+        _ptr(imp, C.c_float), _ptr(mx, C.c_float),
+        _ptr(plain, C.c_uint8), _ptr(pcnt, C.c_int32))
+    return imp, mx, plain, pcnt
+
+
+def build_dev(seg_off, seg_len, seg_block, seg_bitmap, pl_docid, pl_imp,
+              plain, sat1, stash_k, csr_total, dev_total, n_bitmap_rows):
+    """Fused directory-order device-layout pass (st_build_dev).  Returns
+    (dev_docid, dev_imp, seg_dev_len, bitmaps, seg_stash_off,
+    seg_stash_len) or None when the native library is unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "st_build_dev"):
+        return None
+    nseg = len(seg_off)
+    seg_off = np.ascontiguousarray(seg_off, np.int64)
+    seg_len = np.ascontiguousarray(seg_len, np.int32)
+    seg_block = np.ascontiguousarray(seg_block, np.int32)
+    seg_bitmap = np.ascontiguousarray(seg_bitmap, np.int32)
+    pl_docid = np.ascontiguousarray(pl_docid, np.uint16)
+    pl_imp = np.ascontiguousarray(pl_imp, np.float32)
+    plain = np.ascontiguousarray(plain, np.uint8)
+    sat1 = np.ascontiguousarray(sat1, np.float32)
+    dev_docid = np.empty(dev_total, np.uint16)
+    dev_imp = np.empty(dev_total, np.float32)
+    seg_dev_len = np.empty(nseg, np.int32)
+    bitmaps = np.zeros((n_bitmap_rows, 2048), np.uint32)
+    seg_stash_off = np.zeros(nseg, np.int64)
+    seg_stash_len = np.zeros(nseg, np.int32)
+    lib.st_build_dev(
+        nseg, _ptr(seg_off, C.c_int64), _ptr(seg_len, C.c_int32),
+        _ptr(seg_block, C.c_int32), _ptr(seg_bitmap, C.c_int32),
+        _ptr(pl_docid, C.c_uint16), _ptr(pl_imp, C.c_float),
+        _ptr(plain, C.c_uint8), _ptr(sat1, C.c_float),
+        stash_k, csr_total,
+        _ptr(dev_docid, C.c_uint16), _ptr(dev_imp, C.c_float),
+        _ptr(seg_dev_len, C.c_int32),
+        bitmaps.ctypes.data_as(C.POINTER(C.c_uint32))
+        if n_bitmap_rows else None,
+        _ptr(seg_stash_off, C.c_int64), _ptr(seg_stash_len, C.c_int32))
+    return (dev_docid, dev_imp, seg_dev_len, bitmaps, seg_stash_off,
+            seg_stash_len)
 
 
 def lz4_compress(raw: bytes) -> bytes | None:
