@@ -201,17 +201,54 @@ class ShardLexical:
         return lvl.positions_for(row)
 
 
-LEXCACHE_VERSION = 1
+LEXCACHE_VERSION = 2
 
+# Always cached: expensive to recompute (pl_impact) or not derivable
+# from the immutable level files (device layout).
 _LEXCACHE_FIELDS = (
-    "pl_docid", "pl_tf", "pl_impact", "comp", "level_post_base",
-    "dense_tf", "bitmaps", "sat1", "dev_docid", "dev_imp",
+    "pl_impact", "dense_tf", "bitmaps", "dev_docid", "dev_imp",
+)
+# Cheaply derivable from the level files at load time — cached only for
+# n-gram-expanded shards (expansion appends virtual postings, so the
+# plain level concat no longer reproduces them).  Dropping these from
+# the cache file roughly halves on-disk index bytes (bench_memory.py).
+_LEXCACHE_DERIVED = (
+    "pl_docid", "pl_tf", "comp", "sat1", "level_post_base",
 )
 _DIR_FIELDS = (
     "hash", "df", "seg_start", "seg_block", "seg_offset", "seg_len",
     "seg_max_impact", "seg_dense", "seg_dev_offset", "seg_dev_len",
     "seg_bitmap", "seg_stash_off", "seg_stash_len",
 )
+
+
+def _reconstruct_derived(sh: "ShardLexical", levels, boosts) -> None:
+    """Rebuild the cheaply-derivable serve-time arrays a slim lexcache
+    omits — identical float paths to build_shard_lexical, so a cache
+    round trip stays bit-exact (test_cache_roundtrip)."""
+    F = levels[0].tf.shape[1]
+    L = len(levels)
+    sh.pl_docid = np.concatenate([l.docid for l in levels])
+    sh.pl_tf = np.concatenate([l.tf for l in levels], axis=0)
+    base = np.zeros(L + 1, dtype=np.int64)
+    np.cumsum([len(l.docid) for l in levels], out=base[1:])
+    sh.level_post_base = base
+    comp = np.zeros((L * BLOCK_SIZE, F), dtype=np.float32)
+    for i, l in enumerate(levels):
+        comp[i * BLOCK_SIZE : i * BLOCK_SIZE + l.doc_count] = \
+            bm25_components(np.asarray(l.doclen), sh.avg_len)
+    comp[comp == 0.0] = 1.0
+    sh.comp = comp
+    from .utils import DOCUMENT_LENGTH_COMPRESSION
+
+    tot_len = np.zeros(F, np.float64)
+    for l in levels:
+        tot_len += DOCUMENT_LENGTH_COMPRESSION[np.asarray(l.doclen)].sum(
+            axis=0)
+    f_star = int(np.argmax(tot_len))
+    sh.sat1 = ((np.float32(BM25_K + 1.0)
+                / (np.float32(1.0) + comp[:, f_star]))
+               * np.float32(boosts[f_star])).astype(np.float32)
 
 
 def _lex_fingerprint(levels, boosts, expand_ngrams: bool) -> dict:
@@ -258,6 +295,11 @@ def build_shard_lexical_cached(
                     setattr(sh, f, z[f])
                 sh.avg_len = float(z["avg_len"])
                 sh.doc_count = int(z["doc_count"])
+                if expand_ngrams:
+                    for f in _LEXCACHE_DERIVED:
+                        setattr(sh, f, z[f])
+                else:
+                    _reconstruct_derived(sh, levels, boosts)
                 sh.directory = TermDirectory(
                     **{f: z["d_" + f] for f in _DIR_FIELDS})
                 return sh
@@ -266,7 +308,9 @@ def build_shard_lexical_cached(
     sh = build_shard_lexical(levels, boosts, expand_ngrams=expand_ngrams)
     if levels:
         try:
-            arrs = {f: getattr(sh, f) for f in _LEXCACHE_FIELDS}
+            fields = _LEXCACHE_FIELDS + (
+                _LEXCACHE_DERIVED if expand_ngrams else ())
+            arrs = {f: getattr(sh, f) for f in fields}
             arrs.update({"d_" + f: getattr(sh.directory, f)
                          for f in _DIR_FIELDS})
             arrs["avg_len"] = np.float64(sh.avg_len)
