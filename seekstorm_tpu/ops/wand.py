@@ -145,6 +145,7 @@ def _scan_local(
     rank_by_key: bool = False,
     with_three: bool = False,
     BS: int = BSTEP,
+    PALLAS: int = 0,
 ):
     """Phases 1+2 over ONE device's block range.  Returns
     (cnt i32[Bq], fc f32[NF, Bq, FCM], rungs) where rungs is, per
@@ -171,6 +172,21 @@ def _scan_local(
     sm_ok = slotmap >= 0
     sm_c = jnp.maximum(slotmap, 0)
     prow = jnp.where(sm_ok[:, None], jnp.take(sp_prow, sm_c, axis=0), -1).T
+
+    if PALLAS:
+        # Pallas phase 1 (ops/wand_pallas.py): identical match + UB
+        # semantics with all per-(block, query) state in VMEM/registers —
+        # the XLA step below moves ~10x the algorithmic bytes through HBM
+        # in materialized gather/refinement temporaries (round-4 verdict).
+        from . import wand_pallas
+
+        w_blk = jnp.transpose(jnp.take(wshard, sid, axis=0), (0, 2, 1))
+        allub, cnt = wand_pallas.scan_blocks(
+            ppool, vpool, prow, delw, filtw, tslot, treq, tneg, w_blk,
+            V=V, Bq=Bq, T=T, with_counts=with_counts,
+            with_filter=with_filter, interpret=(PALLAS == 2))
+        fc = jnp.zeros((max(NF, 1), Bq, FCM), jnp.float32)
+        return cnt, fc, _rung_topks(allub, NBLK)
 
     ts_ok = tslot >= 0
     ts_c = jnp.maximum(tslot, 0)
@@ -300,20 +316,24 @@ def _scan_local(
         cand_1 = jnp.where((only1 != 0) & ~treq[None, :, 0, None], b1, ninf)
         ub2 = jnp.maximum(cand_b, jnp.maximum(cand_0, cand_1))
         ub = jnp.where(pos2[None, :, None], ub2, ub)
-        if not with_three:
-            # no batch query has 3 positive slots: the 7-class bitmap
+        if not with_three or T < 3:
+            # no batch query has >= 3 positive slots (T < 3 cannot hold
+            # one): the 7-class bitmap
             # refinement below compiles out (it costs ~3x the 2-term
             # split per scan step)
             ubm = jnp.where(matched != 0, ub, -jnp.inf)
             return (cnt, fc), ubm
-        # 3-term class refinement, same argument: every doc belongs to
-        # exactly one presence class c ⊆ {t0,t1,t2}; its score is bounded
-        # by Σ_{t∈c} w_t·max_t summed in ascending slot order (f32 add is
-        # monotone under elementwise domination, equality on maxima), and
+        # >= 3-term class refinement, same argument: every doc belongs to
+        # exactly one presence class c ⊆ {t0,t1,t2} over the FIRST three
+        # positive columns; its score is bounded by Σ_{t∈c} w_t·max_t
+        # plus the residual Σ_{t>=3} w_t·max_t, summed in ascending slot
+        # order (f32 add is monotone under elementwise domination,
+        # equality on maxima; the residual generalizes the split to any
+        # T — reference analog: recursive MAXSCORE, union.rs:1308+), and
         # a class bound applies only when such a doc exists in the bucket
         # and the class holds every required slot.
-        pos3 = jnp.sum((ts_ok & ~tneg).astype(jnp.int32), axis=1) == 3
-        bt = [w_b[:, :, t, None] * ubt[:, :, t] for t in range(3)]
+        pos3 = jnp.sum((ts_ok & ~tneg).astype(jnp.int32), axis=1) >= 3
+        bt = [w_b[:, :, t, None] * ubt[:, :, t] for t in range(T)]
         best3 = jnp.full_like(ub, -jnp.inf)
         for c in range(1, 8):
             mm = None
@@ -326,6 +346,8 @@ def _scan_local(
                 else:
                     mm = ~pt[:, :, t] if mm is None else mm & ~pt[:, :, t]
                     okq = okq & ~treq[:, t]
+            for t in range(3, T):
+                sc3 = sc3 + bt[t]
             cand3 = jnp.where((mm != 0) & okq[None, :, None], sc3,
                               -jnp.inf)
             best3 = jnp.maximum(best3, cand3)
@@ -339,17 +361,28 @@ def _scan_local(
          jnp.zeros((max(NF, 1), Bq, FCM), jnp.float32)),
         (prow_s, delw_s, sid_s, soff_s, filtw_s, skeyb_s))
 
-    # phase 2: for each coarsening factor, exact top-(K_SEL+1) regions via
-    # a 2-stage bucket reduction — K stays 65 at every rung, so no top_k
-    # ever runs over more than ~8K candidate lanes (lax.top_k over 32K
-    # lanes costs ~54 ms on v5e and would dominate the whole scan)
     allub = jnp.moveaxis(ubs, 2, 0).reshape(Bq, NBLK * NW)
+    return cnt, fc, _rung_topks(allub, NBLK)
+
+
+def _rung_topks(allub, NBLK: int):
+    """Phase 2: for each coarsening factor, exact top-(K_SEL+1) regions
+    via a 2-stage bucket reduction — K stays 65 at every rung, so no
+    top_k ever runs over more than ~8K candidate lanes (lax.top_k over
+    32K lanes costs ~54 ms on v5e and would dominate the whole scan).
+    The coarse rungs chain off the previous rung's maxima (max is
+    associative) so the full-resolution array is read once, not once per
+    rung."""
+    Bq = allub.shape[0]
     rungs = []
+    ubf, Fp = allub, 1
     for F in F_LADDER:
-        L = NBLK * NW // F
-        ubf = allub.reshape(Bq, L, F).max(axis=2) if F > 1 else allub
+        if F > Fp:
+            L = NBLK * NW // F
+            ubf = ubf.reshape(Bq, L, F // Fp).max(axis=2)
+            Fp = F
         rungs.append(_topk_lanes(ubf, K_SEL + 1))
-    return cnt, fc, rungs
+    return rungs
 
 
 def _pack_scan_out(cnt, rungs):
@@ -369,14 +402,14 @@ def _pack_scan_out(cnt, rungs):
 
 _SCAN_STATICS = ("V", "Bq", "T", "S", "with_counts", "NF", "FCM",
                  "with_filter", "rank_by_key", "with_three", "BS",
-                 "with_rescore")
+                 "PALLAS", "with_rescore")
 
 
 @functools.partial(jax.jit, static_argnames=_SCAN_STATICS)
 def wand_scan(ppool, vpool, rpool, ipool, sp_prow, sp_ioff, delw, sid,
               qargs, fcod, filtw, skeyb,
               *, V, Bq, T, S, with_counts, NF=0, FCM=1, with_filter=False,
-              rank_by_key=False, with_three=False, BS=BSTEP,
+              rank_by_key=False, with_three=False, BS=BSTEP, PALLAS=0,
               with_rescore=False):
     """Single-device program: pools carry a leading D=1 device axis (the
     same layout the mesh program shards), region ids are global."""
@@ -384,7 +417,7 @@ def wand_scan(ppool, vpool, rpool, ipool, sp_prow, sp_ioff, delw, sid,
         ppool[0], vpool[0], sp_prow, delw, sid, qargs, fcod, filtw, skeyb,
         V=V, Bq=Bq, T=T, S=S, with_counts=with_counts, NF=NF, FCM=FCM,
         with_filter=with_filter, rank_by_key=rank_by_key,
-        with_three=with_three, BS=BS)
+        with_three=with_three, BS=BS, PALLAS=PALLAS)
     out = _pack_scan_out(cnt, rungs)
     if not with_rescore:
         return out, fc
@@ -1162,10 +1195,14 @@ def precompile(index, batch_sizes=(128,), v_buckets=(64, 256),
                     np.zeros((Bq, T), bool), np.zeros((Bq, T), bool),
                     np.zeros((index.shard_count, Bq, T), np.float32)))
                 for wc in (False, True):
+                    from . import wand_pallas
+
                     statics = dict(V=V, Bq=Bq, T=T, S=index.shard_count,
                                    with_counts=wc, NF=0, FCM=1,
                                    with_filter=False, rank_by_key=False,
                                    with_three=False, BS=state.bstep,
+                                   PALLAS=wand_pallas.pallas_mode(0, False,
+                                                                  T),
                                    with_rescore=True)
                     packed, fc = _dispatch_scan(
                         state, pools + (qargs, dummy_i, dummy_u, dummy_f),
@@ -1827,6 +1864,8 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
                    and max(need * 4, 64) <= P_PAGE
                    and not os.environ.get(
                        "SEEKSTORM_TPU_NO_DEVICE_RESCORE"))
+    from . import wand_pallas
+
     statics = dict(
         V=V, Bq=Bq, T=T, S=S,
         with_counts=with_counts, NF=n_facets, FCM=fcm,
@@ -1836,6 +1875,7 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
             sum(1 for t in sp.slots if not sp.negated.get(t, False))
             >= 3 for sp in specs),
         BS=state.bstep,
+        PALLAS=wand_pallas.pallas_mode(n_facets, rank_mode, T),
         with_rescore=dev_rescore)
     # analytic HBM traffic of this dispatch — the WAND scan is bit-ops +
     # thin reductions, not matmuls, so the honest utilization figure is

@@ -1,0 +1,265 @@
+"""Pallas phase-1 kernel for the bucket-WAND scan (ops/wand.py).
+
+The XLA formulation of phase 1 (wand._scan_local's lax.scan step) is
+sound but materializes its per-step working set in HBM: the per-(block,
+query, term) presence/bucket-max gathers ([BS, Bq, T, NW] u32/f32) plus
+~10 class-refinement temporaries ([BS, Bq, NW]) add up to ~2 GB of
+intermediate traffic per 128-query dispatch at reference scale — measured
+23.6 ms/dispatch with the chip at 6% of HBM peak (round-4 verdict).  The
+algorithmic traffic is ~200 MB: each (term, block) row is 8 KB and each
+query's per-block state is three u32 words' worth of registers.
+
+This kernel restates phase 1 the TPU way (SURVEY §7 "Pallas block-max
+kernel"): grid over (block, word-chunk); per step the block's presence
+rows [V, WR, 128] u32 and bucket-max rows f32 sit in VMEM (gathered from
+the HBM pools by one XLA take per dispatch), and a fori loop over the
+query batch keeps all per-(block, query) state in vector registers —
+nothing intermediate ever touches HBM.  Outputs are the per-bucket score
+upper bounds (fed to the unchanged XLA phase 2/3) and the exact match
+popcounts.
+
+Upper-bound semantics (mirrors + generalizes the XLA step, reference
+analog union.rs:1168 / :1308 MAXSCORE splits):
+
+  every doc in a bucket belongs to exactly one presence class c over the
+  first NC = min(T, 3) slot columns (positive slots are packed first,
+  ascending slot id — wand.run_batch).  Its exact f32 score is bounded by
+  the class chain sum_{t<NC, t in c} w_t*max_t + sum_{t>=NC} w_t*max_t
+  accumulated left-to-right in ascending column order — the same chain
+  shape as the host rescore (absent terms contribute exact +0.0, an f32
+  identity), so fl-monotonicity gives UB >= score bitwise, with equality
+  when the doc holds every term at its bucket maximum.  A class bound
+  applies only when such a doc can exist: the class presence pattern is
+  non-empty in the bucket and the class holds every required slot.  For
+  T <= 3 this reduces exactly to the 2-term/3-term refinements of the XLA
+  step; for T >= 4 the residual sum generalizes them (round-4 verdict
+  item 5; the reference's recursive MAXSCORE queue, union.rs:1308+).
+
+Routing: compiled path on the TPU backend for score-mode scans (no facet
+histograms, no rank-by-key — those keep the XLA step); interpret mode
+(`SEEKSTORM_TPU_WAND_PALLAS=interp`) runs the same kernel on CPU for the
+parity suite.  `SEEKSTORM_TPU_WAND_PALLAS=0` disables it entirely.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..schema import BLOCK_SIZE
+
+NW = BLOCK_SIZE // 32   # packed words (= 32-doc buckets) per block
+LANES = 128             # TPU lane width; bucket w of a block = (w//128, w%128)
+ROWS = NW // LANES      # sublane rows per block (16)
+
+# word-chunk rows per grid step: full block for small slot tables, half
+# blocks when the V-row slabs would crowd VMEM (V=256 at WR=16 is 2 MB
+# presence + 2 MB bucket-max per pipeline buffer)
+def _wr_for(V: int) -> int:
+    return ROWS if V <= 128 else ROWS // 2
+
+
+def pallas_mode(NF: int, rank_by_key: bool, T: int) -> int:
+    """0 = XLA step, 1 = compiled kernel, 2 = interpret (CPU tests).
+
+    Part of the scan's static jit key (wand._SCAN_STATICS) — the env var
+    is read here, at plan time, never inside a traced function.
+
+    Default is the XLA step: measured head-to-head on v5e at reference
+    scale the kernel's per-query fori overhead (~0.2 us/(query, block))
+    cancels its intermediate-traffic win (Bq=128/V=256: 5 ms vs 3 ms;
+    Bq=1024/V=512: 32 ms vs 22 ms), and the serving bottleneck at those
+    shapes is dispatch+D2H, not phase 1.  Opt in with
+    SEEKSTORM_TPU_WAND_PALLAS=1 on TPU."""
+    env = os.environ.get("SEEKSTORM_TPU_WAND_PALLAS", "")
+    if NF or rank_by_key or T > 8:
+        return 0
+    if env == "interp":
+        return 2
+    if env == "1" and jax.default_backend() == "tpu":
+        return 1
+    return 0
+
+
+def _popcount(x):
+    return jax.lax.population_count(x)
+
+
+def _kernel(tcode_ref, prow_ref, w_ref, pres_ref, vub_ref, delw_ref,
+            filtw_ref, ubm_ref, cnt_ref, *, Bq: int, T: int,
+            with_counts: bool, with_filter: bool):
+    """One (block, word-chunk) grid step; see module docstring."""
+    NC = min(T, 3)
+    u0 = jnp.uint32(0)
+    notdel = ~delw_ref[0]
+    if with_filter:
+        notdel = notdel & ~filtw_ref[0]
+    shape = notdel.shape  # [WR, LANES]
+    ninf = jnp.float32(-jnp.inf)
+
+    def qbody(q, carry):
+        pres = []
+        bval = []
+        reqs = []
+        for t in range(T):
+            code = tcode_ref[q, t]
+            s = code >> 2                     # slot id (-1 when unused)
+            neg = (code & 1) != 0
+            req = (code & 2) != 0
+            sc = jnp.maximum(s, 0)
+            rowid = prow_ref[0, 0, sc]
+            okp = (s >= 0) & (rowid >= 0)
+            p = jnp.where(okp, pres_ref[0, sc], u0)
+            pres.append(p)
+            reqs.append(req & jnp.logical_not(neg) & (s >= 0))
+            # bucket-max impact row, weighted; negated / unused terms
+            # contribute exact +0.0 (f32 identity) to every chain below
+            score_ok = okp & jnp.logical_not(neg)
+            w_t = jnp.where(score_ok, w_ref[0, t, q], jnp.float32(0.0))
+            v = jnp.where(score_ok, vub_ref[0, sc], jnp.float32(0.0))
+            bval.append(w_t * v)
+
+        andw = jnp.full(shape, 0xFFFFFFFF, jnp.uint32)
+        posw = jnp.zeros(shape, jnp.uint32)
+        negw = jnp.zeros(shape, jnp.uint32)
+        for t in range(T):
+            code = tcode_ref[q, t]
+            s_ok = (code >> 2) >= 0
+            neg = (code & 1) != 0
+            andw = jnp.where(reqs[t], andw & pres[t], andw)
+            posw = posw | jnp.where(s_ok & jnp.logical_not(neg),
+                                    pres[t], u0)
+            negw = negw | jnp.where(s_ok & neg, pres[t], u0)
+        matched = andw & posw & ~negw & notdel
+        if with_counts:
+            cnt_ref[0, 0, q] = jnp.sum(_popcount(matched), dtype=jnp.int32)
+
+        # residual chain over columns >= NC (ascending — the same
+        # left-to-right order the host rescore and the class chains use)
+        best = jnp.full(shape, ninf)
+        for c in range(1, 1 << NC):
+            mm = None
+            okc = None
+            sc_c = None
+            for t in range(NC):
+                if (c >> t) & 1:
+                    mm = pres[t] if mm is None else mm & pres[t]
+                    sc_c = bval[t] if sc_c is None else sc_c + bval[t]
+                else:
+                    mm = ~pres[t] if mm is None else mm & ~pres[t]
+                    nr = jnp.logical_not(reqs[t])
+                    okc = nr if okc is None else okc & nr
+            if sc_c is None:
+                continue
+            for t in range(NC, T):
+                sc_c = sc_c + bval[t]
+            live = mm != 0
+            if okc is not None:
+                live = live & okc
+            best = jnp.maximum(best, jnp.where(live, sc_c, ninf))
+        ubq = jnp.where(matched != 0, best, ninf)
+        ubm_ref[pl.ds(q, 1), 0] = ubq[None]
+        return carry
+
+    jax.lax.fori_loop(0, Bq, qbody, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("V", "Bq", "T", "with_counts", "with_filter",
+                     "interpret"))
+def scan_blocks(ppool, vpool, prow, delw, filtw, tslot, treq, tneg, w_blk,
+                *, V: int, Bq: int, T: int, with_counts: bool,
+                with_filter: bool, interpret: bool = False):
+    """Phase-1 scan over one device's blocks.
+
+    ppool u32[PR, NW] / vpool f32[PR, NW]: resident per-(slot, block)
+    presence / bucket-max rows; prow i32[NBLK, V]: row per (block, batch
+    slot), -1 when absent; delw/filtw u32[NBLK, NW]; tslot/treq/tneg
+    [Bq, T]; w_blk f32[NBLK, T, Bq] per-block (shard-resolved) weights.
+
+    Returns (allub f32[Bq, NBLK*NW] per-bucket UB with -inf for
+    unmatched, cnt i32[Bq] exact match counts — zeros unless
+    with_counts)."""
+    NBLK = prow.shape[0]
+    WR = _wr_for(V)
+    WCH = ROWS // WR
+
+    # one gather per pool: the kernel's per-step [V, WR, LANES] slabs.
+    # Clipped rows (absent (slot, block) pairs) land garbage — masked in
+    # the kernel via the prow test, which saves a full masking pass over
+    # the gathered bytes here.
+    rows_c = jnp.maximum(prow, 0).reshape(-1)
+    pres_g = jnp.take(ppool, rows_c, axis=0).reshape(NBLK, V, ROWS, LANES)
+    vub_g = jnp.take(vpool, rows_c, axis=0).reshape(NBLK, V, ROWS, LANES)
+    delw_r = delw.reshape(NBLK, ROWS, LANES)
+    if with_filter:
+        filtw_r = filtw.reshape(NBLK, ROWS, LANES)
+    else:
+        filtw_r = jnp.zeros((1, ROWS, LANES), jnp.uint32)
+
+    # packed per-(query, term) code: slot*4 | required*2 | negated; unused
+    # columns are exactly -4 so slot()=-1 and both flag bits read 0
+    tcode = jnp.where(
+        tslot >= 0,
+        tslot * 4 + 2 * treq.astype(jnp.int32) + tneg.astype(jnp.int32),
+        jnp.int32(-4))
+
+    grid = (NBLK, WCH)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                    # tcode
+        pl.BlockSpec((1, 1, V), lambda b, wc: (b, 0, 0),
+                     memory_space=pltpu.SMEM),                    # prow
+        pl.BlockSpec((1, T, Bq), lambda b, wc: (b, 0, 0),
+                     memory_space=pltpu.SMEM),                    # w_blk
+        pl.BlockSpec((1, V, WR, LANES), lambda b, wc: (b, 0, wc, 0),
+                     memory_space=pltpu.VMEM),                    # pres
+        pl.BlockSpec((1, V, WR, LANES), lambda b, wc: (b, 0, wc, 0),
+                     memory_space=pltpu.VMEM),                    # vub
+        pl.BlockSpec((1, WR, LANES), lambda b, wc: (b, wc, 0),
+                     memory_space=pltpu.VMEM),                    # delw
+        pl.BlockSpec((1, WR, LANES),
+                     (lambda b, wc: (b, wc, 0)) if with_filter
+                     else (lambda b, wc: (0, 0, 0)),
+                     memory_space=pltpu.VMEM),                    # filtw
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((Bq, NBLK, ROWS, LANES),
+                                       jnp.float32)]
+    out_specs = [pl.BlockSpec((Bq, 1, WR, LANES),
+                              lambda b, wc: (0, b, wc, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_counts:
+        out_shapes.append(jax.ShapeDtypeStruct((NBLK * WCH, 1, Bq),
+                                               jnp.int32))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, Bq), lambda b, wc, _W=WCH: (b * _W + wc, 0, 0),
+            memory_space=pltpu.SMEM))
+
+    kern = functools.partial(_kernel, Bq=Bq, T=T, with_counts=with_counts,
+                             with_filter=with_filter)
+    if not with_counts:
+        def kern(*refs, _k=kern):  # noqa: F811 — arity shim, no cnt ref
+            _k(*refs, None)
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if with_counts else out_specs[0],
+        out_shape=out_shapes if with_counts else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(tcode, prow[:, None, :], w_blk, pres_g, vub_g, delw_r, filtw_r)
+    if with_counts:
+        ubm, cntb = out
+        cnt = jnp.sum(cntb, axis=(0, 1), dtype=jnp.int32)  # [Bq]
+    else:
+        ubm = out
+        cnt = jnp.zeros((Bq,), jnp.int32)
+    return ubm.reshape(Bq, NBLK * NW), cnt
