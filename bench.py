@@ -112,7 +112,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=5_000_000)
     ap.add_argument("--vocab", type=int, default=30_000)
-    ap.add_argument("--batch", type=int, default=128)
+    # 512 queries/dispatch: every dispatch through the host<->TPU link
+    # carries a ~28 ms round trip (measured; a real PCIe host pays ~100 us)
+    # plus ~25-45 MB/s result D2H, so serving throughput is dispatch-
+    # overhead-bound until the batch amortizes it.  512 is the measured
+    # knee on v5e: device compute per batch (~25 ms) first matches the
+    # link overheads there.  B=1 interactive latency is measured
+    # separately below.
+    ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--threads", type=int, default=8)
     ap.add_argument("--passes", type=int, default=3)
@@ -230,6 +237,45 @@ def main() -> None:
 
         lat = np.array(batch_lat_us)
         n_queries = args.threads * args.batch * args.iters * args.passes
+        # snapshot the serving-pass metrics BEFORE the B=1 section so the
+        # busy/dispatch figures describe the batched passes only
+        tm = METRICS.snapshot()
+
+        # single-query (B=1) interactive latency — the reference's
+        # headline shape (305 us avg standalone BM25 top-10,
+        # README.md:268).  Measured honestly through this environment's
+        # tunneled TPU: each dispatch carries the ~28 ms link round trip,
+        # which a co-located host does not pay; b1_* report end-to-end
+        # wall here, and the JSON carries the measured link floor
+        # (b1_link_floor_us, median trivial-op round trip) so the
+        # engine-side share is attributable.
+        b1_reqs = [
+            st.SearchRequest(query=q, length=10,
+                             result_type=st.ResultType(args.result_type),
+                             realtime=True, query_type_default=st.QueryType(ty))
+            for q, ty in make_queries(64, np.random.default_rng(999))
+        ]
+        for r in b1_reqs[:8]:
+            st.search_batch(idx, [r])  # warm the B=1 plan shapes
+        b1_lat = []
+        for r in b1_reqs * 3:
+            t0 = time.perf_counter()
+            st.search_batch(idx, [r])
+            b1_lat.append((time.perf_counter() - t0) * 1e6)
+        b1 = np.array(b1_lat)
+        # link floor: trivial device op + scalar fetch, same path a B=1
+        # dispatch takes
+        import jax
+        import jax.numpy as jnp
+        _tiny = jax.jit(lambda x: (x * 2).sum())
+        _x = jnp.ones((8, 128), jnp.float32)
+        np.asarray(_tiny(_x))
+        floors = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            np.asarray(_tiny(_x))
+            floors.append((time.perf_counter() - t0) * 1e6)
+        b1_floor = float(np.median(floors))
 
         # index-memory accounting (north star: <= reference index.bin for
         # the same corpus).  HBM-resident scoring tensors + host stores.
@@ -252,7 +298,6 @@ def main() -> None:
         # parallel/mesh.py instrumentation).  With pipelined worker threads
         # the per-thread device waits overlap, so device_s can exceed wall
         # time; the MFU estimate is therefore conservative.
-        tm = METRICS.snapshot()
         escalations = int(tm.get("plan_escalations_total", 0))
         dispatches = int(tm.get("device_dispatch_total", 0))
         wand_esc = int(tm.get("wand_escalations_total", 0))
@@ -306,6 +351,10 @@ def main() -> None:
                     "p50_batch_latency_us": round(float(np.percentile(lat, 50)), 1),
                     "p99_batch_latency_us": round(float(np.percentile(lat, 99)), 1),
                     "per_query_latency_us": round(float(lat.mean()) / args.batch, 1),
+                    "batch": args.batch,
+                    "b1_p50_us": round(float(np.percentile(b1, 50)), 1),
+                    "b1_p99_us": round(float(np.percentile(b1, 99)), 1),
+                    "b1_link_floor_us": round(b1_floor, 1),
                     "pass_qps": [round(q, 1) for q in pass_qps],
                     "n_queries": n_queries,
                     "precision": prec,

@@ -1106,9 +1106,24 @@ extern "C" int64_t st_exact_eval(
     int64_t k,                   // page size to return (<= N)
     float* out_scores, int64_t* out_gids, int64_t* out_count)
 {
-    std::vector<float> score((size_t)N, 0.0f);
-    std::vector<uint8_t> anyc((size_t)N, 0), reqc((size_t)N, 0),
-        negc((size_t)N, 0);
+    // Accumulators are thread-local and REUSED across calls (the
+    // all-zero state is the between-calls invariant, restored below by
+    // resetting only the touched gids): a fresh 5M-gid allocation +
+    // memset plus the final full-N candidate sweep cost ~25 ms per call
+    // on a small host — the dominant serving-wall term for the ~0.2% of
+    // queries that fall back here — where the touched set is bounded by
+    // the query's total posting count.
+    thread_local std::vector<float> score;
+    thread_local std::vector<uint8_t> anyc, reqc, negc, touch;
+    thread_local std::vector<int64_t> touched;
+    if ((int64_t)score.size() < N) {
+        score.resize((size_t)N, 0.0f);
+        anyc.resize((size_t)N, 0);
+        reqc.resize((size_t)N, 0);
+        negc.resize((size_t)N, 0);
+        touch.resize((size_t)N, 0);
+    }
+    touched.clear();
     int nreq = 0;
     for (int t = 0; t < n_slots; t++) {
         bool neg = flags[t] & 1, req = (flags[t] & 2) && !neg,
@@ -1124,6 +1139,7 @@ extern "C" int64_t st_exact_eval(
                 continue;  // facet-filtered doc: never matches
             int32_t sh = blk_shard[blk];
             int64_t gid = ((blk - block_base[sh]) * 65536 + docid) * S + sh;
+            if (!touch[gid]) { touch[gid] = 1; touched.push_back(gid); }
             if (neg) { negc[gid] = 1; continue; }
             anyc[gid] = 1;
             if (req) reqc[gid]++;
@@ -1134,12 +1150,14 @@ extern "C" int64_t st_exact_eval(
     for (int sh = 0; sh < S; sh++)
         for (int64_t i = del_off[sh]; i < del_off[sh + 1]; i++) {
             int64_t gid = deleted[i] * S + sh;
-            if (gid < N) anyc[gid] = 0;
+            if (gid < N && touch[gid]) anyc[gid] = 0;
         }
 
     // oracle top-k: bounded heap ordered worst-first by
     // (score asc, gid desc); a candidate replaces the worst when it is
-    // strictly better under (score desc, gid asc)
+    // strictly better under (score desc, gid asc).  Touched gids are
+    // visited in ascending order so tie handling matches the full sweep.
+    std::sort(touched.begin(), touched.end());
     struct Ent { float s; int64_t g; };
     auto worse = [](const Ent& a, const Ent& b) {
         // "a is better than b" for max-heap of worst: heap top = worst
@@ -1148,7 +1166,7 @@ extern "C" int64_t st_exact_eval(
     std::vector<Ent> heap;
     heap.reserve((size_t)k + 1);
     int64_t count = 0;
-    for (int64_t gid = 0; gid < N; gid++) {
+    for (int64_t gid : touched) {
         if (!anyc[gid] || negc[gid] || reqc[gid] < nreq) continue;
         count++;
         float rank = score[(size_t)gid];
@@ -1165,6 +1183,13 @@ extern "C" int64_t st_exact_eval(
             heap.back() = e;
             std::push_heap(heap.begin(), heap.end(), worse);
         }
+    }
+    for (int64_t gid : touched) {  // restore the all-zero invariant
+        score[gid] = 0.0f;
+        anyc[gid] = 0;
+        reqc[gid] = 0;
+        negc[gid] = 0;
+        touch[gid] = 0;
     }
     std::sort(heap.begin(), heap.end(), [](const Ent& a, const Ent& b) {
         return a.s > b.s || (a.s == b.s && a.g < b.g);

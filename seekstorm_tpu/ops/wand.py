@@ -402,7 +402,7 @@ def _pack_scan_out(cnt, rungs):
 
 _SCAN_STATICS = ("V", "Bq", "T", "S", "with_counts", "NF", "FCM",
                  "with_filter", "rank_by_key", "with_three", "BS",
-                 "PALLAS", "with_rescore")
+                 "PALLAS", "with_rescore", "NEED", "MULTI")
 
 
 @functools.partial(jax.jit, static_argnames=_SCAN_STATICS)
@@ -410,27 +410,31 @@ def wand_scan(ppool, vpool, rpool, ipool, sp_prow, sp_ioff, delw, sid,
               qargs, fcod, filtw, skeyb,
               *, V, Bq, T, S, with_counts, NF=0, FCM=1, with_filter=False,
               rank_by_key=False, with_three=False, BS=BSTEP, PALLAS=0,
-              with_rescore=False):
+              with_rescore=False, NEED=0, MULTI=False):
     """Single-device program: pools carry a leading D=1 device axis (the
-    same layout the mesh program shards), region ids are global."""
+    same layout the mesh program shards), region ids are global.
+
+    with_rescore=True returns the slim i32 ladder buffer (_ladder_device);
+    otherwise the f32 rung-table buffer (_pack_scan_out) consumed by the
+    host ladder (rank-by-key / count-only / large-page modes)."""
     cnt, fc, rungs = _scan_local(
         ppool[0], vpool[0], sp_prow, delw, sid, qargs, fcod, filtw, skeyb,
         V=V, Bq=Bq, T=T, S=S, with_counts=with_counts, NF=NF, FCM=FCM,
         with_filter=with_filter, rank_by_key=rank_by_key,
         with_three=with_three, BS=BS, PALLAS=PALLAS)
-    out = _pack_scan_out(cnt, rungs)
     if not with_rescore:
-        return out, fc
+        return _pack_scan_out(cnt, rungs), fc
     slotmap, tslot, treq, tneg, wshard = _unpack_qargs(qargs, V, Bq, T, S)
-    vals0, ids0 = rungs[0]
-    score, lane, found = _rescore_regions(
-        ppool[0], rpool[0], ipool[0], sp_prow, sp_ioff, delw, sid, filtw,
-        slotmap, tslot, treq, tneg, wshard,
-        ids0[:, :K_SEL], vals0[:, :K_SEL],
-        Bq=Bq, T=T, bucket_off=jnp.int32(0), with_filter=with_filter)
-    psc, plane, n_ge = _page_topk(score, lane)
-    extra = _rescore_lanes(psc, plane, found, n_ge)
-    return jnp.concatenate([out] + extra, axis=1), fc
+
+    def rescore_fn(ids, vals):
+        return _rescore_regions(
+            ppool[0], rpool[0], ipool[0], sp_prow, sp_ioff, delw, sid,
+            filtw, slotmap, tslot, treq, tneg, wshard, ids, vals,
+            Bq=Bq, T=T, bucket_off=jnp.int32(0), with_filter=with_filter)
+
+    out = _ladder_device(cnt, rungs, rescore_fn, Bq=Bq, need=NEED,
+                         multi=MULTI, s_gt1=S > 1)
+    return out, fc
 
 
 def make_wand_scan_mesh(mesh, statics: dict):
@@ -454,14 +458,14 @@ def make_wand_scan_mesh(mesh, statics: dict):
 
     def body(ppool, vpool, rpool, ipool, sp_prow, sp_ioff, delw, sid,
              qargs, fcod, filtw, skeyb):
-        sub = {k: v for k, v in statics.items() if k != "with_rescore"}
+        sub = {k: v for k, v in statics.items()
+               if k not in ("with_rescore", "NEED", "MULTI")}
         cnt, fc, rungs = _scan_local(
             ppool[0], vpool[0], sp_prow, delw, sid, qargs, fcod, filtw,
             skeyb, **sub)
         NBLK_local = sp_prow.shape[1]
         Bq = statics["Bq"]
-        parts = []
-        merged0 = None
+        merged = []
         for (vals, ids), F in zip(rungs, F_LADDER):
             off = jax.lax.axis_index("shards") * (NBLK_local * NW // F)
             gi = ids + off
@@ -471,53 +475,56 @@ def make_wand_scan_mesh(mesh, statics: dict):
             i2 = jnp.moveaxis(i_all, 0, 1).reshape(Bq, D * KP)
             mv, sel = jax.lax.top_k(v2, KP)
             mi = jnp.take_along_axis(i2, sel, axis=1)
-            if merged0 is None:
-                merged0 = (mv, mi)
-            parts.append(mv)
-            parts.append(mi.astype(jnp.float32))
+            merged.append((mv, mi))
         cnt = jax.lax.psum(cnt, "shards")
         fc = jax.lax.psum(fc, "shards")
-        parts.append((cnt & 0xFFF)[:, None].astype(jnp.float32))
-        parts.append((cnt >> 12)[:, None].astype(jnp.float32))
-        if statics.get("with_rescore"):
-            # phase 3 under the mesh: the GLOBAL rung-1 top regions are
-            # identical on every device after the merge above; each
-            # device rescores the subset it owns (out-of-range locals
-            # mask to -inf), then the per-device pages concatenate via
-            # all_gather — the host merges the D*P candidates exactly by
-            # (score, gid).  found is additive (regions partition by
-            # device); n_ge_last stays per-device (its tie-cut test is
-            # per-device sound, see run_batch).
-            T = statics["T"]
-            V = statics["V"]
-            S = statics["S"]
-            slotmap, tslot, treq, tneg, wshard = _unpack_qargs(
-                qargs, V, Bq, T, S)
-            mv0, mi0 = merged0
-            my_off = jax.lax.axis_index("shards") * (NBLK_local * NW)
-            loc = mi0[:, :K_SEL] - my_off
-            mine = (loc >= 0) & (loc < NBLK_local * NW) \
-                & (mv0[:, :K_SEL] > -jnp.inf)
+        if not statics.get("with_rescore"):
+            parts = []
+            for mv, mi in merged:
+                parts.append(mv)
+                parts.append(mi.astype(jnp.float32))
+            parts.append((cnt & 0xFFF)[:, None].astype(jnp.float32))
+            parts.append((cnt >> 12)[:, None].astype(jnp.float32))
+            return jnp.concatenate(parts, axis=1)[None], fc[None]
+        # phases 3+4 under the mesh: the GLOBAL rung tops are identical
+        # on every device after the merge above; per rung each device
+        # rescores the bucket subset it owns (out-of-range locals mask to
+        # -inf), pages merge over ICI (all_gather), matched counts and
+        # tie-cut flags psum — the ladder logic itself (_ladder_device)
+        # is shared with the single-device program and its lax.cond holds
+        # no collectives (the predicate is replicated, XLA can't know).
+        T = statics["T"]
+        V = statics["V"]
+        S = statics["S"]
+        slotmap, tslot, treq, tneg, wshard = _unpack_qargs(
+            qargs, V, Bq, T, S)
+        my_off = jax.lax.axis_index("shards") * (NBLK_local * NW)
+
+        def rescore_fn(gids, vals):
+            loc = gids - my_off
+            mine = (loc >= 0) & (loc < NBLK_local * NW) & (vals > -jnp.inf)
             loc = jnp.where(mine, loc, -1)
-            vals_m = jnp.where(mine, mv0[:, :K_SEL], -jnp.inf)
-            score, lane, found = _rescore_regions(
+            vals_m = jnp.where(mine, vals, -jnp.inf)
+            return _rescore_regions(
                 ppool[0], rpool[0], ipool[0], sp_prow, sp_ioff, delw,
                 sid, filtw, slotmap, tslot, treq, tneg, wshard,
                 loc, vals_m, Bq=Bq, T=T, bucket_off=my_off,
                 with_filter=statics["with_filter"])
-            psc, plane, n_ge = _page_topk(score, lane)
-            found = jax.lax.psum(found, "shards")
-            pg_v = jax.lax.all_gather(psc, "shards")     # [D, Bq, P]
-            pg_l = jax.lax.all_gather(plane, "shards")
-            ng_a = jax.lax.all_gather(n_ge, "shards")    # [D, Bq]
-            pg_v = jnp.moveaxis(pg_v, 0, 1).reshape(Bq, D * P_PAGE)
-            pg_l = jnp.moveaxis(pg_l, 0, 1).reshape(Bq, D * P_PAGE)
-            parts += [pg_v,
-                      (pg_l & 0xFFF).astype(jnp.float32),
-                      (pg_l >> 12).astype(jnp.float32),
-                      found[:, None].astype(jnp.float32),
-                      jnp.moveaxis(ng_a, 0, 1).astype(jnp.float32)]
-        return jnp.concatenate(parts, axis=1)[None], fc[None]
+
+        def gather(x):
+            g = jax.lax.all_gather(x, "shards")          # [D, Bq, P]
+            return jnp.moveaxis(g, 0, 1).reshape(Bq, -1)
+
+        def psum(x):
+            return jax.lax.psum(x, "shards")
+
+        # merged rung-2/3 region ids are in GLOBAL region space; the
+        # rung-2 bucket expansion (ids*F + j) inside _ladder_device is
+        # region->bucket in global space, localized by rescore_fn
+        out = _ladder_device(cnt, merged, rescore_fn, Bq=Bq,
+                             need=statics["NEED"], multi=statics["MULTI"],
+                             s_gt1=S > 1, gather=gather, psum=psum)
+        return out[None], fc[None]
 
     in_specs = (
         P("shards"), P("shards"),              # ppool, vpool (device axis)
@@ -621,8 +628,25 @@ def _rescore_regions(ppool, rpool, ipool, sp_prow, sp_ioff, delw, sid,
     below = (jnp.uint32(1) << bit) - jnp.uint32(1)
     pres4 = pres[..., None]                            # [Bq, T, K, 32]
     rank_b = jax.lax.population_count(pres4 & below).astype(jnp.int32)
-    pos = jnp.maximum(ioff, 0)[..., None] + rank[..., None] + rank_b
-    val_b = jnp.take(ipool, pos, mode="clip")
+    # impact fetch: each (query, term, bucket) reads the 32-float window
+    # [pos0, pos0+32) of the flat impact pool, where pos0 = ioff + rank.
+    # A direct element gather of [Bq, T, K, 32] arbitrary positions runs
+    # at ~7 ns/element on v5e (measured — 30 ms at Bq=1024, the phase-3
+    # hot spot); instead gather the TWO 32-aligned rows spanning the
+    # window (row gathers are ~20x cheaper) and select within the 64-lane
+    # window by a one-hot MXU contraction — exact, since each output lane
+    # multiplies its value by 1.0 and adds 63 zeros.
+    pos0 = jnp.maximum(ioff, 0) + rank                 # [Bq, T, K]
+    ip2 = ipool.reshape(-1, 32)
+    r0 = pos0 >> 5
+    w0 = jnp.take(ip2, r0, axis=0, mode="clip")        # [Bq, T, K, 32]
+    w1 = jnp.take(ip2, r0 + 1, axis=0, mode="clip")
+    win = jnp.concatenate([w0, w1], axis=-1)           # [Bq, T, K, 64]
+    idx = (pos0 & 31)[..., None] + rank_b              # in [0, 63]
+    oh = (idx[..., None] == jnp.arange(64, dtype=jnp.int32)
+          ).astype(jnp.float32)
+    val_b = jnp.einsum("btkij,btkj->btki", oh, win,
+                       preferred_element_type=jnp.float32)
     present = ((pres4 >> bit) & jnp.uint32(1)) != 0
     imp_b = jnp.where(present & ok3[..., None], val_b, 0.0)
 
@@ -673,15 +697,100 @@ def _page_topk(score, lane):
     return psc, plane, n_ge
 
 
-def _rescore_lanes(psc, plane, found, n_ge):
-    """Packed lane layout appended to the scan output: [P scores |
-    P lane-low-12 | P lane-high | found | n_ge] per device column; lanes
-    split like counts so >2^24 doc lanes stay exact through f32."""
-    return [psc,
-            (plane & 0xFFF).astype(jnp.float32),
-            (plane >> 12).astype(jnp.float32),
-            found[:, None].astype(jnp.float32),
-            n_ge[:, None].astype(jnp.float32)]
+# on-device WAND termination margin: the rescore and UB chains may each
+# round ~1 ulp apart from the host's two-rounding f32 sums (XLA fma
+# contraction), and the compare itself runs in f32 here — 1e-6 relative
+# absorbs all of it with room.  Slightly stricter than the host ladder's
+# 3e-7 (more near-ties escalate to rung 2), never laxer, so soundness is
+# unchanged.
+_MARGIN = jnp.float32(1.000001)
+
+
+def _ladder_device(cnt, rungs, rescore_fn, *, Bq: int, need: int,
+                   multi: bool, s_gt1: bool, gather=None, psum=None):
+    """Phases 3+4 on device: exact rung-1 rescore + WAND termination test
+    + a cond-gated rung-2 escalation, packed into ONE slim i32 buffer so
+    the host fetches ~0.5 KB/query instead of the full rung tables
+    (~2.3 KB/query — the D2H fetch was the serving throughput cap through
+    the host<->TPU link, measured ~34 MB/s aggregate).
+
+    Slim layout per query row (i32; f32 values bitcast):
+      [0] exact match count  [1] code (0/1 = terminated at device rung,
+      2 = pending -> host)   [2] matched-candidate count of the chosen
+      rung  [3] reserved     [4 : 4+2*D*P] page (D*P scores | D*P lanes)
+      [A : A+K_SEL+1] rung-3 region ids + next_ub (the host ladder's
+      escalation input)      [s_gt1: A+KP : A+2*KP] rung-1 bucket ids +
+      next_ub (multi-shard tie redo input).
+
+    gather/psum: identity on a single device; all_gather/psum over the
+    mesh axis (collectives stay OUTSIDE the lax.cond — its predicate is
+    replicated, but XLA cannot prove that)."""
+    if gather is None:
+        gather = lambda x: x          # noqa: E731
+        psum = lambda x: x            # noqa: E731
+
+    def one_rung(ids, vals, next_ub):
+        sc, lane, found = rescore_fn(ids, vals)
+        psc, plane, n_ge = _page_topk(sc, lane)
+        psc_g = gather(psc)
+        plane_g = gather(plane)
+        found_g = psum(found)
+        kth = jax.lax.top_k(psc_g, need)[0][:, need - 1]
+        term = (next_ub == -jnp.inf) | (
+            (found_g >= need) & (kth > next_ub * _MARGIN))
+        if multi:
+            bad = psum((n_ge > P_PAGE).astype(jnp.int32))
+            term = term & (bad == 0)
+        return psc_g, plane_g, found_g, term
+
+    vals1, ids1 = rungs[0]
+    psc1, plane1, found1, term1 = one_rung(
+        ids1[:, :K_SEL], vals1[:, :K_SEL], vals1[:, K_SEL])
+
+    vals2, ids2 = rungs[1]
+    F2 = F_LADDER[1]
+    KB = K_SEL * F2
+
+    def rung2(_):
+        idsb = (ids2[:, :K_SEL, None] * F2
+                + jnp.arange(F2, dtype=jnp.int32)).reshape(Bq, KB)
+        valsb = jnp.repeat(vals2[:, :K_SEL], F2, axis=1)
+        sc, lane, found = rescore_fn(idsb, valsb)
+        return _page_topk(sc, lane) + (found,)
+
+    def skip2(_):
+        return (jnp.full((Bq, P_PAGE), -jnp.inf),
+                jnp.zeros((Bq, P_PAGE), jnp.int32),
+                jnp.zeros((Bq,), jnp.int32),
+                jnp.zeros((Bq,), jnp.int32))
+
+    psc2, plane2, n_ge2, found2 = jax.lax.cond(
+        jnp.any(jnp.logical_not(term1)), rung2, skip2, 0)
+    psc2_g = gather(psc2)
+    plane2_g = gather(plane2)
+    found2_g = psum(found2)
+    kth2 = jax.lax.top_k(psc2_g, need)[0][:, need - 1]
+    nub2 = vals2[:, K_SEL]
+    term2 = (nub2 == -jnp.inf) | (
+        (found2_g >= need) & (kth2 > nub2 * _MARGIN))
+    if multi:
+        bad2 = psum((n_ge2 > P_PAGE).astype(jnp.int32))
+        term2 = term2 & (bad2 == 0)
+
+    code = jnp.where(term1, 0, jnp.where(term2, 1, 2)).astype(jnp.int32)
+    psc = jnp.where(term1[:, None], psc1, psc2_g)
+    plane = jnp.where(term1[:, None], plane1, plane2_g)
+    found = jnp.where(term1, found1, found2_g)
+
+    vals3, ids3 = rungs[2]
+    bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa
+    parts = [cnt[:, None], code[:, None], found[:, None],
+             jnp.zeros((Bq, 1), jnp.int32),
+             bits(psc), plane,
+             ids3[:, :K_SEL], bits(vals3[:, K_SEL:K_SEL + 1])]
+    if s_gt1:
+        parts += [ids1[:, :K_SEL], bits(vals1[:, K_SEL:K_SEL + 1])]
+    return jnp.concatenate(parts, axis=1)
 
 
 def _pack_qargs(slotmap, tslot, treq, tneg, wshard):
@@ -1203,7 +1312,9 @@ def precompile(index, batch_sizes=(128,), v_buckets=(64, 256),
                                    with_three=False, BS=state.bstep,
                                    PALLAS=wand_pallas.pallas_mode(0, False,
                                                                   T),
-                                   with_rescore=True)
+                                   with_rescore=True, NEED=10,
+                                   MULTI=bool(
+                                       _dev_multi_shard(state).any()))
                     packed, fc = _dispatch_scan(
                         state, pools + (qargs, dummy_i, dummy_u, dummy_f),
                         statics)
@@ -1702,31 +1813,27 @@ def _dev_multi_shard(state: WandState) -> np.ndarray:
     return m
 
 
-def _apply_device_page(state: WandState, packed, cnt, specs, need: int,
-                       S: int, out_scores, out_gids, counts,
-                       rbase: int) -> list[int]:
-    """Consume the phase-3 device pages: terminate every query whose page
-    passes the WAND test, fill its outputs, and return the still-pending
-    query indices (they re-enter the host ladder at rung 0).
+def _apply_slim(state: WandState, buf, specs, S: int,
+                out_scores, out_gids, counts) -> list[int]:
+    """Consume the slim device-ladder buffer (_ladder_device layout):
+    fill the outputs of every query the device terminated (code 0/1 —
+    the WAND test incl. the multi-shard tie-cut guard ran on device) and
+    return the still-pending query indices for the host ladder.
 
-    Exactness: the device returns the top-P_PAGE candidates by (score,
-    lane) per device plus the total matched count; the host re-sorts the
-    (score, gid) pairs — exact unless a score-tie class is cut at a page
-    boundary on a device whose lane order differs from gid order
-    (multi-shard devices only; detected via the device's n_ge_last
-    counter and redone on the host rung-0 path)."""
+    Exactness: the chosen rung's page is the top-P_PAGE candidates by
+    (score, lane) per device plus the total matched count; the host
+    re-sorts the (score, gid) pairs — exact because the device ladder
+    only terminates when no tie class is cut at a page boundary on a
+    device whose lane order differs from gid order."""
     B = len(specs)
     D = state.D
     DP = D * P_PAGE
-    KP = K_SEL + 1
-    psc = packed[:B, rbase: rbase + DP]
-    plane = (packed[:B, rbase + DP: rbase + 2 * DP].astype(np.int64)
-             + (packed[:B, rbase + 2 * DP: rbase + 3 * DP]
-                .astype(np.int64) << 12))
-    found = packed[:B, rbase + 3 * DP].astype(np.int64)
-    n_ge = packed[:B, rbase + 3 * DP + 1: rbase + 3 * DP + 1 + D]
-    next_ub = packed[:B, K_SEL]          # rung-1's best unselected UB
-    multi = _dev_multi_shard(state)
+    buf_f = buf.view(np.float32)
+    cnt = buf[:B, 0].astype(np.int64)
+    code = buf[:B, 1]
+    found = buf[:B, 2].astype(np.int64)
+    psc = buf_f[:B, 4: 4 + DP]
+    plane = buf[:B, 4 + DP: 4 + 2 * DP].astype(np.int64)
 
     # gid per candidate: lane is the global doc position (block-major)
     blk = plane >> 16
@@ -1750,30 +1857,22 @@ def _apply_device_page(state: WandState, packed, cnt, specs, need: int,
         b = int(ends[qi])
         sc, gd = sc_v[a:b], gid_v[a:b]
         a = b
-        nf = int(found[qi])
-        nub = float(next_ub[qi])
-        kth = float(sc[need - 1]) if nf >= need and len(sc) >= need \
-            else -np.inf
-        # same STRICT margin discipline as the host ladder (see below)
-        exact = (nub == -np.inf) or (nf >= need
-                                     and kth > nub * (1.0 + 3e-7))
-        tie_ok = S == 1 or all(
-            (not multi[d]) or n_ge[qi, d] <= P_PAGE for d in range(D))
-        if exact and tie_ok:
-            sc = sc.astype(np.float32)
-            if nf > len(sc):
-                # length reports the true matched count (the `n_found >=
-                # need` tests downstream); entries past the page are
-                # sentinels, same convention as the native host rescore
-                sc = np.concatenate(
-                    [sc, np.full(nf - len(sc), -np.inf, np.float32)])
-                gd = np.concatenate(
-                    [gd, np.full(nf - len(gd), -1, np.int64)])
-            out_scores[qi] = sc
-            out_gids[qi] = gd
-            counts[qi] = cnt[qi]
-        else:
+        if code[qi] > 1:
             still.append(qi)
+            continue
+        nf = int(found[qi])
+        sc = sc.astype(np.float32)
+        if nf > len(sc):
+            # length reports the true matched count (the `n_found >=
+            # need` tests downstream); entries past the page are
+            # sentinels, same convention as the native host rescore
+            sc = np.concatenate(
+                [sc, np.full(nf - len(sc), -np.inf, np.float32)])
+            gd = np.concatenate(
+                [gd, np.full(nf - len(gd), -1, np.int64)])
+        out_scores[qi] = sc
+        out_gids[qi] = gd
+        counts[qi] = cnt[qi]
     return still
 
 
@@ -1793,8 +1892,10 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
     + host copies) apply a batch-shared facet filter to matching, counts,
     facet histograms and the host rescores.
     Returns (scores list, gids list, counts i64[B],
-    fc f32[NF, B, fcm] or None) — every eligible row is fully handled
-    (escalation and the exact fallback are both in-path)."""
+    fc f32[NF, B, fcm] or None, handled bool[B]).  Escalation is
+    in-path; UB-saturated stragglers come back handled=False for the
+    caller's dense kernels (SEEKSTORM_TPU_WAND_FORCE_FALLBACK keeps the
+    host exact evaluation instead, for the parity suite)."""
     from ..metrics import METRICS
     from ..utils import ceil_pow2
 
@@ -1876,7 +1977,10 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
             >= 3 for sp in specs),
         BS=state.bstep,
         PALLAS=wand_pallas.pallas_mode(n_facets, rank_mode, T),
-        with_rescore=dev_rescore)
+        with_rescore=dev_rescore,
+        NEED=need if dev_rescore else 0,
+        MULTI=bool(_dev_multi_shard(state).any()) if dev_rescore
+        else False)
     # analytic HBM traffic of this dispatch — the WAND scan is bit-ops +
     # thin reductions, not matmuls, so the honest utilization figure is
     # bandwidth, not MFU (VERDICT r3 weak #4).  Terms: presence/bucket-max
@@ -1905,45 +2009,69 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         packed = np.asarray(packed_d)
         fc = np.asarray(fc_d)[:, :B] if n_facets else None
     KP = K_SEL + 1
-    cbase = 2 * KP * len(F_LADDER)
-    cnt = (packed[:, cbase].astype(np.int64)
-           + (packed[:, cbase + 1].astype(np.int64) << 12))
+    force_fb = bool(os.environ.get("SEEKSTORM_TPU_WAND_FORCE_FALLBACK"))
 
-    if count_only:
-        # ResultType.Count: the phase-1 popcount IS the answer — no
-        # pages, no rescore ladder (reference count paths never collect,
-        # add_result.rs count-only branches)
-        counts[:] = cnt[:B]
-        return out_scores, out_gids, counts, fc
+    if dev_rescore:
+        # slim i32 ladder buffer (_ladder_device): the device already ran
+        # the rung-1 rescore + WAND test and a cond-gated rung-2; the
+        # host only finishes stragglers.  Host escalation inputs come
+        # from the buffer: rung-3 region ids + next_ub (always) and the
+        # rung-1 bucket ids + next_ub (S > 1, for tie-cut redos and for
+        # near-margin queries — the device margin is stricter).
+        DP = state.D * P_PAGE
+        A = 4 + 2 * DP
+        buf_f = packed.view(np.float32)
+        cnt = packed[:B, 0].astype(np.int64)
+        if force_fb:
+            pending = list(range(B))
+        else:
+            pending = _apply_slim(state, packed, specs, S,
+                                  out_scores, out_gids, counts)
+            METRICS.inc("wand_dev_pages_total", B - len(pending))
+            if (packed[:B, 1] >= 1).any():
+                METRICS.inc("wand_escalations_total")
+        host_rungs = []
+        if S > 1 and not force_fb:
+            host_rungs.append((packed[:B, A + KP: A + KP + K_SEL],
+                               buf_f[:B, A + 2 * KP - 1], 1))
+        if not force_fb:
+            host_rungs.append((packed[:B, A: A + K_SEL],
+                               buf_f[:B, A + K_SEL], F_LADDER[2]))
+    else:
+        cbase = 2 * KP * len(F_LADDER)
+        cnt = (packed[:, cbase].astype(np.int64)
+               + (packed[:, cbase + 1].astype(np.int64) << 12))
 
-    pending = list(range(B))
-    if dev_rescore and not os.environ.get(
-            "SEEKSTORM_TPU_WAND_FORCE_FALLBACK"):
-        pending = _apply_device_page(
-            state, packed, cnt, specs, need, S,
-            out_scores, out_gids, counts, cbase + 2)
-        METRICS.inc("wand_dev_pages_total", B - len(pending))
+        if count_only:
+            # ResultType.Count: the phase-1 popcount IS the answer — no
+            # pages, no rescore ladder (reference count paths never
+            # collect, add_result.rs count-only branches)
+            counts[:] = cnt[:B]
+            return out_scores, out_gids, counts, fc, np.ones(B, bool)
 
-    # host-side ladder: rung f rescores the top-K_SEL regions of
-    # F_LADDER[f]*32 docs; all rungs came back from the one dispatch, so
-    # escalation costs host rescore time only.  With the device rescore
-    # on, only queries that failed its termination (or its multi-shard
-    # tie-cut guard) reach the host — rung 0 is then a cheap exact redo
-    # of the same buckets before the coarser rungs.
-    ladder = (() if os.environ.get("SEEKSTORM_TPU_WAND_FORCE_FALLBACK")
-              else F_LADDER)
-    for f, F in enumerate(ladder):
+        pending = list(range(B))
+        host_rungs = []
+        if not force_fb:
+            for f, F in enumerate(F_LADDER):
+                ub_i = packed[:, 2 * KP * f + KP: 2 * KP * (f + 1)]
+                host_rungs.append(
+                    (ub_i.astype(np.int64), packed[:, 2 * KP * f + K_SEL],
+                     F))
+
+    # host-side ladder over the remaining rungs: rescore each pending
+    # query's selected regions exactly (C++ st_rescore) and terminate on
+    # the same strict WAND test.  Region ids may include duplicate pad
+    # entries (slim buffers carry no validity lanes) — np.unique dedupes;
+    # extra buckets only ADD exact candidates and never affect soundness
+    # (next_ub still bounds every unselected bucket).
+    for ids_arr, nub_arr, F in host_rungs:
         if not pending:
             break
-        ub_s = packed[:, 2 * KP * f: 2 * KP * f + KP]
-        ub_i = packed[:, 2 * KP * f + KP: 2 * KP * (f + 1)].astype(np.int64)
-        buckets_list = []
-        for qi in pending:
-            sel = ub_s[qi, :K_SEL] > -np.inf
-            regions = ub_i[qi, :K_SEL][sel]
-            buckets_list.append(
-                (regions[:, None] * F
-                 + np.arange(F, dtype=np.int64)[None, :]).reshape(-1))
+        buckets_list = [
+            np.unique((ids_arr[qi].astype(np.int64)[:, None] * F
+                       + np.arange(F, dtype=np.int64)[None, :]))
+            for qi in pending
+        ]
         with METRICS.timer("wand_rescore"):
             rescored = _rescore_many(
                 state, slot_rows, [specs[qi] for qi in pending],
@@ -1951,7 +2079,7 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
                 rank_key_host)
         still = []
         for (sc, gid), qi in zip(rescored, pending):
-            next_ub = float(ub_s[qi, K_SEL])
+            next_ub = float(nub_arr[qi])
             n_found = len(gid)
             kth = float(sc[need - 1]) if n_found >= need else -np.inf
             # STRICT comparison: with kth == next_ub an unselected bucket
@@ -1977,10 +2105,21 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
             else:
                 still.append(qi)
         pending = still
-        if pending and f + 1 < len(F_LADDER):
+        if pending:
             METRICS.inc("wand_escalations_total")
+    handled = np.ones(B, bool)
+    defer = os.environ.get("SEEKSTORM_TPU_WAND_DEFER_DENSE")
     for qi in pending:
         METRICS.inc("wand_fallbacks_total")
+        if defer and not force_fb:
+            # opt-in: defer UB-saturated stragglers to the caller's dense
+            # device kernels (search.py rest_rows).  Measured SLOWER than
+            # the host exact evaluation at 5M/128-batch (3.2K vs 4.4K
+            # qps: a full-corpus dense dispatch per straggler batch costs
+            # more than ~20 ms of host CPU), but the trade flips on hosts
+            # with more cores or corpora with higher fallback rates.
+            handled[qi] = False
+            continue
         with METRICS.timer("wand_exact_fallback"):
             sc, gid, count = _exact_fallback(
                 state, slot_rows, specs[qi], idf_per_shard, S, need,
@@ -2004,4 +2143,4 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
             if st_[1] > 2048:
                 st_[0] //= 2
                 st_[1] //= 2
-    return out_scores, out_gids, counts, fc
+    return out_scores, out_gids, counts, fc, handled

@@ -70,20 +70,20 @@ def pallas_mode(NF: int, rank_by_key: bool, T: int) -> int:
     Part of the scan's static jit key (wand._SCAN_STATICS) — the env var
     is read here, at plan time, never inside a traced function.
 
-    Default is the XLA step: measured head-to-head on v5e at reference
-    scale the kernel's per-query fori overhead (~0.2 us/(query, block))
-    cancels its intermediate-traffic win (Bq=128/V=256: 5 ms vs 3 ms;
-    Bq=1024/V=512: 32 ms vs 22 ms), and the serving bottleneck at those
-    shapes is dispatch+D2H, not phase 1.  Opt in with
-    SEEKSTORM_TPU_WAND_PALLAS=1 on TPU."""
+    Default ON for the TPU backend: with the slim ladder output in place
+    the serial per-dispatch cost is phase-1 compute, where the kernel
+    beats the XLA step ~2.4x at serving shapes (Bq=128/V=256: ~5 ms vs
+    ~12 ms on v5e — the XLA step materializes its per-step gathers and
+    class-refinement temporaries in HBM).  SEEKSTORM_TPU_WAND_PALLAS=0
+    opts out; facet-histogram and rank-by-key scans keep the XLA step."""
     env = os.environ.get("SEEKSTORM_TPU_WAND_PALLAS", "")
+    if env == "0":
+        return 0
     if NF or rank_by_key or T > 8:
         return 0
     if env == "interp":
         return 2
-    if env == "1" and jax.default_backend() == "tpu":
-        return 1
-    return 0
+    return 1 if jax.default_backend() == "tpu" else 0
 
 
 def _popcount(x):
@@ -106,6 +106,9 @@ def _kernel(tcode_ref, prow_ref, w_ref, pres_ref, vub_ref, delw_ref,
         pres = []
         bval = []
         reqs = []
+        andw = jnp.full(shape, 0xFFFFFFFF, jnp.uint32)
+        posw = jnp.zeros(shape, jnp.uint32)
+        negw = jnp.zeros(shape, jnp.uint32)
         for t in range(T):
             code = tcode_ref[q, t]
             s = code >> 2                     # slot id (-1 when unused)
@@ -116,25 +119,17 @@ def _kernel(tcode_ref, prow_ref, w_ref, pres_ref, vub_ref, delw_ref,
             okp = (s >= 0) & (rowid >= 0)
             p = jnp.where(okp, pres_ref[0, sc], u0)
             pres.append(p)
-            reqs.append(req & jnp.logical_not(neg) & (s >= 0))
+            req_pos = req & jnp.logical_not(neg) & (s >= 0)
+            reqs.append(req_pos)
+            andw = jnp.where(req_pos, andw & p, andw)
+            posw = posw | jnp.where((s >= 0) & jnp.logical_not(neg), p, u0)
+            negw = negw | jnp.where((s >= 0) & neg, p, u0)
             # bucket-max impact row, weighted; negated / unused terms
             # contribute exact +0.0 (f32 identity) to every chain below
             score_ok = okp & jnp.logical_not(neg)
             w_t = jnp.where(score_ok, w_ref[0, t, q], jnp.float32(0.0))
             v = jnp.where(score_ok, vub_ref[0, sc], jnp.float32(0.0))
             bval.append(w_t * v)
-
-        andw = jnp.full(shape, 0xFFFFFFFF, jnp.uint32)
-        posw = jnp.zeros(shape, jnp.uint32)
-        negw = jnp.zeros(shape, jnp.uint32)
-        for t in range(T):
-            code = tcode_ref[q, t]
-            s_ok = (code >> 2) >= 0
-            neg = (code & 1) != 0
-            andw = jnp.where(reqs[t], andw & pres[t], andw)
-            posw = posw | jnp.where(s_ok & jnp.logical_not(neg),
-                                    pres[t], u0)
-            negw = negw | jnp.where(s_ok & neg, pres[t], u0)
         matched = andw & posw & ~negw & notdel
         if with_counts:
             cnt_ref[0, 0, q] = jnp.sum(_popcount(matched), dtype=jnp.int32)

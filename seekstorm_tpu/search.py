@@ -1590,7 +1590,7 @@ def _lexical_search_batch(
                 idf_ps = np.stack([
                     _shard_idf(sh, slots, req0.realtime)
                     for sh in index.shards])          # [S, V]
-                wsc, wgid, wcnt, wfc = wand_mod.run_batch(
+                wsc, wgid, wcnt, wfc, whandled = wand_mod.run_batch(
                     index, slots, [live_specs[i] for i in wrows],
                     idf_ps, max(need, 1), with_counts,
                     fcod_dev=wfcod_dev, n_facets=len(facet_specs),
@@ -1598,6 +1598,12 @@ def _lexical_search_batch(
                     skeyb_dev=wskeyb_dev, rank_key_host=wrank_host,
                     count_only=(req0.result_type == ResultType.Count))
                 for r, qi in enumerate(wrows):
+                    if not whandled[r]:
+                        # UB-saturated straggler: falls through to the
+                        # join/dense device paths below (exact, already
+                        # overlapped dispatches) instead of a host-serial
+                        # exact evaluation
+                        continue
                     merged_scores[qi] = wsc[r]
                     merged_ids[qi] = wgid[r]
                     counts[qi] = wcnt[r]
@@ -1720,18 +1726,25 @@ def _lexical_search_batch(
             # fcounts rows cover the rest (non-wanded) queries only
             fc_total[:, rest_rows] += fcounts[:, :len(rest_rows)]
 
+    # rows whose pages are already canonical — deduped and (score desc,
+    # gid asc) sorted by the WAND ladder/rescore — skip the defensive
+    # re-sort in _finalize_lexical (~40 us/query of numpy overhead on the
+    # hot serving path); any tail merge below concatenates and voids it
+    canonical = wanded.copy()
     for shard in index.shards:
         if req0.realtime and shard.tail_len() > 0:
             _merge_tail(index, shard, slots, live_specs, boosts,
                         merged_scores, merged_ids, counts, with_counts,
                         req0, facet_specs, fc_total, fcm, sorting, sort_desc,
                         tail_phrase_counts=tail_phrase_counts)
+            canonical[:] = False
     return _finalize_lexical(index, requests, results, live, live_specs,
                              slots, merged_scores, merged_ids, counts,
                              counts_exact, with_counts, facet_specs,
                              fc_total, sorting, sort_desc,
                              tail_phrase_counts=tail_phrase_counts,
-                             phrase_escalate_ok=(mode in ("imp", "qt")))
+                             phrase_escalate_ok=(mode in ("imp", "qt")),
+                             canonical=canonical)
 
 
 def precompile_scan(
@@ -1958,18 +1971,20 @@ def _finalize_lexical(index, requests, results, live, live_specs, slots,
                       merged_scores, merged_ids, counts, counts_exact,
                       with_counts, facet_specs=(), fc_total=None,
                       sorting=False, sort_desc=True,
-                      tail_phrase_counts=None, phrase_escalate_ok=True):
+                      tail_phrase_counts=None, phrase_escalate_ok=True,
+                      canonical=None):
     # phrase verification + final assembly
     for bi, qi in enumerate(live):
         spec = live_specs[bi]
         scores, gids = merged_scores[bi], merged_ids[bi]
-        # dedupe defensively (re-runs can concatenate duplicates)
-        _, first = np.unique(gids, return_index=True)
-        keepmask = np.zeros(len(gids), dtype=bool)
-        keepmask[first] = True
-        scores, gids = scores[keepmask], gids[keepmask]
-        order = np.lexsort((gids, -scores))
-        scores, gids = scores[order], gids[order]
+        if canonical is None or not canonical[bi]:
+            # dedupe defensively (re-runs can concatenate duplicates)
+            _, first = np.unique(gids, return_index=True)
+            keepmask = np.zeros(len(gids), dtype=bool)
+            keepmask[first] = True
+            scores, gids = scores[keepmask], gids[keepmask]
+            order = np.lexsort((gids, -scores))
+            scores, gids = scores[order], gids[order]
         if spec.phrases:
             pd = None
             if with_counts:
