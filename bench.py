@@ -131,6 +131,18 @@ def main() -> None:
                     default="Topk",
                     help="TopkCount adds exact total-hit counting (full "
                          "coverage + per-block count accumulation)")
+    # real-corpus mode (the reference's benchmark inputs: English
+    # Wikipedia NDJSON with title/body/text fields + AOL-derived query
+    # strings, reference README.md:273-274, server.rs:807).  This
+    # environment has no egress to fetch them; when the files exist the
+    # whole run is one command:
+    #   python bench.py --ndjson wiki.ndjson --queries aol.txt
+    ap.add_argument("--ndjson", default=None,
+                    help="index this NDJSON corpus instead of the "
+                         "synthetic one (fields: title + body/text)")
+    ap.add_argument("--queries", default=None,
+                    help="newline-separated query strings replacing the "
+                         "synthetic mix (used with --ndjson)")
     args = ap.parse_args()
 
     import seekstorm_tpu as st
@@ -149,9 +161,23 @@ def main() -> None:
         if reuse:
             idx = st.open_index(f"{tmp}/ix")
         else:
-            rng = np.random.default_rng(7)
             t0 = time.time()
-            docs = make_corpus(args.docs, args.vocab, rng)
+            if args.ndjson:
+                import json as _json
+
+                docs = []
+                with open(args.ndjson) as f:
+                    for line in f:
+                        if not line.strip():
+                            continue
+                        d = _json.loads(line)
+                        docs.append({"title": str(d.get("title", "")),
+                                     "body": str(d.get("body",
+                                                       d.get("text", "")))})
+                args.docs = len(docs)
+            else:
+                rng = np.random.default_rng(7)
+                docs = make_corpus(args.docs, args.vocab, rng)
             gen_s = time.time() - t0
             schema = [
                 st.SchemaField("title", st.FieldType.Text, indexed=True,
@@ -178,9 +204,22 @@ def main() -> None:
         # planning overlaps device execution and tunnel round trips
         import threading
 
+        real_queries = None
+        if args.queries:
+            with open(args.queries) as f:
+                real_queries = [(q.strip(), "Union")
+                                for q in f if q.strip()]
+
+        def _qset(t):
+            if real_queries:
+                qs = [real_queries[(t * args.batch + i) % len(real_queries)]
+                      for i in range(args.batch)]
+                return qs
+            return make_queries(args.batch, np.random.default_rng(100 + t))
+
         req_sets = []
         for t in range(args.threads):
-            qs = make_queries(args.batch, np.random.default_rng(100 + t))
+            qs = _qset(t)
             req_sets.append([
                 st.SearchRequest(
                     query=q, length=10,
@@ -249,11 +288,13 @@ def main() -> None:
         # wall here, and the JSON carries the measured link floor
         # (b1_link_floor_us, median trivial-op round trip) so the
         # engine-side share is attributable.
+        b1_qs = (real_queries[:64] if real_queries
+                 else make_queries(64, np.random.default_rng(999)))
         b1_reqs = [
             st.SearchRequest(query=q, length=10,
                              result_type=st.ResultType(args.result_type),
                              realtime=True, query_type_default=st.QueryType(ty))
-            for q, ty in make_queries(64, np.random.default_rng(999))
+            for q, ty in b1_qs
         ]
         for r in b1_reqs[:8]:
             st.search_batch(idx, [r])  # warm the B=1 plan shapes

@@ -1155,9 +1155,11 @@ extern "C" int64_t st_exact_eval(
 
     // oracle top-k: bounded heap ordered worst-first by
     // (score asc, gid desc); a candidate replaces the worst when it is
-    // strictly better under (score desc, gid asc).  Touched gids are
-    // visited in ascending order so tie handling matches the full sweep.
-    std::sort(touched.begin(), touched.end());
+    // strictly better under (score desc, gid asc).  The comparator is a
+    // total order over (score, gid), so the result is independent of
+    // visit order — no need to sort the touched list (queries that land
+    // here touch ~1M gids; sorting them cost more than the old full-N
+    // sweep).
     struct Ent { float s; int64_t g; };
     auto worse = [](const Ent& a, const Ent& b) {
         // "a is better than b" for max-heap of worst: heap top = worst
@@ -1483,6 +1485,124 @@ extern "C" void st_build_dev(
                 dev_docid[wstash] = id;
                 dev_imp[wstash] = s1[id];
                 wstash++;
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------
+// Compact durable posting codec (levels on disk).
+//
+// The fixed-width level files (docid u16 + tf u16xF + positions u16)
+// measured 1.99x the reference's bytes/doc (round-4 verdict item 4;
+// reference analog: per-block RLE/array/bitmap choice + varint positions,
+// compress_postinglist.rs:240-330,949).  This codec stores the SAME
+// logical content as one byte stream, decoded back to the fixed-width
+// in-memory arrays at open (the in-RAM/HBM layout is unchanged):
+//
+//   per term (hash order), per posting (docid order):
+//     varint docid-delta   (first posting: docid; then delta, >= 1)
+//     field mask byte      (bit f set = tf[f] > 0; F <= 8)
+//     per set field:       varint (tf - 1)
+//     per set field, per occurrence: varint position delta
+//                          (first: position; then delta, >= 1)
+//
+// LEB128 varints, little-endian groups of 7 bits.
+
+static inline void vput(std::vector<uint8_t>& out, uint32_t v) {
+    while (v >= 0x80) { out.push_back((uint8_t)(v | 0x80)); v >>= 7; }
+    out.push_back((uint8_t)v);
+}
+
+static inline uint32_t vget(const uint8_t*& p) {
+    uint32_t v = 0;
+    int sh = 0;
+    for (;;) {
+        uint8_t b = *p++;
+        v |= (uint32_t)(b & 0x7F) << sh;
+        if (!(b & 0x80)) return v;
+        sh += 7;
+    }
+}
+
+// Returns the packed byte count; out may be NULL to size-only.
+extern "C" int64_t st_pack_postings(
+    int64_t T, const int64_t* term_offset,   // i64[T+1]
+    const uint16_t* docid,                   // u16[P]
+    const uint16_t* tf, int F,               // u16[P * F]
+    const uint16_t* pos,                     // u16[sum(tf)]
+    uint8_t* out, int64_t cap)
+{
+    std::vector<uint8_t> buf;
+    buf.reserve(1 << 16);
+    int64_t total = 0;
+    int64_t pp = 0;  // flat position cursor
+    auto flush = [&]() {
+        if (out) {
+            if (total + (int64_t)buf.size() > cap) return false;
+            memcpy(out + total, buf.data(), buf.size());
+        }
+        total += (int64_t)buf.size();
+        buf.clear();
+        return true;
+    };
+    for (int64_t t = 0; t < T; t++) {
+        uint32_t prev = 0;
+        bool first = true;
+        for (int64_t i = term_offset[t]; i < term_offset[t + 1]; i++) {
+            uint32_t d = docid[i];
+            vput(buf, first ? d : d - prev);
+            first = false;
+            prev = d;
+            uint8_t mask = 0;
+            for (int f = 0; f < F; f++)
+                if (tf[i * F + f]) mask |= (uint8_t)(1u << f);
+            buf.push_back(mask);
+            for (int f = 0; f < F; f++) {
+                uint32_t n = tf[i * F + f];
+                if (!n) continue;
+                vput(buf, n - 1);
+                uint32_t pprev = 0;
+                for (uint32_t j = 0; j < n; j++) {
+                    uint32_t pv = pos[pp++];
+                    vput(buf, j == 0 ? pv : pv - pprev);
+                    pprev = pv;
+                }
+            }
+            if (buf.size() > (1 << 15) && !flush()) return -1;
+        }
+    }
+    if (!flush()) return -1;
+    return total;
+}
+
+extern "C" void st_decode_postings(
+    const uint8_t* in, int64_t T, const int64_t* term_offset, int F,
+    uint16_t* docid, uint16_t* tf, uint16_t* pos)
+{
+    const uint8_t* p = in;
+    int64_t pp = 0;
+    for (int64_t t = 0; t < T; t++) {
+        uint32_t prev = 0;
+        bool first = true;
+        for (int64_t i = term_offset[t]; i < term_offset[t + 1]; i++) {
+            uint32_t d = vget(p);
+            d = first ? d : prev + d;
+            first = false;
+            prev = d;
+            docid[i] = (uint16_t)d;
+            uint8_t mask = *p++;
+            for (int f = 0; f < F; f++) {
+                if (!(mask & (1u << f))) { tf[i * F + f] = 0; continue; }
+                uint32_t n = vget(p) + 1;
+                tf[i * F + f] = (uint16_t)n;
+                uint32_t pprev = 0;
+                for (uint32_t j = 0; j < n; j++) {
+                    uint32_t pv = vget(p);
+                    pv = j == 0 ? pv : pprev + pv;
+                    pprev = pv;
+                    pos[pp++] = (uint16_t)pv;
+                }
             }
         }
     }

@@ -60,6 +60,26 @@ class _TermPostings0:
         self.poss: list[int] = []   # flattened positions, field-major per posting
 
 
+def _write_postings(path: Path, offsets, docid, tf, pos) -> None:
+    """Durable level postings: the compact varint stream (native
+    st_pack_postings — per-term delta docids, field-mask tfs, delta
+    positions; ~40% the bytes of the fixed-width arrays) prefixed by an
+    8-byte position count, falling back to the fixed-width .npy triple
+    when the native library is unavailable.  CommittedLevel.load reads
+    both forms."""
+    from . import native as native_mod
+
+    blob = native_mod.pack_postings(offsets, docid, tf, pos)
+    if blob is None:
+        np.save(path / "docid.npy", docid)
+        np.save(path / "tf.npy", tf)
+        np.save(path / "pos.npy", pos)
+        return
+    with open(path / "postings.bin", "wb") as f:
+        f.write(np.int64(len(pos)).tobytes())
+        f.write(blob)
+
+
 class Level0:
     """Mutable RAM level of one shard (up to BLOCK_SIZE docs)."""
 
@@ -142,9 +162,7 @@ class Level0:
         )
         np.save(path / "term_hash.npy", hashes)
         np.save(path / "term_offset.npy", offsets)
-        np.save(path / "docid.npy", docid)
-        np.save(path / "tf.npy", tf)
-        np.save(path / "pos.npy", pos)
+        _write_postings(path, offsets, docid, tf, pos)
         np.save(path / "doclen.npy", doclen)
         with open(path / "terms.txt", "wb") as f:
             f.write(
@@ -268,9 +286,7 @@ class NativeLevel0(Level0):
         hashes, offsets, docid, tf, pos = self.acc.pack()
         np.save(path / "term_hash.npy", hashes)
         np.save(path / "term_offset.npy", offsets)
-        np.save(path / "docid.npy", docid)
-        np.save(path / "tf.npy", tf)
-        np.save(path / "pos.npy", pos)
+        _write_postings(path, offsets, docid, tf, pos)
         doclen = (
             np.frombuffer(b"".join(self.doclen), dtype=np.uint8).reshape(
                 self.doc_count, F

@@ -86,7 +86,33 @@ class CommittedLevel:
         mm = "r" if mmap else None
         with open(path / "level.json") as f:
             meta = json.load(f)
-        tf = np.load(path / "tf.npy", mmap_mode=mm)
+        doclen = np.load(path / "doclen.npy", mmap_mode=mm)
+        term_offset = np.load(path / "term_offset.npy", mmap_mode=mm)
+        pb = path / "postings.bin"
+        if pb.exists():
+            # compact durable form (st_pack_postings varint stream with an
+            # 8-byte pos-count header; reference analog varint positions +
+            # per-block form choice, compress_postinglist.rs:240-330,949);
+            # decoded to the SAME fixed-width in-memory arrays, so only
+            # the disk bytes change.  Under AccessType.Mmap these three
+            # arrays live in RAM (the doc store, the bulk of a stored
+            # corpus, still mmaps).
+            from . import native as native_mod
+
+            raw = pb.read_bytes()
+            n_pos = int(np.frombuffer(raw[:8], np.int64)[0])
+            F = doclen.shape[1] if doclen.ndim == 2 else 1
+            dec = native_mod.decode_postings(raw[8:], np.asarray(term_offset),
+                                             F, n_pos)
+            if dec is None:
+                raise RuntimeError(
+                    "level uses the compact posting format but the native "
+                    "library is unavailable (build native/ or repack)")
+            docid, tf, pos = dec
+        else:
+            docid = np.load(path / "docid.npy", mmap_mode=mm)
+            tf = np.load(path / "tf.npy", mmap_mode=mm)
+            pos = np.load(path / "pos.npy", mmap_mode=mm)
         per_posting = tf.sum(axis=1, dtype=np.int64)
         pos_offset = np.zeros(len(tf) + 1, dtype=np.int64)
         np.cumsum(per_posting, out=pos_offset[1:])
@@ -99,12 +125,12 @@ class CommittedLevel:
             doc_count=meta["doc_count"],
             positions_sum_normalized=meta["positions_sum_normalized"],
             term_hash=np.load(path / "term_hash.npy", mmap_mode=mm),
-            term_offset=np.load(path / "term_offset.npy", mmap_mode=mm),
-            docid=np.load(path / "docid.npy", mmap_mode=mm),
+            term_offset=term_offset,
+            docid=docid,
             tf=tf,
-            pos=np.load(path / "pos.npy", mmap_mode=mm),
+            pos=pos,
             pos_offset=pos_offset,
-            doclen=np.load(path / "doclen.npy", mmap_mode=mm),
+            doclen=doclen,
             term_names=names,
         )
 

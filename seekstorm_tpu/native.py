@@ -208,8 +208,74 @@ def load() -> C.CDLL | None:
         u16p2, f32p, u8p, f32p, C.c_int, C.c_int64,
         u16p2, f32p, i32p, u32p, i64p, i32p,
     ]
+    lib.st_pack_postings.restype = C.c_int64
+    lib.st_pack_postings.argtypes = [
+        C.c_int64, i64p, u16p2, u16p2, C.c_int, u16p2, u8p, C.c_int64,
+    ]
+    lib.st_decode_postings.restype = None
+    lib.st_decode_postings.argtypes = [
+        u8p, C.c_int64, i64p, C.c_int, u16p2, u16p2, u16p2,
+    ]
     _LIB = lib
     return lib
+
+
+def _p(a, ct):
+    import ctypes as _C
+
+    return a.ctypes.data_as(_C.POINTER(ct))
+
+
+def pack_postings(term_offset, docid, tf, pos):
+    """Encode level postings to the compact durable byte stream
+    (st_pack_postings; see native/seekstorm_native.cpp).  Returns bytes,
+    or None when the native library is unavailable."""
+    import ctypes as _C
+
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, "st_pack_postings"):
+        return None
+    T = len(term_offset) - 1
+    off = np.ascontiguousarray(term_offset, np.int64)
+    did = np.ascontiguousarray(docid, np.uint16)
+    tfa = np.ascontiguousarray(tf, np.uint16)
+    poa = np.ascontiguousarray(pos, np.uint16)
+    F = tfa.shape[1] if tfa.ndim == 2 else 1
+    n = lib.st_pack_postings(
+        T, _p(off, _C.c_int64), _p(did, _C.c_uint16), _p(tfa, _C.c_uint16),
+        F, _p(poa, _C.c_uint16), None, 0)
+    out = np.zeros(max(int(n), 1), np.uint8)
+    m = lib.st_pack_postings(
+        T, _p(off, _C.c_int64), _p(did, _C.c_uint16), _p(tfa, _C.c_uint16),
+        F, _p(poa, _C.c_uint16), _p(out, _C.c_uint8), int(n))
+    assert m == n
+    return out[:n].tobytes()
+
+
+def decode_postings(blob, term_offset, F, n_pos):
+    """Decode the compact posting stream back to the fixed-width arrays
+    (docid u16[P], tf u16[P, F], pos u16[n_pos]); None without the
+    native library."""
+    import ctypes as _C
+
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, "st_decode_postings"):
+        return None
+    off = np.ascontiguousarray(term_offset, np.int64)
+    T = len(off) - 1
+    P = int(off[-1])
+    buf = np.frombuffer(blob, np.uint8)
+    docid = np.zeros(P, np.uint16)
+    tf = np.zeros((P, F), np.uint16)
+    pos = np.zeros(n_pos, np.uint16)
+    lib.st_decode_postings(
+        _p(buf, _C.c_uint8), T, _p(off, _C.c_int64), F,
+        _p(docid, _C.c_uint16), _p(tf, _C.c_uint16), _p(pos, _C.c_uint16))
+    return docid, tf, pos
 
 
 def _ptr(a: np.ndarray, ctype):

@@ -793,6 +793,110 @@ def _ladder_device(cnt, rungs, rescore_fn, *, Bq: int, need: int,
     return jnp.concatenate(parts, axis=1)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("V", "Bq", "T", "S", "with_filter"))
+def wand_exact_scan(ppool, vpool, rpool, ipool, sp_prow, sp_ioff, delw,
+                    sid, qargs, filtw, *, V, Bq, T, S, with_filter):
+    """Full-coverage exact evaluation on device for WAND stragglers.
+
+    The ~0.2-0.4% of queries whose upper bounds saturate (tie-dense
+    frequent-frequent unions) cannot terminate at any ladder rung; their
+    exact host evaluation walks ~1M postings and burns 20-100 ms of the
+    single serving core per query — the measured serving-throughput cap
+    at 5M docs.  This restates it as a device program over the SAME
+    resident pools: a lax.scan over blocks exact-rescores every bucket
+    (_rescore_regions — positional CSR gather, identical f32 chains) and
+    folds a running top-P_PAGE page.  Full coverage, so no termination
+    test is needed; tie ordering is exact because pages and merges break
+    score ties by the lowest lane and carry lanes always precede new
+    ones (single-shard devices only — multi-shard devices keep the host
+    path, see run_batch).
+
+    Returns i32[Bq, 2*P_PAGE + 1]: page scores (f32 bitcast) | page
+    lanes | total matched count."""
+    slotmap, tslot, treq, tneg, wshard = _unpack_qargs(qargs, V, Bq, T, S)
+    NBLK = sp_prow.shape[1]
+    arange_nw = jnp.arange(NW, dtype=jnp.int32)
+    inf_vals = jnp.full((Bq, NW), jnp.inf)
+
+    def step(carry, b):
+        bs, bl, fnd = carry
+        ids = jnp.broadcast_to(arange_nw[None, :], (Bq, NW)) + b * NW
+        sc, lane, found = _rescore_regions(
+            ppool[0], rpool[0], ipool[0], sp_prow, sp_ioff, delw, sid,
+            filtw, slotmap, tslot, treq, tneg, wshard, ids, inf_vals,
+            Bq=Bq, T=T, bucket_off=jnp.int32(0),
+            with_filter=with_filter)
+        psc, plane, _ = _page_topk(sc, lane)
+        cs = jnp.concatenate([bs, psc], axis=1)
+        cl = jnp.concatenate([bl, plane], axis=1)
+        v, sel = jax.lax.top_k(cs, P_PAGE)
+        lane_m = jnp.take_along_axis(cl, sel, axis=1)
+        return (v, lane_m, fnd + found), None
+
+    init = (jnp.full((Bq, P_PAGE), -jnp.inf),
+            jnp.zeros((Bq, P_PAGE), jnp.int32),
+            jnp.zeros((Bq,), jnp.int32))
+    (psc, plane, found), _ = jax.lax.scan(
+        step, init, jnp.arange(NBLK, dtype=jnp.int32))
+    bits = jax.lax.bitcast_convert_type(psc, jnp.int32)
+    return jnp.concatenate([bits, plane, found[:, None]], axis=1)
+
+
+def _run_dev_exact(state: WandState, pending, specs, slotmap, tslot, treq,
+                   tneg, wsh, pools, filtw_dev, statics, S,
+                   out_scores, out_gids, counts, cnt) -> list[int]:
+    """Dispatch wand_exact_scan for the batch's stragglers (grouped into
+    a small padded-Bq shape ladder) and fill their outputs.  Returns the
+    queries that still need the host path (none, unless the group size
+    exceeds the ladder)."""
+    from ..metrics import METRICS
+
+    V = statics["V"]
+    T = statics["T"]
+    base_arr = np.asarray(state.block_base, np.int64)
+    left: list[int] = []
+    todo = list(pending)
+    while todo:
+        n = len(todo)
+        Bq_s = 1 if n == 1 else (2 if n == 2 else 4)
+        group, todo = todo[:Bq_s], todo[Bq_s:]
+        rows = group + [group[-1]] * (Bq_s - len(group))
+        qargs_s = jnp.asarray(_pack_qargs(
+            slotmap, tslot[rows], treq[rows], tneg[rows], wsh[:, rows]))
+        METRICS.inc("device_dispatch_total")
+        METRICS.inc("wand_dev_exact_total")
+        with METRICS.timer("wand_dev_exact"), METRICS.timer("lex_device"):
+            out = np.asarray(wand_exact_scan(
+                *pools[:8], qargs_s,
+                filtw_dev if statics["with_filter"]
+                else jnp.zeros((1, 1), jnp.uint32),
+                V=V, Bq=Bq_s, T=T, S=S,
+                with_filter=statics["with_filter"]))
+        psc = out.view(np.float32)[:, :P_PAGE]
+        plane = out[:, P_PAGE: 2 * P_PAGE].astype(np.int64)
+        found = out[:, 2 * P_PAGE].astype(np.int64)
+        for r, qi in enumerate(group):
+            valid = psc[r] > -np.inf
+            sc = psc[r][valid].astype(np.float32)
+            blk = plane[r][valid] >> 16
+            doc = plane[r][valid] & 0xFFFF
+            shard_of = state.blk_shard[
+                np.minimum(blk, state.nblk_pad - 1)]
+            gd = ((blk - base_arr[shard_of]) * BLOCK_SIZE + doc) * S \
+                + shard_of
+            nf = int(found[r])
+            if nf > len(sc):
+                sc = np.concatenate(
+                    [sc, np.full(nf - len(sc), -np.inf, np.float32)])
+                gd = np.concatenate(
+                    [gd, np.full(nf - len(gd), -1, np.int64)])
+            out_scores[qi] = sc
+            out_gids[qi] = gd
+            counts[qi] = cnt[qi]
+    return left
+
+
 def _pack_qargs(slotmap, tslot, treq, tneg, wshard):
     """One i32 buffer per batch: slotmap[V] | tslot[Bq*T] | treq-bits |
     tneg-bits | wshard f32 bits [S*Bq*T]."""
@@ -1319,6 +1423,22 @@ def precompile(index, batch_sizes=(128,), v_buckets=(64, 256),
                         state, pools + (qargs, dummy_i, dummy_u, dummy_f),
                         statics)
                     np.asarray(packed)
+                    n += 1
+    # straggler full-coverage scan shapes (single-shard deployments):
+    # first compile is ~10-20 s, which must not stall live serving
+    if index.shard_count == 1 and state.mesh is None:
+        for Bq_s in (1, 2, 4):
+            for V in v_buckets:
+                for T in T_tiers:
+                    qargs = jnp.asarray(_pack_qargs(
+                        np.full(V, -1, np.int32),
+                        np.full((Bq_s, T), -1, np.int32),
+                        np.zeros((Bq_s, T), bool),
+                        np.zeros((Bq_s, T), bool),
+                        np.zeros((1, Bq_s, T), np.float32)))
+                    np.asarray(wand_exact_scan(
+                        *pools[:8], qargs, dummy_u, V=V, Bq=Bq_s, T=T,
+                        S=1, with_filter=False))
                     n += 1
     return n
 
@@ -2022,7 +2142,10 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         A = 4 + 2 * DP
         buf_f = packed.view(np.float32)
         cnt = packed[:B, 0].astype(np.int64)
-        if force_fb:
+        force_dx = bool(os.environ.get("SEEKSTORM_TPU_WAND_FORCE_DEV_EXACT"))
+        if force_fb or force_dx:
+            # parity-suite modes: route EVERY query to the host exact
+            # evaluation / the device full-coverage scan respectively
             pending = list(range(B))
         else:
             pending = _apply_slim(state, packed, specs, S,
@@ -2031,10 +2154,10 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
             if (packed[:B, 1] >= 1).any():
                 METRICS.inc("wand_escalations_total")
         host_rungs = []
-        if S > 1 and not force_fb:
+        if S > 1 and not (force_fb or force_dx):
             host_rungs.append((packed[:B, A + KP: A + KP + K_SEL],
                                buf_f[:B, A + 2 * KP - 1], 1))
-        if not force_fb:
+        if not (force_fb or force_dx):
             host_rungs.append((packed[:B, A: A + K_SEL],
                                buf_f[:B, A + K_SEL], F_LADDER[2]))
     else:
@@ -2108,9 +2231,22 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         if pending:
             METRICS.inc("wand_escalations_total")
     handled = np.ones(B, bool)
+    METRICS.inc("wand_fallbacks_total", len(pending))
+    if (pending and not force_fb and not rank_mode and S == 1
+            and state.mesh is None
+            and not os.environ.get("SEEKSTORM_TPU_NO_DEVICE_EXACT")):
+        # single-shard stragglers: full-coverage exact evaluation on
+        # device over the resident pools (wand_exact_scan) — the host
+        # exact evaluation costs 20-100 ms of the single serving core
+        # per query and was the measured 5M throughput cap.  Multi-shard
+        # and mesh deployments keep the host path (page tie classes cut
+        # at a lane boundary need gid-order arbitration there).
+        pending = _run_dev_exact(
+            state, pending, specs, slotmap, tslot, treq, tneg, wsh,
+            pools, filtw_dev, statics, S, out_scores, out_gids, counts,
+            cnt)
     defer = os.environ.get("SEEKSTORM_TPU_WAND_DEFER_DENSE")
     for qi in pending:
-        METRICS.inc("wand_fallbacks_total")
         if defer and not force_fb:
             # opt-in: defer UB-saturated stragglers to the caller's dense
             # device kernels (search.py rest_rows).  Measured SLOWER than

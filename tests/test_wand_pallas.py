@@ -172,3 +172,40 @@ def test_e2e_pages_match_dense(small_index, monkeypatch):
     monkeypatch.delenv("SEEKSTORM_TPU_WAND")
     monkeypatch.delenv("SEEKSTORM_TPU_WAND_PALLAS")
     small_index._device_dirty = True
+
+
+@pytest.fixture(scope="module")
+def small_index_s1(tmp_path_factory):
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    docs = [{"title": " ".join(rng.choice(vocab, 3)),
+             "body": " ".join(rng.choice(vocab, 14))}
+            for _ in range(9_000)]
+    tmp = tmp_path_factory.mktemp("wandp1")
+    schema = [
+        st.SchemaField("title", st.FieldType.Text, indexed=True, boost=10.0),
+        st.SchemaField("body", st.FieldType.Text, indexed=True),
+    ]
+    idx = st.create_index(tmp / "ix", schema, shard_count=1)
+    idx.index_documents(docs)
+    idx.commit()
+    return idx
+
+
+def test_dev_exact_matches_dense(small_index_s1, monkeypatch):
+    """wand_exact_scan (full-coverage device evaluation for ladder
+    stragglers) must match the dense kernels on every query shape —
+    forced for ALL queries via SEEKSTORM_TPU_WAND_FORCE_DEV_EXACT."""
+    idx = small_index_s1
+    queries = ["w001 w002", "w003", "+w004 w005", "-w006 w007 w008",
+               "w010 w011 w012 w013", "w000 w001"]
+    dense = _pages(idx, queries, st.QueryType.Union)
+    dense_i = _pages(idx, queries[:4], st.QueryType.Intersection)
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND_FORCE_DEV_EXACT", "1")
+    idx._device_dirty = True
+    assert _pages(idx, queries, st.QueryType.Union) == dense
+    assert _pages(idx, queries[:4], st.QueryType.Intersection) == dense_i
+    monkeypatch.delenv("SEEKSTORM_TPU_WAND")
+    monkeypatch.delenv("SEEKSTORM_TPU_WAND_FORCE_DEV_EXACT")
+    idx._device_dirty = True
