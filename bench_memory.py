@@ -196,7 +196,8 @@ def repo_bytes(index_path: Path) -> dict:
             continue
         n = p.stat().st_size
         nm = p.name
-        if nm in ("docid.npy", "tf.npy", "pos.npy", "term_offset.npy"):
+        if nm in ("docid.npy", "tf.npy", "pos.npy", "term_offset.npy",
+                  "postings.bin"):
             cats["postings_npy"] += n
         elif nm in ("term_hash.npy", "terms.txt"):
             cats["terms"] += n

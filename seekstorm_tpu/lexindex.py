@@ -227,17 +227,19 @@ class ShardLexical:
         return lvl.positions_for(row)
 
 
-LEXCACHE_VERSION = 2
+LEXCACHE_VERSION = 3
 
-# Always cached: expensive to recompute (pl_impact) or not derivable
-# from the immutable level files (device layout).
+# Materialized serve-time arrays — cached ONLY for n-gram-expanded
+# shards (expansion appends virtual postings, so the plain level replay
+# no longer reproduces them).  Plain shards replay these at load from
+# the stored directory via the same fused native passes the build used
+# (_replay_from_directory): the cache then holds just the directory,
+# ~25 B/doc instead of ~330 (bench_memory.py, VERDICT r4 item 4).
 _LEXCACHE_FIELDS = (
     "pl_impact", "dense_tf", "bitmaps", "dev_docid", "dev_imp",
 )
-# Cheaply derivable from the level files at load time — cached only for
-# n-gram-expanded shards (expansion appends virtual postings, so the
-# plain level concat no longer reproduces them).  Dropping these from
-# the cache file roughly halves on-disk index bytes (bench_memory.py).
+# Cheaply derivable from the level files at load time — also cached only
+# for n-gram-expanded shards.
 _LEXCACHE_DERIVED = (
     "pl_docid", "pl_tf", "comp", "sat1", "level_post_base",
 )
@@ -275,6 +277,213 @@ def _reconstruct_derived(sh: "ShardLexical", levels, boosts) -> None:
     sh.sat1 = ((np.float32(BM25_K + 1.0)
                 / (np.float32(1.0) + comp[:, f_star]))
                * np.float32(boosts[f_star])).astype(np.float32)
+
+
+def _primary_field(levels, F: int) -> int:
+    """Primary field = largest total token count (reference longest-field
+    semantics, SchemaField::longest index.rs:1102-1155)."""
+    from .utils import DOCUMENT_LENGTH_COMPRESSION
+
+    tot_len = np.zeros(F, np.float64)
+    for l in levels:
+        tot_len += DOCUMENT_LENGTH_COMPRESSION[np.asarray(l.doclen)].sum(
+            axis=0)
+    return int(np.argmax(tot_len))
+
+
+def _impact_loop(sh: "ShardLexical", levels, base, boosts,
+                 f_star: int):
+    """Per-posting default-boost impacts + per-(level, term) max impact,
+    in level order — one fused C++ pass per level (st_build_impacts,
+    replacing ~6 numpy full-array passes; float op order is identical —
+    sequential field sum — for F < 8, where numpy's pairwise row-sum is
+    also sequential, so native/python are bit-identical there, pinned by
+    test_native_build_parity).  Returns (pl_impact f32[P],
+    all_max f32[n_terms], plain_all u8[P] | None,
+    plain_cnt_all i32[n_terms] | None) — the plain flags come only from
+    the native pass; callers compute the numpy fallback themselves."""
+    from .schema import BM25_K, BM25_SIGMA
+    from . import native as native_mod
+
+    comp = sh.comp
+    F = sh.pl_tf.shape[1]
+    n_terms = sum(len(l.term_hash) for l in levels)
+    use_native = (F < 8 and BM25_SIGMA == 0.0
+                  and native_mod.available()
+                  and hasattr(native_mod.load(), "st_build_impacts"))
+    all_max = np.zeros(n_terms, dtype=np.float32)
+    pl_impact = np.zeros(len(sh.pl_docid), dtype=np.float32)
+    plain_all = np.zeros(len(sh.pl_docid), np.uint8) if use_native else None
+    plain_cnt_all = (np.zeros(n_terms, np.int32)
+                     if use_native else None)
+    t0 = 0
+    for i, l in enumerate(levels):
+        nt = len(l.term_hash)
+        if len(l.docid):
+            if use_native:
+                imp, mx, pln, pcnt = native_mod.build_impacts(
+                    np.asarray(l.docid), np.asarray(l.tf),
+                    comp[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE],
+                    boosts, np.asarray(l.term_offset), f_star,
+                    np.float32(BM25_K + 1.0))
+                pl_impact[base[i] : base[i + 1]] = imp
+                plain_all[base[i] : base[i + 1]] = pln
+                all_max[t0 : t0 + nt] = mx
+                plain_cnt_all[t0 : t0 + nt] = pcnt
+            else:
+                comps_l = comp[i * BLOCK_SIZE + l.docid.astype(np.int64)]
+                imp = term_impacts(np.asarray(l.tf), comps_l, boosts)
+                pl_impact[base[i] : base[i + 1]] = imp
+                starts = np.asarray(l.term_offset[:-1], dtype=np.int64)
+                # reduceat over term segments (no empty segments)
+                if len(starts):
+                    all_max[t0 : t0 + nt] = np.maximum.reduceat(imp, starts)
+        t0 += nt
+    return pl_impact, all_max, plain_all, plain_cnt_all
+
+
+def _dense_from_dir(sh: "ShardLexical", seg_dense, seg_off_sorted,
+                    seg_len_sorted) -> None:
+    """Dense-term tf columns from the (term, block)-segment selection:
+    row seg_dense[e] of dense_tf is segment e's postings scattered into a
+    [BLOCK_SIZE, F] u16 column."""
+    F = sh.pl_tf.shape[1]
+    dense_sel = np.flatnonzero(seg_dense >= 0)
+    dense_rows: list[np.ndarray | None] = [None] * len(dense_sel)
+    for e in dense_sel:
+        a = int(seg_off_sorted[e])
+        ln = int(seg_len_sorted[e])
+        ids = sh.pl_docid[a : a + ln].astype(np.int64)
+        col = np.zeros((BLOCK_SIZE, F), np.uint16)
+        col[ids] = sh.pl_tf[a : a + ln]
+        dense_rows[int(seg_dense[e])] = col
+    sh.dense_tf = (
+        np.stack(dense_rows) if dense_rows
+        else np.zeros((0, BLOCK_SIZE, F), np.uint16)
+    )
+
+
+def _dev_pass(sh: "ShardLexical", seg_off_sorted, seg_len_sorted,
+              seg_block_sorted, seg_bitmap, bm_sel, plain, pl_impact,
+              sat1, csr_total: int, dev_total: int):
+    """Device layout: compacted CSR (bitmap segments drop their plain
+    postings) + presence bitmaps + join-path stash, all emitted by ONE
+    fused C++ pass in directory order (st_build_dev); the numpy path
+    below is the portable fallback with identical output.  Sets
+    sh.dev_docid / sh.dev_imp / sh.bitmaps and returns
+    (seg_dev_len i32, seg_stash_off i64, seg_stash_len i32)."""
+    from . import native as native_mod
+
+    n_seg = len(seg_off_sorted)
+    W32 = BLOCK_SIZE // 32
+    built = None
+    if native_mod.available() and hasattr(native_mod.load(),
+                                          "st_build_dev"):
+        built = native_mod.build_dev(
+            seg_off_sorted, seg_len_sorted, seg_block_sorted, seg_bitmap,
+            sh.pl_docid, pl_impact, np.ascontiguousarray(plain, np.uint8),
+            sat1, STASH_K, csr_total, dev_total, len(bm_sel))
+    if built is not None:
+        (sh.dev_docid, sh.dev_imp, seg_dev_len, sh.bitmaps,
+         seg_stash_off, seg_stash_len) = built
+        return seg_dev_len, seg_stash_off, seg_stash_len
+
+    keep = np.ones(len(sh.pl_docid), bool)
+    bm_rows: list[np.ndarray] = []
+    stash_seg: list[int] = []
+    stash_docid: list[np.ndarray] = []
+    stash_imp: list[np.ndarray] = []
+    for e in bm_sel:
+        a = int(seg_off_sorted[e])
+        ln = int(seg_len_sorted[e])
+        pm = plain[a : a + ln]
+        ids = sh.pl_docid[a : a + ln][pm].astype(np.int64)
+        words = np.zeros(W32, np.uint32)
+        np.bitwise_or.at(words, ids >> 5,
+                         np.uint32(1) << (ids & 31).astype(np.uint32))
+        bm_rows.append(words)
+        keep[a : a + ln] &= ~pm
+        blk = int(seg_block_sorted[e])
+        s1seg = sat1[blk * BLOCK_SIZE + ids]
+        t = min(STASH_K, len(ids))
+        # deterministic top-t by (impact desc, docid asc) — ids ascend,
+        # so a stable sort on -impact breaks ties by docid (the C++
+        # pass uses the same rule)
+        topi = np.argsort(-s1seg, kind="stable")[:t]
+        sel = np.sort(ids[topi])
+        stash_seg.append(int(e))
+        stash_docid.append(sel.astype(np.uint16))
+        stash_imp.append(sat1[blk * BLOCK_SIZE + sel])
+    sh.bitmaps = (np.stack(bm_rows) if bm_rows
+                  else np.zeros((0, W32), np.uint32))
+
+    # compacted device CSR in directory order
+    lens_all = seg_len_sorted.astype(np.int64)
+    starts_all = np.zeros(n_seg + 1, np.int64)
+    np.cumsum(lens_all, out=starts_all[1:])
+    Pall = int(starts_all[-1])
+    if Pall:
+        idx_all = (np.repeat(seg_off_sorted.astype(np.int64), lens_all)
+                   + np.arange(Pall, dtype=np.int64)
+                   - np.repeat(starts_all[:-1], lens_all))
+        keepf = keep[idx_all]
+        seg_ids = np.repeat(
+            np.arange(n_seg, dtype=np.int64), lens_all)
+        idx_src = idx_all[keepf]
+        sh.dev_docid = sh.pl_docid[idx_src]
+        sh.dev_imp = pl_impact[idx_src]
+        seg_dev_len = np.bincount(
+            seg_ids[keepf], minlength=n_seg).astype(np.int32)
+    else:
+        sh.dev_docid = np.zeros(0, np.uint16)
+        sh.dev_imp = np.zeros(0, np.float32)
+        seg_dev_len = np.zeros(n_seg, np.int32)
+
+    # append the join-path stash postings after the compacted CSR
+    seg_stash_off = np.zeros(n_seg, np.int64)
+    seg_stash_len = np.zeros(n_seg, np.int32)
+    if stash_seg:
+        base0 = len(sh.dev_docid)
+        lens = np.array([len(x) for x in stash_docid], np.int64)
+        offs = base0 + np.concatenate([[0], np.cumsum(lens)[:-1]])
+        seg_stash_off[stash_seg] = offs
+        seg_stash_len[stash_seg] = lens
+        sh.dev_docid = np.concatenate([sh.dev_docid] + stash_docid)
+        sh.dev_imp = np.concatenate([sh.dev_imp] + stash_imp).astype(
+            np.float32)
+    return seg_dev_len, seg_stash_off, seg_stash_len
+
+
+def _replay_from_directory(sh: "ShardLexical", levels, boosts) -> None:
+    """Rebuild the materialized serve-time arrays (pl_impact, dense_tf,
+    bitmaps, dev_docid, dev_imp) a slim lexcache omits, replaying the
+    build's fused passes against the STORED directory decisions —
+    identical float paths to build_shard_lexical, so a cache round trip
+    stays bit-exact (test_cache_roundtrip).  Requires _reconstruct_derived
+    to have run (pl_docid/pl_tf/comp/sat1 set).  Raises on any layout
+    mismatch (the caller falls back to a full rebuild)."""
+    d = sh.directory
+    F = sh.pl_tf.shape[1]
+    f_star = _primary_field(levels, F)
+    pl_impact, _, plain_all, _ = _impact_loop(
+        sh, levels, sh.level_post_base, boosts, f_star)
+    sh.pl_impact = pl_impact
+    if plain_all is not None:
+        plain = plain_all.view(bool)
+    else:
+        tf_sum = sh.pl_tf.astype(np.int64).sum(axis=1)
+        plain = (sh.pl_tf[:, f_star] == 1) & (tf_sum == 1)
+    _dense_from_dir(sh, d.seg_dense, d.seg_offset, d.seg_len)
+    bm_sel = np.flatnonzero(d.seg_bitmap >= 0)
+    csr_total = int(d.seg_dev_len.astype(np.int64).sum())
+    dev_total = csr_total + int(d.seg_stash_len.astype(np.int64).sum())
+    seg_dev_len, seg_stash_off, seg_stash_len = _dev_pass(
+        sh, d.seg_offset, d.seg_len, d.seg_block, d.seg_bitmap,
+        bm_sel, plain, pl_impact, sh.sat1, csr_total, dev_total)
+    if not (np.array_equal(seg_dev_len, d.seg_dev_len)
+            and np.array_equal(seg_stash_off, d.seg_stash_off)
+            and np.array_equal(seg_stash_len, d.seg_stash_len)):
+        raise ValueError("lexcache replay does not match the stored layout")
 
 
 def _lex_fingerprint(levels, boosts, expand_ngrams: bool) -> dict:
@@ -317,25 +526,24 @@ def build_shard_lexical_cached(
                     and _json.loads(cj.read_text()) == fp:
                 z = np.load(cn, allow_pickle=False)
                 sh = ShardLexical(levels=levels)
-                for f in _LEXCACHE_FIELDS:
-                    setattr(sh, f, z[f])
                 sh.avg_len = float(z["avg_len"])
                 sh.doc_count = int(z["doc_count"])
+                sh.directory = TermDirectory(
+                    **{f: z["d_" + f] for f in _DIR_FIELDS})
                 if expand_ngrams:
-                    for f in _LEXCACHE_DERIVED:
+                    for f in _LEXCACHE_FIELDS + _LEXCACHE_DERIVED:
                         setattr(sh, f, z[f])
                 else:
                     _reconstruct_derived(sh, levels, boosts)
-                sh.directory = TermDirectory(
-                    **{f: z["d_" + f] for f in _DIR_FIELDS})
+                    _replay_from_directory(sh, levels, boosts)
                 return sh
         except Exception:
             pass
     sh = build_shard_lexical(levels, boosts, expand_ngrams=expand_ngrams)
     if levels:
         try:
-            fields = _LEXCACHE_FIELDS + (
-                _LEXCACHE_DERIVED if expand_ngrams else ())
+            fields = ((_LEXCACHE_FIELDS + _LEXCACHE_DERIVED)
+                      if expand_ngrams else ())
             arrs = {f: getattr(sh, f) for f in fields}
             arrs.update({"d_" + f: getattr(sh.directory, f)
                          for f in _DIR_FIELDS})
@@ -518,57 +726,16 @@ def build_shard_lexical(
          for l in levels]
     )
 
-    # primary field = largest total token count (reference longest-field
-    # semantics, SchemaField::longest index.rs:1102-1155) — needed up
-    # front: the plain-posting mask keys on it
-    from .schema import BM25_K, BM25_SIGMA
-    from .utils import DOCUMENT_LENGTH_COMPRESSION
+    # primary field = largest total token count — needed up front: the
+    # plain-posting mask keys on it
+    from .schema import BM25_K
 
-    tot_len = np.zeros(F, np.float64)
-    for l in levels:
-        tot_len += DOCUMENT_LENGTH_COMPRESSION[np.asarray(l.doclen)].sum(
-            axis=0)
-    f_star = int(np.argmax(tot_len))
+    f_star = _primary_field(levels, F)
 
     # per-posting default-boost impacts (stored for the Pallas decode fast
-    # path) + per-(level, term) max impact, in level order.  The fused C++
-    # pass (st_build_impacts) replaces ~6 numpy full-array passes; float op
-    # order is identical (sequential field sum) for F < 8, where numpy's
-    # pairwise row-sum is also sequential — the native/python builds are
-    # bit-identical there (pinned by test_native_build_parity)
-    from . import native as native_mod
-
-    use_native = (F < 8 and BM25_SIGMA == 0.0
-                  and native_mod.available()
-                  and hasattr(native_mod.load(), "st_build_impacts"))
-    all_max = np.zeros(len(all_hash), dtype=np.float32)
-    pl_impact = np.zeros(len(sh.pl_docid), dtype=np.float32)
-    plain_all = np.zeros(len(sh.pl_docid), np.uint8) if use_native else None
-    plain_cnt_all = (np.zeros(len(all_hash), np.int32)
-                     if use_native else None)
-    t0 = 0
-    for i, l in enumerate(levels):
-        nt = len(l.term_hash)
-        if len(l.docid):
-            if use_native:
-                imp, mx, pln, pcnt = native_mod.build_impacts(
-                    np.asarray(l.docid), np.asarray(l.tf),
-                    comp[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE],
-                    boosts, np.asarray(l.term_offset), f_star,
-                    np.float32(BM25_K + 1.0))
-                pl_impact[base[i] : base[i + 1]] = imp
-                plain_all[base[i] : base[i + 1]] = pln
-                all_max[t0 : t0 + nt] = mx
-                plain_cnt_all[t0 : t0 + nt] = pcnt
-            else:
-                comps_l = comp[i * BLOCK_SIZE + l.docid.astype(np.int64)]
-                imp = term_impacts(np.asarray(l.tf), comps_l, boosts)
-                pl_impact[base[i] : base[i + 1]] = imp
-                starts = np.asarray(l.term_offset[:-1], dtype=np.int64)
-                # reduceat over term segments (no empty segments)
-                if len(starts):
-                    all_max[t0 : t0 + nt] = np.maximum.reduceat(imp, starts)
-        t0 += nt
+    # path) + per-(level, term) max impact, in level order
+    pl_impact, all_max, plain_all, plain_cnt_all = _impact_loop(
+        sh, levels, base, boosts, f_star)
 
     if expand_ngrams:
         (all_hash, all_level, all_off, all_len, all_max,
@@ -594,21 +761,10 @@ def build_shard_lexical(
     # dense-term store (tf-fallback path): (term, block) segments with
     # >= DENSE_MIN postings become dense u16 tf columns
     seg_dense = np.full(len(order), -1, np.int32)
-    dense_rows = []
     dense_sel = np.flatnonzero(seg_len_sorted >= DENSE_MIN)
+    seg_dense[dense_sel] = np.arange(len(dense_sel), dtype=np.int32)
     F = sh.pl_tf.shape[1]
-    for r, e in enumerate(dense_sel):
-        a = int(seg_off_sorted[e])
-        ln = int(seg_len_sorted[e])
-        ids = sh.pl_docid[a : a + ln].astype(np.int64)
-        col = np.zeros((BLOCK_SIZE, F), np.uint16)
-        col[ids] = sh.pl_tf[a : a + ln]
-        dense_rows.append(col)
-        seg_dense[e] = r
-    sh.dense_tf = (
-        np.stack(dense_rows) if dense_rows
-        else np.zeros((0, BLOCK_SIZE, F), np.uint16)
-    )
+    _dense_from_dir(sh, seg_dense, seg_off_sorted, seg_len_sorted)
 
     # ---- impact path: presence bitmaps + rank-1 sat1 + CSR remainder ----
     # per-doc shared impact of a plain posting (tf == 1 in the primary
@@ -629,7 +785,6 @@ def build_shard_lexical(
 
     # bitmap segment selection: >= BITMAP_MIN postings AND >= BITMAP_MIN
     # of them plain (the CSR memory breakeven, see BITMAP_MIN)
-    W32 = BLOCK_SIZE // 32
     cand = np.flatnonzero(seg_len_sorted >= BITMAP_MIN)
     if plain_cnt_all is not None:
         pcs_cand = plain_cnt_all[order][cand].astype(np.int64)
@@ -647,83 +802,9 @@ def build_shard_lexical(
     stash_lens = np.minimum(STASH_K, pcs_cand[qual])
     dev_total = csr_total + int(stash_lens.sum())
 
-    # device layout: compacted CSR (bitmap segments drop their plain
-    # postings) + presence bitmaps + join-path stash, all emitted by ONE
-    # fused C++ pass in directory order (st_build_dev); the numpy path
-    # below is the portable fallback with identical output
-    built = None
-    if use_native:
-        built = native_mod.build_dev(
-            seg_off_sorted, seg_len_sorted, seg_block_sorted, seg_bitmap,
-            sh.pl_docid, pl_impact, np.ascontiguousarray(plain, np.uint8),
-            sat1, STASH_K, csr_total, dev_total, len(bm_sel))
-    if built is not None:
-        (sh.dev_docid, sh.dev_imp, seg_dev_len, sh.bitmaps,
-         seg_stash_off, seg_stash_len) = built
-    else:
-        keep = np.ones(len(sh.pl_docid), bool)
-        bm_rows: list[np.ndarray] = []
-        stash_seg: list[int] = []
-        stash_docid: list[np.ndarray] = []
-        stash_imp: list[np.ndarray] = []
-        for e in bm_sel:
-            a = int(seg_off_sorted[e])
-            ln = int(seg_len_sorted[e])
-            pm = plain[a : a + ln]
-            ids = sh.pl_docid[a : a + ln][pm].astype(np.int64)
-            words = np.zeros(W32, np.uint32)
-            np.bitwise_or.at(words, ids >> 5,
-                             np.uint32(1) << (ids & 31).astype(np.uint32))
-            bm_rows.append(words)
-            keep[a : a + ln] &= ~pm
-            blk = int(seg_block_sorted[e])
-            s1seg = sat1[blk * BLOCK_SIZE + ids]
-            t = min(STASH_K, len(ids))
-            # deterministic top-t by (impact desc, docid asc) — ids ascend,
-            # so a stable sort on -impact breaks ties by docid (the C++
-            # pass uses the same rule)
-            topi = np.argsort(-s1seg, kind="stable")[:t]
-            sel = np.sort(ids[topi])
-            stash_seg.append(int(e))
-            stash_docid.append(sel.astype(np.uint16))
-            stash_imp.append(sat1[blk * BLOCK_SIZE + sel])
-        sh.bitmaps = (np.stack(bm_rows) if bm_rows
-                      else np.zeros((0, W32), np.uint32))
-
-        # compacted device CSR in directory order
-        lens_all = seg_len_sorted.astype(np.int64)
-        starts_all = np.zeros(len(order) + 1, np.int64)
-        np.cumsum(lens_all, out=starts_all[1:])
-        Pall = int(starts_all[-1])
-        if Pall:
-            idx_all = (np.repeat(seg_off_sorted.astype(np.int64), lens_all)
-                       + np.arange(Pall, dtype=np.int64)
-                       - np.repeat(starts_all[:-1], lens_all))
-            keepf = keep[idx_all]
-            seg_ids = np.repeat(
-                np.arange(len(order), dtype=np.int64), lens_all)
-            idx_src = idx_all[keepf]
-            sh.dev_docid = sh.pl_docid[idx_src]
-            sh.dev_imp = pl_impact[idx_src]
-            seg_dev_len = np.bincount(
-                seg_ids[keepf], minlength=len(order)).astype(np.int32)
-        else:
-            sh.dev_docid = np.zeros(0, np.uint16)
-            sh.dev_imp = np.zeros(0, np.float32)
-            seg_dev_len = np.zeros(len(order), np.int32)
-
-        # append the join-path stash postings after the compacted CSR
-        seg_stash_off = np.zeros(len(order), np.int64)
-        seg_stash_len = np.zeros(len(order), np.int32)
-        if stash_seg:
-            base0 = len(sh.dev_docid)
-            lens = np.array([len(x) for x in stash_docid], np.int64)
-            offs = base0 + np.concatenate([[0], np.cumsum(lens)[:-1]])
-            seg_stash_off[stash_seg] = offs
-            seg_stash_len[stash_seg] = lens
-            sh.dev_docid = np.concatenate([sh.dev_docid] + stash_docid)
-            sh.dev_imp = np.concatenate([sh.dev_imp] + stash_imp).astype(
-                np.float32)
+    seg_dev_len, seg_stash_off, seg_stash_len = _dev_pass(
+        sh, seg_off_sorted, seg_len_sorted, seg_block_sorted, seg_bitmap,
+        bm_sel, plain, pl_impact, sat1, csr_total, dev_total)
     seg_dev_offset = np.zeros(len(order) + 1, np.int64)
     np.cumsum(seg_dev_len, out=seg_dev_offset[1:])
     seg_dev_offset = seg_dev_offset[:-1]

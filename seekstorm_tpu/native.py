@@ -243,14 +243,14 @@ def pack_postings(term_offset, docid, tf, pos):
     tfa = np.ascontiguousarray(tf, np.uint16)
     poa = np.ascontiguousarray(pos, np.uint16)
     F = tfa.shape[1] if tfa.ndim == 2 else 1
+    # single encode pass into a worst-case buffer: per posting <= 3 B
+    # docid varint + 1 B mask + F * 3 B tf varints; <= 3 B per position
+    cap = int(len(did)) * (4 + 3 * F) + int(poa.size) * 3 + 64
+    out = np.zeros(cap, np.uint8)
     n = lib.st_pack_postings(
         T, _p(off, _C.c_int64), _p(did, _C.c_uint16), _p(tfa, _C.c_uint16),
-        F, _p(poa, _C.c_uint16), None, 0)
-    out = np.zeros(max(int(n), 1), np.uint8)
-    m = lib.st_pack_postings(
-        T, _p(off, _C.c_int64), _p(did, _C.c_uint16), _p(tfa, _C.c_uint16),
-        F, _p(poa, _C.c_uint16), _p(out, _C.c_uint8), int(n))
-    assert m == n
+        F, _p(poa, _C.c_uint16), _p(out, _C.c_uint8), cap)
+    assert n >= 0, "st_pack_postings overflow (cap miscomputed)"
     return out[:n].tobytes()
 
 
