@@ -49,6 +49,31 @@ from .utils import (DLC_LIST, DOCUMENT_LENGTH_COMPRESSION,
                     compress_lengths, compress_lengths_bytes, term_hash)
 
 
+def _committed_from_arrays(doc_count, positions_sum_normalized, hashes,
+                           offsets, docid, tf, pos, doclen,
+                           names) -> CommittedLevel:
+    """The CommittedLevel that CommittedLevel.load would produce for the
+    level pack() just wrote, built from the in-RAM arrays (no disk
+    decode).  Field-for-field identical: the durable posting codec
+    roundtrips bit-exactly (tests/test_postings_codec.py) and every
+    other field is written verbatim."""
+    per_posting = tf.sum(axis=1, dtype=np.int64)
+    pos_offset = np.zeros(len(tf) + 1, dtype=np.int64)
+    np.cumsum(per_posting, out=pos_offset[1:])
+    return CommittedLevel(
+        doc_count=doc_count,
+        positions_sum_normalized=positions_sum_normalized,
+        term_hash=hashes,
+        term_offset=offsets,
+        docid=docid,
+        tf=tf,
+        pos=pos,
+        pos_offset=pos_offset,
+        doclen=doclen,
+        term_names=names,
+    )
+
+
 class _TermPostings0:
     """Level-0 postings for one term (append-only, docid-ascending)."""
 
@@ -126,8 +151,15 @@ class Level0:
         return local
 
     # ------------------------------------------------------------------
-    def pack(self, path: Path, facet_fields: list[SchemaField]) -> None:
-        """Write this level as an immutable packed level directory."""
+    def pack(self, path: Path, facet_fields: list[SchemaField]):
+        """Write this level as an immutable packed level directory.
+
+        Returns the equivalent in-RAM CommittedLevel (identical to what
+        CommittedLevel.load reads back — the posting codec roundtrip is
+        parity-pinned by tests/test_postings_codec.py), so commit can
+        seed the shard level cache and skip re-decoding the level it
+        just wrote: at 5M docs the decode of all fresh levels was ~70%
+        of commit wall."""
         path.mkdir(parents=True, exist_ok=True)
         F = self.n_fields
         hashes = np.array(sorted(self.terms.keys()), dtype=np.uint64)
@@ -183,6 +215,10 @@ class Level0:
                 },
                 f,
             )
+        names = [self.term_str.get(int(h), "") for h in hashes]
+        return _committed_from_arrays(
+            self.doc_count, self.positions_sum_normalized, hashes, offsets,
+            docid, tf, pos, doclen, names)
 
     @staticmethod
     def from_level(
@@ -280,7 +316,7 @@ class NativeLevel0(Level0):
     def term_str(self, v):  # base-class __init__ assigns {}
         self._term_str_cache = None
 
-    def pack(self, path: Path, facet_fields: list[SchemaField]) -> None:
+    def pack(self, path: Path, facet_fields: list[SchemaField]):
         path.mkdir(parents=True, exist_ok=True)
         F = self.n_fields
         hashes, offsets, docid, tf, pos = self.acc.pack()
@@ -295,8 +331,9 @@ class NativeLevel0(Level0):
             else np.zeros((0, F), np.uint8)
         )
         np.save(path / "doclen.npy", doclen)
+        blob = self.acc.terms_blob()
         with open(path / "terms.txt", "wb") as f:
-            f.write(self.acc.terms_blob())
+            f.write(blob)
         for sf in facet_fields:
             col = facet_column(sf, self.facet_values[sf.facet_id], self.doc_count)
             np.save(path / f"facet_{sf.facet_id}.npy", col)
@@ -309,6 +346,10 @@ class NativeLevel0(Level0):
                 },
                 f,
             )
+        names = blob.decode().split("\n")[:-1] if blob else []
+        return _committed_from_arrays(
+            self.doc_count, self.positions_sum_normalized, hashes, offsets,
+            docid, tf, pos, doclen, names)
 
     @staticmethod
     def from_level(
@@ -980,7 +1021,7 @@ class Index:
         lvl_path = shard.path / f"level_{lvl_id}"
         if lvl_path.exists():
             shutil.rmtree(lvl_path)
-        l0.pack(lvl_path, self.facet_fields)
+        packed_lvl = l0.pack(lvl_path, self.facet_fields)
         if isinstance(l0, NativeLevel0) and (
             self.spell is not None or self.completions is not None
         ):
@@ -999,6 +1040,13 @@ class Index:
             shard.level0 = self._new_level0()
             if self.vectors is not None:
                 self.vectors.on_level_complete(shard)
+            # seed the immutable-level cache with the level just packed
+            # (now id < full_levels, so _reload_shard can reuse it and
+            # skip the disk decode it would otherwise pay)
+            cache = getattr(shard, "_level_cache", None)
+            if cache is None:
+                cache = shard._level_cache = {}
+            cache[lvl_id] = packed_lvl
         else:
             shard.partial_on_disk = l0.doc_count
         with open(shard.path / "shard.json", "w") as f:
@@ -1018,10 +1066,27 @@ class Index:
         """Rebuild committed structures (host + device inputs) from disk."""
         mmap = self.meta.access_type == AccessType.Mmap
         n_levels = shard.full_levels + (1 if shard.partial_on_disk else 0)
-        levels = [
-            CommittedLevel.load(shard.path / f"level_{i}", mmap=mmap)
-            for i in range(n_levels)
-        ]
+        # Immutable-level cache: a level with id < full_levels is never
+        # rewritten (commit only ever packs level_{full_levels}; reference
+        # append-only levels, commit.rs:204-258), so its decoded arrays
+        # are reused across commits — re-decoding every level from disk
+        # was ~70% of commit wall at 5M docs.  The partial level
+        # (id == full_levels) is rewritten by every commit and is never
+        # cached until it fills.
+        cache = getattr(shard, "_level_cache", None)
+        if cache is None:
+            cache = shard._level_cache = {}
+        for k in [k for k in cache if k >= shard.full_levels]:
+            del cache[k]
+        levels = []
+        for i in range(n_levels):
+            lvl = cache.get(i) if i < shard.full_levels else None
+            if lvl is None:
+                lvl = CommittedLevel.load(shard.path / f"level_{i}",
+                                          mmap=mmap)
+                if i < shard.full_levels:
+                    cache[i] = lvl
+            levels.append(lvl)
         shard.lexical = build_shard_lexical_cached(
             shard.path, levels, self.boosts_or_default(),
             expand_ngrams=self._expand_ngrams,
@@ -1381,6 +1446,7 @@ class Index:
                 sh.full_levels = 0
                 sh.partial_on_disk = 0
                 sh.deleted = set()
+                sh._level_cache = {}
                 sh.lexical = build_shard_lexical([], self.boosts_or_default())
                 sh.docstores = []
                 sh.facet_cols = {}

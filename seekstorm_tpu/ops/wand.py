@@ -2130,6 +2130,7 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         fc = np.asarray(fc_d)[:, :B] if n_facets else None
     KP = K_SEL + 1
     force_fb = bool(os.environ.get("SEEKSTORM_TPU_WAND_FORCE_FALLBACK"))
+    force_dx = bool(os.environ.get("SEEKSTORM_TPU_WAND_FORCE_DEV_EXACT"))
 
     if dev_rescore:
         # slim i32 ladder buffer (_ladder_device): the device already ran
@@ -2142,7 +2143,6 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
         A = 4 + 2 * DP
         buf_f = packed.view(np.float32)
         cnt = packed[:B, 0].astype(np.int64)
-        force_dx = bool(os.environ.get("SEEKSTORM_TPU_WAND_FORCE_DEV_EXACT"))
         if force_fb or force_dx:
             # parity-suite modes: route EVERY query to the host exact
             # evaluation / the device full-coverage scan respectively
@@ -2234,13 +2234,20 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
     METRICS.inc("wand_fallbacks_total", len(pending))
     if (pending and not force_fb and not rank_mode and S == 1
             and state.mesh is None
-            and not os.environ.get("SEEKSTORM_TPU_NO_DEVICE_EXACT")):
-        # single-shard stragglers: full-coverage exact evaluation on
-        # device over the resident pools (wand_exact_scan) — the host
-        # exact evaluation costs 20-100 ms of the single serving core
-        # per query and was the measured 5M throughput cap.  Multi-shard
-        # and mesh deployments keep the host path (page tie classes cut
-        # at a lane boundary need gid-order arbitration there).
+            and (os.environ.get("SEEKSTORM_TPU_WAND_DEV_EXACT")
+                 or force_dx)):
+        # OPT-IN single-shard straggler path: full-coverage exact
+        # evaluation on device over the resident pools (wand_exact_scan).
+        # Measured at 5M/batch-512 on v5e: each full-coverage dispatch
+        # costs ~600 ms device (the per-bucket positional-CSR gather at
+        # K=NW materializes ~10 GB of one-hot select temporaries), and
+        # with ~1.4 stragglers per 512-query batch it collapsed serving
+        # 3,552 -> 478 qps vs the host exact evaluation (20-100 ms of
+        # one host core per straggler, overlapped by the dispatch
+        # pipeline).  Kept for hosts where CPU, not device, is the
+        # scarce resource.  Multi-shard and mesh deployments always keep
+        # the host path (page tie classes cut at a lane boundary need
+        # gid-order arbitration there).
         pending = _run_dev_exact(
             state, pending, specs, slotmap, tslot, treq, tneg, wsh,
             pools, filtw_dev, statics, S, out_scores, out_gids, counts,
