@@ -112,16 +112,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=5_000_000)
     ap.add_argument("--vocab", type=int, default=30_000)
-    # 512 queries/dispatch: every dispatch through the host<->TPU link
-    # carries a ~28 ms round trip (measured; a real PCIe host pays ~100 us)
-    # plus ~25-45 MB/s result D2H, so serving throughput is dispatch-
-    # overhead-bound until the batch amortizes it.  512 is the measured
-    # knee on v5e: device compute per batch (~25 ms) first matches the
-    # link overheads there.  B=1 interactive latency is measured
-    # separately below.
-    ap.add_argument("--batch", type=int, default=512)
+    # 2048 queries/dispatch: the serving pipeline is host + link bound,
+    # not device bound (scalar-reduced device measurement: the whole
+    # phase-1/2/3 program is ~1 ms at Bq=128 on v5e; a dispatch costs
+    # one ~27 ms link round trip + D2H bytes, and round trips do NOT
+    # overlap across threads through this tunnel — measured 1.0x at
+    # 8-way).  Per-batch wall = host work + RT + D2H, so batch size
+    # amortizes the RT and threads only hide host work.  A co-located
+    # PCIe host pays ~100 us RTs and would prefer smaller batches.
+    # B=1 interactive latency is measured separately below.
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--shards", type=int, default=1)
     ap.add_argument("--index-dir", default=None,
@@ -237,9 +239,12 @@ def main() -> None:
             st.search_batch(idx, r)
         import threading
 
+        # full untimed pass, capped so mega-batches don't spend minutes
+        # warming (2 batches/thread stabilizes the adaptive gates)
+        warm_iters = min(args.iters, max(2, 32768 // args.batch))
         warm_threads = [
             threading.Thread(target=lambda rs=r: [st.search_batch(idx, rs)
-                                                  for _ in range(args.iters)])
+                                                  for _ in range(warm_iters)])
             for r in req_sets
         ]
         for th in warm_threads:
@@ -347,6 +352,10 @@ def main() -> None:
         wand_build_s = tm.get("wand_build_seconds_total", 0.0)
         wand_rescore_s = tm.get("wand_rescore_busy_seconds_total",
                                 tm.get("wand_rescore_seconds_total", 0.0))
+        # host exact-fallback cost (UB-saturated stragglers): busy seconds
+        # + count, the single-core share that caps pipelined serving
+        fb_busy_s = tm.get("wand_exact_fallback_busy_seconds_total",
+                           tm.get("wand_exact_fallback_seconds_total", 0.0))
         # busy seconds (union of open intervals) — the plain sums double-
         # count queue waits across the worker threads
         plan_s = tm.get("lex_plan_busy_seconds_total",
@@ -418,6 +427,7 @@ def main() -> None:
                     "wand_resets": wand_resets,
                     "wand_build_s": round(wand_build_s, 2),
                     "wand_rescore_s": round(wand_rescore_s, 2),
+                    "wand_fallback_busy_s": round(fb_busy_s, 2),
                     "hbm_scoring_bytes": int(hbm),
                     "disk_index_bytes": int(disk),
                 }

@@ -374,15 +374,26 @@ def _rung_topks(allub, NBLK: int):
     associative) so the full-resolution array is read once, not once per
     rung."""
     Bq = allub.shape[0]
-    rungs = []
-    ubf, Fp = allub, 1
-    for F in F_LADDER:
-        if F > Fp:
-            L = NBLK * NW // F
-            ubf = ubf.reshape(Bq, L, F // Fp).max(axis=2)
-            Fp = F
-        rungs.append(_topk_lanes(ubf, K_SEL + 1))
-    return rungs
+    L1 = allub.shape[1]
+    if L1 < 128 or F_LADDER != (1, 4, 16):
+        rungs = []
+        ubf, Fp = allub, 1
+        for F in F_LADDER:
+            if F > Fp:
+                L = L1 // F
+                ubf = ubf.reshape(Bq, L, F // Fp).max(axis=2)
+                Fp = F
+            rungs.append(_topk_lanes(ubf, K_SEL + 1))
+        return rungs
+    # fused pooling chain: read the full-resolution array ONCE (ub4 pool),
+    # then derive every coarser pool AND rung-1's 128-lane group maxima
+    # from it — max is associative, so pool128(allub) == pool32(ub4)
+    ub4 = allub.reshape(Bq, L1 // 4, 4).max(axis=2)
+    ub16 = ub4.reshape(Bq, L1 // 16, 4).max(axis=2)
+    g1 = ub4.reshape(Bq, L1 // 128, 32).max(axis=2)
+    return [_topk_lanes(allub, K_SEL + 1, gmax=g1),
+            _topk_lanes(ub4, K_SEL + 1),
+            _topk_lanes(ub16, K_SEL + 1)]
 
 
 def _pack_scan_out(cnt, rungs):
@@ -542,28 +553,30 @@ def make_wand_scan_mesh(mesh, statics: dict):
     return jax.jit(lambda *a: tuple(x[0] for x in fn(*a)))
 
 
-def _topk_lanes(x, K: int):
+def _topk_lanes(x, K: int, gmax=None):
     """Exact top-K (values desc, -inf padded) over x[Bq, L] with a 2-stage
-    group-max reduction; ids returned alongside."""
+    group-max reduction; ids returned alongside.  gmax, when given, is
+    the precomputed per-128-lane-group max (callers derive it from an
+    already-pooled coarser array so the full-resolution x is read only
+    once — at reference scale x is 84 MB per 128 queries and phase 2 is
+    bandwidth-bound).  Stage 2 gathers only the selected groups
+    (take_along_axis row gather) instead of the previous one-hot MXU
+    contraction, which re-read ALL of x to select 65 groups."""
     Bq, L = x.shape
     K_eff = min(K, L)
     G = min(128, L)
     ng = L // G
     # f32 throughout: UB values must reach the host bit-exact (the WAND
     # termination test compares them against exact f32 rescore sums)
-    neg_min = jnp.finfo(jnp.float32).min / 2
-    gmax = x.reshape(Bq, ng, G).max(axis=2)
+    if gmax is None:
+        gmax = x.reshape(Bq, ng, G).max(axis=2)
     kg = min(K_eff, ng)
     _, gi = jax.lax.top_k(gmax, kg)
-    oh = (gi[:, :, None] == jnp.arange(ng, dtype=jnp.int32)).astype(
-        jnp.float32)
-    xf = jnp.maximum(x.reshape(Bq, ng, G), neg_min)
-    cand = jnp.einsum("bng,bmn->bmg", xf, oh,
-                      preferred_element_type=jnp.float32)
+    cand = jnp.take_along_axis(x.reshape(Bq, ng, G), gi[:, :, None],
+                               axis=1)                  # [Bq, kg, G]
     vals, ti = jax.lax.top_k(cand.reshape(Bq, kg * G), K_eff)
     gsel = jnp.take_along_axis(gi, ti // G, axis=1)
     ids = gsel * G + ti % G
-    vals = jnp.where(vals <= jnp.float32(neg_min), -jnp.inf, vals)
     if K_eff < K:
         pad = K - K_eff
         vals = jnp.concatenate(
@@ -1963,13 +1976,21 @@ def _apply_slim(state: WandState, buf, specs, S: int,
     gid = ((blk - base_arr[shard_of]) * BLOCK_SIZE + doc) * S + shard_of
     valid = psc > -np.inf
 
-    # one global (query, -score, gid) sort over all valid candidates
     qi_of, ci = np.nonzero(valid)
-    sc_v = psc[qi_of, ci]
+    sc_v = psc[qi_of, ci].astype(np.float32)
     gid_v = gid[qi_of, ci]
-    order = np.lexsort((gid_v, -sc_v, qi_of))
-    sc_v, gid_v, qi_s = sc_v[order], gid_v[order], qi_of[order]
-    ends = np.cumsum(np.bincount(qi_s, minlength=B))
+    if S > 1 or D > 1:
+        # multi-shard/mesh: lane order is not gid order (gid interleaves
+        # shards; mesh pages concatenate per-device pages) — one global
+        # (query, -score, gid) sort restores oracle ordering
+        order = np.lexsort((gid_v, -sc_v, qi_of))
+        sc_v, gid_v, qi_s = sc_v[order], gid_v[order], qi_of[order]
+        ends = np.cumsum(np.bincount(qi_s, minlength=B))
+    else:
+        # single shard, single device: the device page is already
+        # (score desc, lane asc) and gid == lane-major order, so the
+        # candidates arrive exactly in oracle order — no sort needed
+        ends = np.cumsum(np.bincount(qi_of, minlength=B))
 
     still: list[int] = []
     a = 0
@@ -1981,7 +2002,6 @@ def _apply_slim(state: WandState, buf, specs, S: int,
             still.append(qi)
             continue
         nf = int(found[qi])
-        sc = sc.astype(np.float32)
         if nf > len(sc):
             # length reports the true matched count (the `n_found >=
             # need` tests downstream); entries past the page are
@@ -2252,15 +2272,21 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
             state, pending, specs, slotmap, tslot, treq, tneg, wsh,
             pools, filtw_dev, statics, S, out_scores, out_gids, counts,
             cnt)
-    defer = os.environ.get("SEEKSTORM_TPU_WAND_DEFER_DENSE")
+    denv = os.environ.get("SEEKSTORM_TPU_WAND_DEFER_DENSE")
+    if denv is not None:
+        defer = denv not in ("", "0")
+    else:
+        # default by batch size: a full-corpus dense dispatch per
+        # straggler batch costs ~2 link round trips + device compute
+        # (flat in the straggler count), while the host exact evaluation
+        # costs 20-100 ms of one serving core PER straggler.  At small
+        # batches stragglers are rare enough that the host walk wins
+        # (measured 4.4K vs 3.2K qps at 5M/B=128); at B >= 512 nearly
+        # every batch carries >= 1 straggler and the dense deferral
+        # amortizes (the serial host walks were the measured cap).
+        defer = B >= 512
     for qi in pending:
         if defer and not force_fb:
-            # opt-in: defer UB-saturated stragglers to the caller's dense
-            # device kernels (search.py rest_rows).  Measured SLOWER than
-            # the host exact evaluation at 5M/128-batch (3.2K vs 4.4K
-            # qps: a full-corpus dense dispatch per straggler batch costs
-            # more than ~20 ms of host CPU), but the trade flips on hosts
-            # with more cores or corpora with higher fallback rates.
             handled[qi] = False
             continue
         with METRICS.timer("wand_exact_fallback"):

@@ -70,14 +70,17 @@ def pallas_mode(NF: int, rank_by_key: bool, T: int) -> int:
     Part of the scan's static jit key (wand._SCAN_STATICS) — the env var
     is read here, at plan time, never inside a traced function.
 
-    Default ON for the TPU backend: with the slim ladder output in place
-    the serial per-dispatch cost is phase-1 compute, where the kernel
-    beats the XLA step ~2.4x at serving shapes (Bq=128/V=256: ~5 ms vs
-    ~12 ms on v5e — the XLA step materializes its per-step gathers and
-    class-refinement temporaries in HBM).  SEEKSTORM_TPU_WAND_PALLAS=0
-    opts out; facet-histogram and rank-by-key scans keep the XLA step."""
+    Default OFF (opt-in via SEEKSTORM_TPU_WAND_PALLAS=1): scalar-reduced
+    measurement on v5e at 5M/Bq=128/V=256 puts the XLA step at <= 1 ms
+    per dispatch (XLA fuses the per-step gathers and class-refinement
+    chains; the earlier 12 ms figure measured fetch bytes, not compute)
+    vs ~3 ms for the kernel, whose XLA-side [NBLK, V, NW] row pre-gather
+    also cannot scale to mega-batch slot tables (V >= 2048 materializes
+    multi-GB slabs).  The kernel stays for its VMEM-resident scan
+    formulation (and the interpret-mode parity tests) on hosts where the
+    XLA step's HBM temporaries become the bound."""
     env = os.environ.get("SEEKSTORM_TPU_WAND_PALLAS", "")
-    if env == "0":
+    if env in ("0", ""):
         return 0
     if NF or rank_by_key or T > 8:
         return 0

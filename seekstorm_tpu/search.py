@@ -2089,9 +2089,12 @@ def _finalize_lexical(index, requests, results, live, live_specs, slots,
                 for v, g in zip(vals[page], gids[page])
             ]
         else:
+            # .tolist() yields native Python scalars in one C pass —
+            # per-element int()/float() numpy-scalar unwrap was ~30% of
+            # the assembly cost at large batch
             rs.results = [
-                ResultObject(doc_id=int(g), score=float(s))
-                for s, g in zip(scores[page], gids[page])
+                ResultObject(doc_id=g, score=s)
+                for s, g in zip(scores[page].tolist(), gids[page].tolist())
             ]
         rs.result_count = len(rs.results)
         if facet_specs and fc_total is not None:
