@@ -2089,7 +2089,10 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
                 if s in spec.weights:
                     wsh[:, qi, j] = idf_per_shard[:, s]
 
-        qargs = jnp.asarray(_pack_qargs(slotmap, tslot, treq, tneg, wsh))
+        # NUMPY on purpose: the jit call transfers it with the dispatch;
+        # an explicit device_put costs a separate ~27 ms link round trip
+        # through the tunneled backend
+        qargs = _pack_qargs(slotmap, tslot, treq, tneg, wsh)
         pools = (state.ppool, state.vpool, state.rpool, state.ipool,
                  state.sp_prow, state.sp_ioff,
                  state.delw_dev, state.sid_dev)
@@ -2139,14 +2142,17 @@ def run_batch(index, slots, specs, idf_per_shard: np.ndarray,
     METRICS.inc("wand_device_bytes", scan_bytes)
     METRICS.inc("device_dispatch_total")
     with METRICS.timer("lex_device"):
-        packed_d, fc_d = _dispatch_scan(
-            state,
-            pools + (qargs,
-                     fcod_dev if n_facets else dummy_i,
-                     filtw_dev if filtw_dev is not None else dummy_u,
-                     skeyb_dev if rank_mode else dummy_f),
-            statics)
-        packed = np.asarray(packed_d)
+        with METRICS.timer("lex_dispatch"):
+            packed_d, fc_d = _dispatch_scan(
+                state,
+                pools + (qargs,
+                         fcod_dev if n_facets else dummy_i,
+                         filtw_dev if filtw_dev is not None else dummy_u,
+                         skeyb_dev if rank_mode else dummy_f),
+                statics)
+        with METRICS.timer("lex_fetch"):
+            packed = np.asarray(packed_d)
+        METRICS.inc("lex_fetch_bytes", int(packed.nbytes))
         fc = np.asarray(fc_d)[:, :B] if n_facets else None
     KP = K_SEL + 1
     force_fb = bool(os.environ.get("SEEKSTORM_TPU_WAND_FORCE_FALLBACK"))

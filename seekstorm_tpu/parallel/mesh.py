@@ -888,11 +888,13 @@ class StackedIndex:
                 dsl[s, :T0, :vd0] = p.dense_slots
 
         plan_rows = _pack_plan_qt(bi, c_row, c_se, qid, W, M, nr, dids, dsl)
+        METRICS.inc("qt_plan_bytes", float(plan_rows.nbytes))
         fast = fast_mode()
         statics = dict(S=S, T=T, NC=nc, QTn=QT, V=v, B=B, VD=VD, NW=nw,
                        k=k, fast=fast)
         if self.mesh is None:
-            plan_dev = jnp.asarray(plan_rows)
+            with METRICS.timer("qt_put"):
+                plan_dev = jnp.asarray(plan_rows)
             results = []
             for s in range(S):
                 d2, i2, dl, bm, s1 = self.per_shard[s]
@@ -917,7 +919,7 @@ class StackedIndex:
             + 4 * QT * VD * BLOCK_SIZE
         )
         METRICS.inc("device_flops", float(flops))
-        with METRICS.timer("lex_device"):
+        with METRICS.timer("lex_device"), METRICS.timer("qt_fetch"):
             f32_part, i32_part = jax.device_get(out)
         ts = f32_part[:B_true, :k]
         gid = i32_part[:B_true, :k]

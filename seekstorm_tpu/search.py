@@ -1661,10 +1661,33 @@ def _lexical_search_batch(
 
     k_eff = k
     nwin = _plan_windows(index) if mode in ("imp", "qt") else 1
+    slots_rest = slots
     if rest_rows:
+        # compact the slot table to the rest queries' terms: _plan_shard's
+        # vectorized segment planning scales with the slot-table width,
+        # and at mega-batch the full table holds thousands of slots while
+        # the handful of deferred WAND stragglers use a dozen (~95 ms of
+        # per-batch planning measured at batch 2048)
+        used = sorted({s for sp in live_specs_rest for s in sp.slots})
+        if len(used) < len(slots) // 4:
+            remap = {s: j for j, s in enumerate(used)}
+            slots_rest = [slots[s] for s in used]
+            live_specs_rest = [
+                _QuerySpec(
+                    slots=[remap[s] for s in sp.slots],
+                    weights={remap[s]: w for s, w in sp.weights.items()},
+                    required={remap[s]: v
+                              for s, v in sp.required.items()},
+                    negated={remap[s]: v for s, v in sp.negated.items()},
+                    phrases=[[(remap[s], off) for s, off in grp]
+                             for grp in sp.phrases],
+                    parsed=sp.parsed,
+                )
+                for sp in live_specs_rest
+            ]
         with METRICS.timer("lex_plan"):
             plans = [
-                _plan_shard(index, sh, slots, live_specs_rest,
+                _plan_shard(index, sh, slots_rest, live_specs_rest,
                             req0.realtime, cover_full, PRUNE_BLOCKS,
                             mode=mode, nwin=nwin)
                 for sh in index.shards
@@ -1698,7 +1721,7 @@ def _lexical_search_batch(
                 # escalation covers each query's full candidate set; the
                 # qt kernel handles full coverage fine (tiles per block)
                 plans = [
-                    _plan_shard(index, sh, slots, live_specs_rest,
+                    _plan_shard(index, sh, slots_rest, live_specs_rest,
                                 req0.realtime, True, PRUNE_BLOCKS,
                                 mode=mode, nwin=nwin)
                     for sh in index.shards

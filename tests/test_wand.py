@@ -434,3 +434,50 @@ def test_device_rescore_parity_and_engagement(wand_index, monkeypatch):
     assert base == dev
     assert basei == devi
     assert served > 0, "device rescore never engaged"
+
+
+def test_defer_dense_matches_dense(wand_index, monkeypatch):
+    """Deferred stragglers (handled=False) must come back exact through
+    the dense rest path — including the compacted slot table the rest
+    planner now uses.  SEEKSTORM_TPU_WAND_DEFER_DENSE=1 forces every
+    pending query to defer regardless of batch size."""
+    idx = wand_index
+    queries = _queries(20, seed=11)
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_WAND", "1")
+    base = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
+    basei = _run(idx, queries, st.QueryType.Intersection,
+                 st.ResultType.TopkCount)
+    monkeypatch.delenv("SEEKSTORM_TPU_NO_WAND")
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND_DEFER_DENSE", "1")
+    # route every query through the pending path so they all defer
+    monkeypatch.setattr(wand_mod, "_apply_slim",
+                        lambda state, buf, specs, S, osc, ogid, cnts:
+                        list(range(len(specs))))
+    df = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
+    dfi = _run(idx, queries, st.QueryType.Intersection,
+               st.ResultType.TopkCount)
+    assert base == df
+    assert basei == dfi
+
+
+def test_defer_dense_compacted_slots(wand_index, monkeypatch):
+    """Partial deferral (a few stragglers in a larger batch) exercises
+    the compacted rest-path slot table: the deferred rows' pages must
+    match the dense baseline while the rest terminate on the WAND path."""
+    idx = wand_index
+    queries = _queries(20, seed=13)
+    monkeypatch.setenv("SEEKSTORM_TPU_NO_WAND", "1")
+    base = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
+    monkeypatch.delenv("SEEKSTORM_TPU_NO_WAND")
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND", "1")
+    monkeypatch.setenv("SEEKSTORM_TPU_WAND_DEFER_DENSE", "1")
+    orig = wand_mod._apply_slim
+
+    def few_pending(state, buf, specs, S, osc, ogid, cnts):
+        done = orig(state, buf, specs, S, osc, ogid, cnts)
+        return sorted(set(done) | {0, 1})   # force rows 0-1 to defer
+
+    monkeypatch.setattr(wand_mod, "_apply_slim", few_pending)
+    df = _run(idx, queries, st.QueryType.Union, st.ResultType.TopkCount)
+    assert base == df
